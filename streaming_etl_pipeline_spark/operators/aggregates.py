@@ -1,0 +1,241 @@
+"""Aggregation operators — the engine's Gold layer (SURVEY.md §2.4).
+
+Re-expresses the reference's three gold aggregations
+(``src/transformations/silver_to_gold.py:44-161``) as one generic windowed
+stats operator plus calendar-day summaries, and the dashboard's pandas
+analytics (last-per-group, pivot, histogram, top-k —
+``src/dashboard/app.py:186,231-346``) as distributed Spark plans.
+
+Scale design:
+- every groupBy here is a hash aggregate with map-side partial aggregation;
+  the only shuffle is on the grouping keys, and AQE coalesces the post-
+  shuffle partitions at runtime;
+- percentiles are *exact* (``F.percentile``) by default for oracle parity;
+  pass ``exact_percentiles=False`` to switch to ``percentile_approx``
+  (single-pass sketch, the right call at 100 TB where a sort-based exact
+  percentile would spill);
+- distinct counts are exact by default with an ``approx`` switch
+  (HyperLogLog++) for the same reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions import (
+    exact_avg,
+    exact_stddev,
+    null_if_nan,
+    time_bucket,
+)
+
+
+def _cols(cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def windowed_stats(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    bucket_seconds: int,
+    value_col: str,
+    expected_per_window: int | None = None,
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    exact_percentiles: bool = True,
+    distinct_count_col: str | None = None,
+    oracle_safe: bool = True,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Tumbling-window stats — the reference's gold_sensor_5min /
+    location_hourly shape (``silver_to_gold.py:44-134``).
+
+    Output: keys + window_start/window_end + avg/min/max/reading_count/
+    stddev + pNN_value columns (+ sensor_health_pct when
+    ``expected_per_window`` is given, + unique_<col>_count when
+    ``distinct_count_col`` is given).
+
+    ``oracle_safe=True`` (default) computes avg/stddev with exact decimal
+    accumulation (order-independent → engine-portable results, rounded to
+    6 dp) and rounds percentiles to 4 dp; pass ``False`` for the plain
+    double path (marginally cheaper, result depends on accumulation order).
+    """
+    v = F.col(value_col)
+    pct_fn = F.percentile if exact_percentiles else F.percentile_approx
+    if oracle_safe:
+        avg_c = exact_avg(v, scale=value_scale)
+        std_c = exact_stddev(v, scale=value_scale)
+    else:
+        avg_c, std_c = F.avg(v), null_if_nan(F.stddev(v))
+    aggs: list[Column] = [
+        avg_c.alias("avg_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.count(v).alias("reading_count"),
+        std_c.alias("stddev_value"),
+    ]
+    for p in percentiles:
+        pc = pct_fn(v, F.lit(p))
+        if oracle_safe:
+            pc = F.round(pc, 4)
+        aggs.append(pc.alias(f"p{int(p * 100)}_value"))
+    if distinct_count_col:
+        aggs.append(
+            F.countDistinct(distinct_count_col).alias(
+                f"unique_{distinct_count_col}_count"
+            )
+        )
+    out = (
+        df.withColumn("window_start", time_bucket(ts_col, bucket_seconds))
+        .groupBy("window_start", *keys)
+        .agg(*aggs)
+        .withColumn(
+            "window_end",
+            F.timestamp_micros(
+                F.unix_micros(F.col("window_start")) + bucket_seconds * 1_000_000
+            ),
+        )
+    )
+    if expected_per_window:
+        # sensor_health_pct — silver_to_gold.py:69-75 (300 expected / 5 min).
+        out = out.withColumn(
+            "sensor_health_pct",
+            F.round(F.col("reading_count") / F.lit(expected_per_window) * 100.0, 2),
+        )
+    return out
+
+
+def daily_summary(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    anomaly_col: str | None = None,
+    distinct_count_col: str | None = None,
+    oracle_safe: bool = True,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Calendar-day rollup — gold_daily_summary (``silver_to_gold.py:137-161``):
+    per-day avg/min/max/total + conditional anomaly count + distinct entities
+    + a display date string."""
+    v = F.col(value_col)
+    if oracle_safe:
+        avg_c = exact_avg(v, scale=value_scale)
+        std_c = exact_stddev(v, scale=value_scale)
+    else:
+        avg_c, std_c = F.avg(v), null_if_nan(F.stddev(v))
+    aggs = [
+        avg_c.alias("avg_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.count(v).alias("total_readings"),
+        std_c.alias("stddev_value"),
+    ]
+    if anomaly_col:
+        aggs.append(
+            F.sum(F.when(F.col(anomaly_col), 1).otherwise(0)).alias("anomaly_count")
+        )
+    if distinct_count_col:
+        aggs.append(
+            F.countDistinct(distinct_count_col).alias(
+                f"unique_{distinct_count_col}_count"
+            )
+        )
+    return (
+        df.withColumn("date", F.to_date(ts_col))
+        .groupBy("date", *keys)
+        .agg(*aggs)
+        .withColumn("date_str", F.date_format("date", "yyyy-MM-dd"))
+    )
+
+
+def last_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str | Column],
+) -> DataFrame:
+    """Latest row per group (A11 — the dashboard's ``groupby().last()``,
+    ``src/dashboard/app.py:186``) as a rank-1 window, fully distributed.
+    ``order_cols`` should end with a unique tiebreaker for determinism."""
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in _cols(order_cols)])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    index_cols: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column | None = None,
+) -> DataFrame:
+    """Cross-tab (A12 — dashboard ``pivot_table``, ``app.py:231-234``).
+    Explicit ``pivot_values`` keeps the plan single-pass (no extra distinct
+    scan) and the output schema stable."""
+    agg = agg if agg is not None else F.count(F.lit(1))
+    return df.groupBy(*index_cols).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: Sequence[float],
+    labels: Sequence[str] | None = None,
+) -> DataFrame:
+    """Binned counts (A13 — dashboard ``pd.cut`` health histogram,
+    ``app.py:344-346``). Half-open bins [lo, hi); below-range rows fall in
+    ``underflow``, at-or-above-max in ``overflow`` unless labels say
+    otherwise. One hash aggregate, no shuffle beyond the bucket key."""
+    if labels is None:
+        labels = [f"[{bins[i]}, {bins[i + 1]})" for i in range(len(bins) - 1)]
+    expr = F.when(F.col(col) < F.lit(bins[0]), F.lit("underflow"))
+    for i in range(len(bins) - 1):
+        expr = expr.when(F.col(col) < F.lit(bins[i + 1]), F.lit(labels[i]))
+    expr = expr.otherwise(F.lit("overflow"))
+    return (
+        df.withColumn("bucket", expr)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def top_k(
+    df: DataFrame,
+    metric: str | Column,
+    k: int,
+    tiebreak: Sequence[str | Column] = (),
+) -> DataFrame:
+    """Global top-k by a metric (O3 — dashboard top/recent views).
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each task
+    keeps a k-row heap, only k rows per partition reach the driver-side
+    merge — no global sort at any scale. Tiebreakers make the cut
+    deterministic."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    order = [m.desc()] + [c.asc() for c in _cols(tiebreak)]
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    metric: str | Column,
+    k: int,
+    tiebreak: Sequence[str | Column] = (),
+) -> DataFrame:
+    """Top-k rows per group via rank-window; one shuffle on ``keys``."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    w = Window.partitionBy(*keys).orderBy(
+        m.desc(), *[c.asc() for c in _cols(tiebreak)]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

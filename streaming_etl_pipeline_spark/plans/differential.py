@@ -1,0 +1,153 @@
+"""Differential correctness harness: Spark plan vs DuckDB oracle.
+
+Local replica of the driver's correctness gate (row count + column names +
+order-insensitive value hash) so every query in the corpus is verified
+*before* the driver runs it. Canonicalization:
+
+- columns sorted by name;
+- each cell rendered to a canonical string (floats via repr, timestamps as
+  ISO micros, arrays element-wise, NULL sentinel);
+- rows sorted, then md5-hashed.
+
+Exact string equality is deliberately strict — queries are written (with
+in-query rounding) so that both engines produce *identical* values, not
+merely close ones.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+from streaming_etl_pipeline_spark.sources.io import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return "0.0"  # normalize -0.0
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    try:
+        if pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[str]]:
+    """→ (sorted column names, sorted canonical row strings)."""
+    cols = sorted(df.columns)
+    out = df[cols]
+    rows = [
+        "\x01".join(_canon_cell(v) for v in rec)
+        for rec in out.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return cols, rows
+
+
+def canonicalize_rows(cols: list[str], tuples: list[tuple]) -> tuple[list[str], list[str]]:
+    """Canonicalize (column names, row tuples) — used for DuckDB fetchall()
+    output, which keeps native Python date/datetime/int types (pandas
+    conversion would coerce DATE→datetime64 and HUGEINT→float)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [
+        "\x01".join(_canon_cell(rec[i]) for i in order) for rec in tuples
+    ]
+    rows.sort()
+    return sorted(cols), rows
+
+
+def value_hash(rows: list[str]) -> str:
+    h = hashlib.md5()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_canonical(
+    name: str,
+    s_cols: list[str],
+    s_rows: list[str],
+    d_cols: list[str],
+    d_rows: list[str],
+) -> DiffResult:
+    if len(s_rows) != len(d_rows):
+        return DiffResult(name, False, f"row count {len(s_rows)} != {len(d_rows)}")
+    if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
+        return DiffResult(name, False, f"columns {s_cols} != {d_cols}")
+    if value_hash(s_rows) != value_hash(d_rows):
+        diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+        msg = "value hash mismatch; first diffs: " + " | ".join(
+            f"spark={a!r} duck={b!r}" for a, b in diff
+        )
+        return DiffResult(name, False, msg)
+    return DiffResult(name, True, f"{len(s_rows)} rows")
+
+
+def run_one(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    sf_dir: str,
+    name: str,
+) -> DiffResult:
+    spec = QUERIES[name]
+    out = spec.fn(spark, sf_dir)
+    if spec.sql is None:
+        return DiffResult(name, True, f"rows-only: {out.count()} rows")
+    # collect() (not toPandas) so None vs NaN in double columns stays exact.
+    s_tuples = [tuple(r) for r in out.collect()]
+    rel = con.sql(spec.sql)
+    d_cols, d_tuples = list(rel.columns), rel.fetchall()
+    s_cols, s_rows = canonicalize_rows(list(out.columns), s_tuples)
+    d_cols, d_rows = canonicalize_rows(d_cols, d_tuples)
+    return compare_canonical(name, s_cols, s_rows, d_cols, d_rows)
+
+
+def run_all(spark: SparkSession, sf_dir: str, names=None) -> list[DiffResult]:
+    con = duck_connect(sf_dir)
+    results = []
+    for name in names or QUERIES:
+        try:
+            results.append(run_one(spark, con, sf_dir, name))
+        except Exception as e:  # surface, don't abort the sweep
+            results.append(DiffResult(name, False, f"EXCEPTION: {e}"))
+    return results

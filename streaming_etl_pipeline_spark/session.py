@@ -1,0 +1,84 @@
+"""SparkSession factory and runtime tuning.
+
+Mirrors the reference's session posture (AQE on, snappy parquet, schema
+inference off, dynamic partition overwrite — reference
+``src/consumers/spark_streaming.py:36-45`` and
+``src/transformations/bronze_to_silver.py:236-243``) while adding the
+settings a DuckDB-differential harness needs (UTC session timezone,
+Arrow-accelerated collection).
+
+Scale note: in local mode ``spark.driver.memory`` is the only memory knob;
+on a real cluster the same configs apply per-executor and AQE coalesces
+shuffle partitions at runtime, so ``shuffle.partitions`` here is an upper
+bound, not a hand-tuned constant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable SQL configs applied to *any* session (including one the
+#: test driver owns). Keep every entry runtime-mutable — static configs
+#: (e.g. spark.driver.memory) belong in build_session only.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "snappy",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.streaming.schemaInference": "false",
+    # The test corpus stores TIMESTAMP(NANOS) which Spark has no native
+    # type for; read as long and convert in sources.io.read_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+    """Apply runtime configs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Config not settable at runtime in this Spark build — skip;
+            # none of RUNTIME_CONF is correctness-critical except timeZone,
+            # which is always runtime-settable.
+            pass
+    n = shuffle_partitions or default_parallelism()
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return spark
+
+
+def build_session(
+    app_name: str = "streaming-etl-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and bench
+    share the driver's CPU budget.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark, shuffle_partitions)

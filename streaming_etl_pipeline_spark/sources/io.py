@@ -1,0 +1,108 @@
+"""Batch sources and sinks.
+
+Covers the reference's batch I/O surface (SURVEY.md §2.1):
+- S2  parquet batch scan (``src/transformations/bronze_to_silver.py:185``)
+- S5  partitioned overwrite parquet sink (``bronze_to_silver.py:217``)
+- S6  CSV source with declared schema (``src/producers/sensor_simulator.py:97``)
+- S10 single-engine rule: everything reads through ``spark.read`` —
+  ``.toPandas()`` only at the presentation edge.
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; partitioned writes use dynamic partition overwrite so a
+backfill of one partition never truncates its siblings (the reference gets
+this via ``spark.sql.sources.partitionOverwriteMode=dynamic``,
+``dags/batch_pipeline_dag.py:48``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every table in the driver-provided corpus (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    timestamp type, so we read them as long (nanosAsLong) and downcast to
+    microsecond timestamps, matching DuckDB's nanos→micros truncation."""
+    f = path
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            return ()
+        f = sorted(files)[0]
+    schema = pq.read_schema(f)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if typ == pa.timestamp("ns")
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table. Plain parquet scan → full pushdown/pruning.
+
+    Timestamp normalization aside, this stays a vanilla vectorized parquet
+    scan (the nanos→micros cast is a projection on top; pushdown on the
+    other columns is unaffected).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each corpus table as a temp view for the SQL API."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink (S5). With partitionOverwriteMode=dynamic,
+    ``mode="overwrite"`` replaces only the partitions present in ``df`` —
+    the Spark-native equivalent of the reference's delete-then-COPY
+    idempotent load (``src/loaders/redshift_loader.py:33-55``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_csv_events(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S6 — CSV replay source with a declared schema (never inferSchema)."""
+    return spark.read.csv(path, header=True, schema=schema)
