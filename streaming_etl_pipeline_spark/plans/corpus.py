@@ -316,3 +316,473 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style join/aggregate queries (engine joins J3, SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))"
+)
+
+
+def _disc_price() -> Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+
+    The customer side is filtered then broadcast (no shuffle of lineitem
+    for it); orders⋈lineitem shuffles on orderkey; the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_volume",
+    f"""
+    SELECT n_name, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def q_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, small dims broadcast, revenue per
+    nation where customer and supplier share a nation."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "top_customers",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           count(*) AS order_count
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + top-k by exact-decimal spend."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    from streaming_etl_pipeline_spark.operators.aggregates import top_k
+
+    totals = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            exact_sum("o_totalprice", precision=18).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+    return top_k(totals, "total_spend", 10, tiebreak=["c_custkey"])
+
+
+@register(
+    "customers_with_recent_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+)
+def q_customers_with_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — SURVEY.md §2.3 engine addition."""
+    from streaming_etl_pipeline_spark.operators.joins import semi_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return semi_join(cust, recent, on="c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_without_recent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+)
+def q_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    from streaming_etl_pipeline_spark.operators.joins import anti_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(cust, recent, on="c_custkey").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Dashboard analytics (A11-A14 — src/dashboard/app.py re-expressed in Spark)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_year",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(NULLIF(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F,
+           CAST(NULLIF(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O,
+           CAST(NULLIF(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS P
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 pivot/cross-tab (dashboard pivot_table, app.py:231-234): order
+    counts per year × status. Explicit pivot values keep it single-pass."""
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    return aggregates.pivot_counts(
+        orders, index_cols=["order_year"], pivot_col="o_orderstatus",
+        pivot_values=["F", "O", "P"],
+    )
+
+
+@register(
+    "histogram_totalprice",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 'underflow'
+                WHEN o_totalprice < 50000 THEN 'lt_50k'
+                WHEN o_totalprice < 150000 THEN 'lt_150k'
+                WHEN o_totalprice < 300000 THEN 'lt_300k'
+                WHEN o_totalprice < 450000 THEN 'lt_450k'
+                ELSE 'overflow' END AS bucket,
+           count(*) AS bucket_count
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 histogram (dashboard pd.cut, app.py:344-346) as one hash agg."""
+    orders = read_table(spark, sf_dir, "orders")
+    return aggregates.histogram(
+        orders, "o_totalprice",
+        bins=[0, 50000, 150000, 300000, 450000],
+        labels=["lt_50k", "lt_150k", "lt_300k", "lt_450k"],
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey)
+    WHERE rn = 1
+    """,
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 last-per-group (dashboard groupby().last(), app.py:186)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    out = aggregates.last_per_group(
+        joined, keys=["c_custkey"], order_cols=["o_orderdate", "o_orderkey"]
+    )
+    return out.select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "global_metrics",
+    f"""
+    SELECT count(*) AS total_events,
+           count(DISTINCT user_id) AS unique_users,
+           {exact_avg_sql("value")} AS avg_value,
+           CAST(sum(CASE WHEN value > 180.0 THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+           round(CAST(sum(CASE WHEN value > 180.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 * 100 / count(*), 6) AS anomaly_rate_pct
+    FROM events
+    """,
+)
+def q_global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 global scalar aggregates (dashboard headline metrics,
+    app.py:188-201,293-300): one-row result, map-side partials only."""
+    events = read_table(spark, sf_dir, "events")
+    anom = F.sum(F.when(F.col("value") > 180.0, 1).otherwise(0))
+    return events.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        exact_avg("value").alias("avg_value"),
+        anom.cast("long").alias("anomaly_count"),
+        F.round(anom.cast("double") * 100 / F.count(F.lit(1)), 6).alias(
+            "anomaly_rate_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured + set ops + upserts (P8/F5, U1/U2, J1/J2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_stats",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+           min(CAST(props->>'$.k' AS INTEGER)) AS k_min,
+           max(CAST(props->>'$.k' AS INTEGER)) AS k_max,
+           round(CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS DOUBLE)
+                 / count(props->>'$.k'), 6) AS k_avg,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/F5 semi-structured extraction (from_json / get_json_object —
+    spark_streaming.py:96): pull props.$.k and aggregate. Integer sums are
+    exact in both engines, so no decimal detour is needed."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("k_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "users_lost_after_week1",
+    """
+    SELECT DISTINCT user_id FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+    """,
+)
+def q_users_lost_after_week1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 set difference: users seen in week 1 but absent in the final days."""
+    events = read_table(spark, sf_dir, "events")
+    wk1 = events.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ).select("user_id").distinct()
+    late = events.filter(
+        F.col("ts") >= F.lit("2024-01-29 00:00:00").cast("timestamp")
+    ).select("user_id").distinct()
+    return wk1.exceptAll(late)
+
+
+@register(
+    "late_data_merge",
+    """
+    WITH updates AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+             value + 1000 AS value, props
+      FROM events WHERE event_id % 10 = 0
+    ), unioned AS (
+      SELECT * FROM events UNION ALL SELECT * FROM updates
+    )
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY ts DESC) AS rn
+          FROM unioned)
+    WHERE rn = 1
+    """,
+)
+def q_late_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 late-data upsert (bronze_to_silver.py:145-159): corrected rows
+    (1 h later, value+1000) win over the originals after union + keep-
+    latest dedup."""
+    events = read_table(spark, sf_dir, "events")
+    updates = (
+        events.filter(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.timestamp_micros(F.unix_micros("ts") + 3600 * 1_000_000))
+        .withColumn("value", F.col("value") + 1000)
+    )
+    merged = cleaning.merge_late_data(events, updates, keys=["event_id"], order_col="ts")
+    return merged.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "upsert_user_dim",
+    """
+    WITH dim AS (
+      SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+             count(*) AS event_count
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+    ), updates AS (
+      SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+             count(*) AS event_count
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY user_id
+    )
+    SELECT coalesce(d.user_id, u.user_id) AS user_id,
+           CASE WHEN d.first_seen IS NULL THEN u.first_seen
+                WHEN u.first_seen IS NULL THEN d.first_seen
+                ELSE least(d.first_seen, u.first_seen) END AS first_seen,
+           CASE WHEN d.last_seen IS NULL THEN u.last_seen
+                WHEN u.last_seen IS NULL THEN d.last_seen
+                ELSE greatest(d.last_seen, u.last_seen) END AS last_seen,
+           coalesce(u.event_count, d.event_count) AS event_count
+    FROM dim d FULL OUTER JOIN updates u ON d.user_id = u.user_id
+    """,
+)
+def q_upsert_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 MERGE-as-join (redshift_loader.py:161-179): dimension built from
+    the first half of the month upserted with the second half —
+    least(first_seen), greatest(last_seen), update-wins event_count."""
+    from streaming_etl_pipeline_spark.operators.joins import upsert_dimension
+
+    events = read_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def make_dim(df):
+        return df.groupBy("user_id").agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+
+    dim = make_dim(events.filter(F.col("ts") < cut))
+    updates = make_dim(events.filter(F.col("ts") >= cut))
+    return upsert_dimension(
+        dim, updates, key="user_id",
+        greatest_cols=["last_seen"], least_cols=["first_seen"],
+        prefer_update_cols=["event_count"],
+    )
+
+
+@register(
+    "dim_time",
+    """
+    SELECT CAST(i AS BIGINT) AS time_key,
+           TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR AS full_timestamp,
+           CAST(EXTRACT(hour FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) AS INTEGER) AS hour,
+           CAST(EXTRACT(day FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) AS INTEGER) AS day,
+           CAST(EXTRACT(month FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) AS INTEGER) AS month,
+           CAST(EXTRACT(year FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) AS INTEGER) AS year,
+           CAST(dayofweek(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) AS INTEGER) AS day_of_week,
+           dayofweek(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 HOUR) IN (0, 6) AS is_weekend
+    FROM range(0, 26280) t(i)
+    """,
+)
+def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_time calendar generator (redshift_schema.sql:35-68) via
+    sequence+explode — no driver loop, no ROW_NUMBER-over-table hack."""
+    from streaming_etl_pipeline_spark.warehouse import build_dim_time
+
+    return build_dim_time(spark)
+
+
+@register(
+    "asof_latest_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.last_purchase_id, p.last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, event_id AS last_purchase_id,
+             value AS last_purchase_value
+      FROM events WHERE event_type = 'purchase') p
+    ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    bench=True,
+)
+def q_asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 as-of join: for every event, the user's latest purchase at or
+    before that moment (union+window formulation — one shuffle, O(1)
+    running state; oracle uses DuckDB's native ASOF JOIN)."""
+    from streaming_etl_pipeline_spark.operators.joins import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("last_purchase_id"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["last_purchase_id", "last_purchase_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "last_purchase_id", "last_purchase_value")

@@ -1,0 +1,138 @@
+"""Aggregate-operator tests reproducing the reference's golden window
+values (SURVEY.md §5, FIXTURES.md §3-4)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import aggregates
+
+T0 = datetime(2024, 6, 15, 10, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def silver_30min(spark):
+    # sensor-001 temperature: 30 rows, one per minute 10:00-10:29,
+    # value = 22.0 + 0.1*i (FIXTURES.md §3 golden scenario).
+    rows = [
+        ("sensor-001", "temperature", round(22.0 + 0.1 * i, 2), T0 + timedelta(minutes=i))
+        for i in range(30)
+    ]
+    return spark.createDataFrame(
+        rows, "sensor_id string, sensor_type string, value double, event_time timestamp"
+    )
+
+
+def test_five_minute_windows_golden(spark, silver_30min):
+    # → 6 five-minute windows; first window count 5, min 22.0, max 22.4,
+    # mean 22.2 (reference tests/test_transformations.py:90-135).
+    out = aggregates.windowed_stats(
+        silver_30min,
+        ts_col="event_time",
+        keys=["sensor_id", "sensor_type"],
+        bucket_seconds=300,
+        value_col="value",
+        expected_per_window=300,
+    )
+    rows = out.orderBy("window_start").collect()
+    assert len(rows) == 6
+    first = rows[0]
+    assert first.window_start == T0
+    assert first.window_end == T0 + timedelta(minutes=5)
+    assert first.reading_count == 5
+    assert first.min_value == 22.0
+    assert first.max_value == 22.4
+    assert abs(first.avg_value - 22.2) < 1e-9
+    # health: 5 readings / 300 expected
+    assert abs(first.sensor_health_pct - round(5 / 300 * 100, 2)) < 1e-9
+
+
+def test_multi_sensor_window_group_count(spark):
+    # 4 sensors × 30 min at 1/min → 24 five-minute groups of count 5
+    # (reference tests/test_integration.py:178-180).
+    rows = [
+        (f"sensor-{s:03d}", "temperature", 20.0 + s, T0 + timedelta(minutes=i))
+        for s in range(4)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "sensor_id string, sensor_type string, value double, event_time timestamp"
+    )
+    out = aggregates.windowed_stats(
+        df, "event_time", ["sensor_id"], 300, "value"
+    )
+    assert out.count() == 24
+    assert out.filter(F.col("reading_count") != 5).count() == 0
+
+
+def test_daily_summary_anomaly_count_golden(spark):
+    # Daily summary: one row per type; anomaly_count == 1 per type when
+    # minute 29 is anomalous (reference tests/test_integration.py:194);
+    # sum(total_readings) == silver row count (:276).
+    rows = []
+    for stype in ["temperature", "humidity", "pressure", "vibration"]:
+        for i in range(30):
+            rows.append(
+                (f"s-{stype}", stype, float(i), T0 + timedelta(minutes=i), i == 29)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "sensor_id string, sensor_type string, value double, "
+        "event_time timestamp, is_anomaly boolean",
+    )
+    out = aggregates.daily_summary(
+        df, "event_time", ["sensor_type"], "value",
+        anomaly_col="is_anomaly", distinct_count_col="sensor_id",
+    )
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.anomaly_count == 1 for r in rows)
+    assert all(r.unique_sensor_id_count == 1 for r in rows)
+    assert sum(r.total_readings for r in rows) == df.count()
+    assert all(r.date_str == "2024-06-15" for r in rows)
+
+
+def test_last_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 5, 50.0)], "k string, seq int, v double"
+    )
+    out = aggregates.last_per_group(df, ["k"], ["seq"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": 20.0, "b": 50.0}
+
+
+def test_pivot_counts(spark):
+    df = spark.createDataFrame(
+        [("d1", "x"), ("d1", "x"), ("d1", "y"), ("d2", "y")], "d string, t string"
+    )
+    out = aggregates.pivot_counts(df, ["d"], "t", ["x", "y", "z"])
+    got = {r.d: (r.x, r.y, r.z) for r in out.collect()}
+    assert got == {"d1": (2, 1, None), "d2": (None, 1, None)}
+
+
+def test_histogram_half_open_bins(spark):
+    df = spark.createDataFrame([(v,) for v in [-1.0, 0.0, 49.9, 50.0, 99.9, 100.0]], "v double")
+    out = aggregates.histogram(df, "v", bins=[0, 50, 100], labels=["lo", "hi"])
+    got = {r.bucket: r.bucket_count for r in out.collect()}
+    assert got == {"underflow": 1, "lo": 2, "hi": 2, "overflow": 1}
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 5.0)], "id int, m double"
+    )
+    out = aggregates.top_k(df, "m", 2, tiebreak=["id"])
+    assert [r.id for r in out.collect()] == [1, 2]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 2.0), ("b", 4, 9.0)],
+        "k string, id int, m double",
+    )
+    out = aggregates.top_k_per_group(df, ["k"], "m", 2, tiebreak=["id"])
+    got = sorted((r.k, r.id) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 4)]

@@ -1,0 +1,108 @@
+"""Join-operator tests: MERGE-as-join upsert semantics (reference
+redshift_loader.py:161-179 fixtures, FIXTURES.md §5) and the as-of join."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import joins
+
+T0 = datetime(2024, 6, 15, 10, 0, 0)
+
+
+def test_upsert_dimension_merge_semantics(spark):
+    # Existing sensor with older last_seen + new readings → last_seen =
+    # greatest(old, new), location updated; unseen sensor → inserted.
+    dim = spark.createDataFrame(
+        [
+            ("sensor-001", "floor-1-zone-A", T0 - timedelta(days=5), T0 - timedelta(days=1)),
+            ("sensor-002", "floor-2-zone-B", T0 - timedelta(days=5), T0),
+        ],
+        "sensor_id string, location string, first_seen timestamp, last_seen timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("sensor-001", "floor-9-zone-D", T0 - timedelta(days=2), T0 + timedelta(hours=1)),
+            ("sensor-003", "floor-3-zone-C", T0, T0),
+        ],
+        "sensor_id string, location string, first_seen timestamp, last_seen timestamp",
+    )
+    out = joins.upsert_dimension(
+        dim, updates, key="sensor_id",
+        greatest_cols=["last_seen"], least_cols=["first_seen"],
+        prefer_update_cols=["location"],
+    )
+    rows = {r.sensor_id: r for r in out.collect()}
+    assert set(rows) == {"sensor-001", "sensor-002", "sensor-003"}
+    # matched: location from update, last_seen = greatest, first_seen = least
+    assert rows["sensor-001"].location == "floor-9-zone-D"
+    assert rows["sensor-001"].last_seen == T0 + timedelta(hours=1)
+    assert rows["sensor-001"].first_seen == T0 - timedelta(days=5)
+    # untouched existing row survives
+    assert rows["sensor-002"].location == "floor-2-zone-B"
+    # not-matched insert
+    assert rows["sensor-003"].location == "floor-3-zone-C"
+
+
+def test_upsert_idempotent(spark):
+    # Applying the same update twice converges (delete-then-insert parity,
+    # reference tests/test_loader.py:77-87).
+    dim = spark.createDataFrame(
+        [("s1", T0)], "sensor_id string, last_seen timestamp"
+    )
+    updates = spark.createDataFrame(
+        [("s1", T0 + timedelta(hours=1))], "sensor_id string, last_seen timestamp"
+    )
+    once = joins.upsert_dimension(dim, updates, "sensor_id", greatest_cols=["last_seen"])
+    twice = joins.upsert_dimension(once, updates, "sensor_id", greatest_cols=["last_seen"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, T0), (1, T0 + timedelta(minutes=10)), (2, T0)],
+        "uid bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T0 - timedelta(minutes=1), 100.0),
+            (1, T0 + timedelta(minutes=5), 200.0),
+            (3, T0, 999.0),
+        ],
+        "uid bigint, rts timestamp, quote double",
+    )
+    out = joins.asof_join(
+        left, right, key="uid", left_ts="ts", right_ts="rts", right_cols=["quote"]
+    )
+    got = sorted((r.uid, r.ts, r.quote) for r in out.collect())
+    assert got == [
+        (1, T0, 100.0),
+        (1, T0 + timedelta(minutes=10), 200.0),
+        (2, T0, None),  # no right rows for uid 2 → NULL payload
+    ]
+
+
+def test_asof_join_equal_timestamp_included(spark):
+    left = spark.createDataFrame([(1, T0)], "uid bigint, ts timestamp")
+    right = spark.createDataFrame([(1, T0, 7.0)], "uid bigint, rts timestamp, quote double")
+    out = joins.asof_join(left, right, "uid", "ts", "rts", ["quote"])
+    assert out.collect()[0].quote == 7.0
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    right = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "k int")
+    semi = joins.semi_join(left, right, "k").count()
+    anti = joins.anti_join(left, right, "k").count()
+    assert semi == 5 and anti == 5 and semi + anti == left.count()
+
+
+def test_star_join_broadcast_plan(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "dim_id int, v double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "dim_id int, name string")
+    out = joins.star_join(fact, {"d": (dim, "dim_id")})
+    assert out.count() == 2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
