@@ -786,3 +786,49 @@ def q_asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["last_purchase_id", "last_purchase_value"],
     )
     return out.select("event_id", "user_id", "ts", "last_purchase_id", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality checks as a query (SURVEY.md §2.11 — the expectation
+# compiler in quality/expectations.py computes these same metrics;
+# this query exposes the single-pass metric shape to the oracle gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_metrics",
+    """
+    SELECT count(*) AS total_rows,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           round(CAST(sum(CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS event_type_nonnull_rate,
+           CAST(sum(CASE WHEN event_type NOT IN
+                  ('click','view','purchase','signup','error')
+                THEN 1 ELSE 0 END) AS BIGINT) AS unknown_type_count,
+           CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS out_of_bounds_count,
+           count(*) - count(DISTINCT event_id) AS duplicate_event_ids
+    FROM events
+    """,
+)
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 expectation metrics in one aggregation pass (null counts,
+    membership violations, bounds violations, key uniqueness) — the
+    single-scan design the quality.validate() runner uses, vs the
+    reference's one-action-per-check pandas runner."""
+    events = read_table(spark, sf_dir, "events")
+    known = ["click", "view", "purchase", "signup", "error"]
+    n = F.count(F.lit(1))
+    return events.agg(
+        n.alias("total_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("null_user_id"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("null_value"),
+        F.round(
+            F.sum(F.when(F.col("event_type").isNotNull(), 1).otherwise(0)).cast("double") / n, 6
+        ).alias("event_type_nonnull_rate"),
+        F.sum(F.when(~F.col("event_type").isin(known), 1).otherwise(0)).cast("long").alias("unknown_type_count"),
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
+        ).cast("long").alias("out_of_bounds_count"),
+        (n - F.countDistinct("event_id")).alias("duplicate_event_ids"),
+    )

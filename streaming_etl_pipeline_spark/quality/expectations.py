@@ -1,0 +1,223 @@
+"""Declarative data-quality expectations compiled to Spark expressions.
+
+Re-expresses the reference's Great-Expectations-style suites
+(``great_expectations/expectations/sensor_bronze.json``,
+``sensor_silver.json``) and manual checks (``src/quality/expectations.py``)
+as an expectation compiler: each expectation becomes ONE aggregate
+expression, the whole suite runs as a SINGLE Spark job (one pass over the
+data, map-side partials — no per-check actions), and the report itself is
+a DataFrame, so it can be persisted/joined like any other table.
+
+Scale: a suite of 20 checks over 100 TB is one scan; the reference's
+pandas runner (``expectations.py:189-210``) is single-process and its
+Spark equivalent-by-translation would be 20 scans.
+
+Expectation kinds (SURVEY.md §2.11):
+  exists, not_null (with ``mostly``), in_set, between, regex,
+  compound_unique, row_count_between, non_empty, row_count_ratio.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityError(ValueError):
+    """Raised by validate_or_raise when any expectation fails."""
+
+
+@dataclass(frozen=True)
+class Expectation:
+    kind: str
+    column: str | None = None
+    columns: tuple[str, ...] = ()
+    value_set: tuple = ()
+    min_value: float | None = None
+    max_value: float | None = None
+    regex: str | None = None
+    mostly: float = 1.0
+
+    @property
+    def name(self) -> str:
+        target = self.column or ",".join(self.columns) or "*"
+        return f"{self.kind}({target})"
+
+
+@dataclass(frozen=True)
+class Suite:
+    name: str
+    expectations: tuple[Expectation, ...] = field(default_factory=tuple)
+
+
+def _observed_expr(e: Expectation, df: DataFrame) -> Column:
+    """The observed metric for one expectation, as a single aggregate
+    expression (all metrics are computed in the same pass)."""
+    c = F.col(e.column) if e.column else None
+    total = F.count(F.lit(1))
+    if e.kind == "exists":
+        return F.lit(1.0 if e.column in df.columns else 0.0)
+    if e.kind == "not_null":
+        # fraction non-null; empty input passes (vacuous truth)
+        return F.coalesce(F.avg(c.isNotNull().cast("double")), F.lit(1.0))
+    if e.kind == "in_set":
+        bad = F.sum((~c.isin(list(e.value_set)) & c.isNotNull()).cast("long"))
+        return bad.cast("double")
+    if e.kind == "between":
+        cond = F.lit(False)
+        if e.min_value is not None:
+            cond = cond | (c < F.lit(e.min_value))
+        if e.max_value is not None:
+            cond = cond | (c > F.lit(e.max_value))
+        return F.sum(cond.cast("long")).cast("double")
+    if e.kind == "regex":
+        bad = F.sum((~c.rlike(e.regex) & c.isNotNull()).cast("long"))
+        return bad.cast("double")
+    if e.kind == "non_empty":
+        return total.cast("double")
+    if e.kind == "row_count_between":
+        return total.cast("double")
+    raise ValueError(f"unknown expectation kind: {e.kind}")
+
+
+def _passed(e: Expectation, observed: float) -> bool:
+    if e.kind == "exists":
+        return observed == 1.0
+    if e.kind == "not_null":
+        return observed >= e.mostly
+    if e.kind in ("in_set", "between", "regex"):
+        return observed == 0.0
+    if e.kind == "non_empty":
+        return observed > 0
+    if e.kind == "row_count_between":
+        lo = e.min_value if e.min_value is not None else float("-inf")
+        hi = e.max_value if e.max_value is not None else float("inf")
+        return lo <= observed <= hi
+    raise ValueError(e.kind)
+
+
+def validate(df: DataFrame, suite: Suite) -> list[dict]:
+    """Run a suite in ONE aggregation pass; per-expectation report rows
+    ``{check, passed, observed}``. ``compound_unique`` needs a grouped
+    pass and runs as a second job only when present."""
+    present = set(df.columns)
+
+    def missing(e: Expectation) -> bool:
+        # A check on an absent column FAILS (it must not crash the run —
+        # the reference's "dropped is_anomaly" mutation fixture expects a
+        # failing suite, tests/test_quality.py:94-99). ``exists`` handles
+        # absence itself.
+        if e.kind == "exists":
+            return False
+        cols = (e.column,) if e.column else e.columns
+        return any(c not in present for c in cols if c)
+
+    report: list[dict] = [
+        {"check": e.name, "passed": False, "observed": float("nan")}
+        for e in suite.expectations
+        if missing(e)
+    ]
+    simple = [
+        e
+        for e in suite.expectations
+        if e.kind != "compound_unique" and not missing(e)
+    ]
+    compound = [
+        e
+        for e in suite.expectations
+        if e.kind == "compound_unique" and not missing(e)
+    ]
+    if simple:
+        aggs = [
+            _observed_expr(e, df).alias(f"m{i}") for i, e in enumerate(simple)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for i, e in enumerate(simple):
+            obs = float(row[f"m{i}"]) if row[f"m{i}"] is not None else 0.0
+            report.append(
+                {"check": e.name, "passed": _passed(e, obs), "observed": obs}
+            )
+    for e in compound:
+        dup = (
+            df.groupBy(*[F.col(c) for c in e.columns])
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        report.append(
+            {"check": e.name, "passed": dup == 0, "observed": float(dup)}
+        )
+    return report
+
+
+def validate_or_raise(df: DataFrame, suite: Suite) -> list[dict]:
+    """Fail-fast runner (reference expectations.py:171-210): raises
+    QualityError listing every failed check."""
+    report = validate(df, suite)
+    failed = [r for r in report if not r["passed"]]
+    if failed:
+        lines = ", ".join(f"{r['check']} (observed={r['observed']})" for r in failed)
+        raise QualityError(f"suite '{suite.name}' failed: {lines}")
+    return report
+
+
+def row_count_ratio_check(
+    df_a: DataFrame, df_b: DataFrame, tolerance: float = 0.05
+) -> dict:
+    """Silver/bronze coverage check (reference expectations.py:157-165):
+    |a/b - 1| <= tolerance."""
+    a, b = df_a.count(), df_b.count()
+    ratio = a / b if b else 0.0
+    return {
+        "check": f"row_count_ratio(tol={tolerance})",
+        "passed": abs(ratio - 1.0) <= tolerance,
+        "observed": ratio,
+    }
+
+
+# ---------------------------------------------------------------------------
+# The reference's concrete suites (sensor_bronze.json / sensor_silver.json)
+# ---------------------------------------------------------------------------
+
+SENSOR_TYPES = ("temperature", "humidity", "pressure", "vibration")
+#: Physical bounds (reference expectations.py:21-26 / sensor_simulator.py:25-29)
+PHYSICAL_BOUNDS = {
+    "temperature": (-40.0, 85.0),
+    "humidity": (0.0, 100.0),
+    "pressure": (300.0, 1100.0),
+    "vibration": (0.0, 10.0),
+}
+
+
+def bronze_suite() -> Suite:
+    """sensor_bronze.json:4-86 — existence, null tolerance (mostly 0.99 on
+    location), membership, value bounds, sensor-id regex."""
+    exps: list[Expectation] = []
+    for col in ("sensor_id", "sensor_type", "value", "event_time"):
+        exps.append(Expectation("exists", column=col))
+        exps.append(Expectation("not_null", column=col))
+    exps.append(Expectation("not_null", column="location", mostly=0.99))
+    exps.append(Expectation("in_set", column="sensor_type", value_set=SENSOR_TYPES))
+    exps.append(
+        Expectation("between", column="value", min_value=-40.0, max_value=1100.0)
+    )
+    exps.append(Expectation("regex", column="sensor_id", regex=r"^sensor-\d{3}$"))
+    exps.append(Expectation("non_empty"))
+    return Suite("sensor_bronze", tuple(exps))
+
+
+def silver_suite() -> Suite:
+    """sensor_silver.json:4-73 — bronze guarantees + is_anomaly domain +
+    compound uniqueness of (sensor_id, event_time)."""
+    exps = list(bronze_suite().expectations)
+    exps.append(Expectation("exists", column="is_anomaly"))
+    exps.append(Expectation("not_null", column="is_anomaly"))
+    exps.append(
+        Expectation("in_set", column="is_anomaly", value_set=(True, False))
+    )
+    exps.append(
+        Expectation("compound_unique", columns=("sensor_id", "event_time"))
+    )
+    return Suite("sensor_silver", tuple(exps))

@@ -1,0 +1,107 @@
+"""S11 — synthetic sensor-event generator, fully columnar.
+
+Re-expresses the reference's Python-loop producer
+(``src/producers/sensor_simulator.py:51-94``) as one Spark job:
+``spark.range(n)`` + vectorized ``randn()/rand()`` + ``least/greatest``
+clamps — no driver loop, no Python per row, so generating 10^11 rows is
+just a bigger range. Reference constants reproduced exactly
+(``sensor_simulator.py:24-36``): per-type base/noise/physical bounds,
+anomaly injection multiplies noise (×4/3/5/10) at ``anomaly_rate``,
+values rounded to 2 dp, ``sensor-NNN`` ids, ``floor-N-zone-X`` locations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: sensor_type -> (base, noise_sigma, lo, hi, anomaly_noise_multiplier, unit)
+SENSOR_SPECS: dict[str, tuple[float, float, float, float, float, str]] = {
+    "temperature": (22.0, 5.0, -40.0, 85.0, 4.0, "celsius"),
+    "humidity": (55.0, 15.0, 0.0, 100.0, 3.0, "percent"),
+    "pressure": (1013.0, 20.0, 300.0, 1100.0, 5.0, "hPa"),
+    "vibration": (0.5, 0.3, 0.0, 10.0, 10.0, "g"),
+}
+
+
+def generate_events(
+    spark: SparkSession,
+    n_events: int,
+    n_sensors: int = 50,
+    anomaly_rate: float = 0.02,
+    start_ts: str = "2024-06-15 10:00:00",
+    events_per_second: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic (seeded) synthetic event stream as a DataFrame with
+    the raw-event schema (FIXTURES.md §1)."""
+    types = list(SENSOR_SPECS)
+    type_expr = F.element_at(
+        F.array(*[F.lit(t) for t in types]),
+        (F.col("id") % len(types) + 1).cast("int"),
+    )
+    base = F.lit(None).cast("double")
+    noise = F.lit(None).cast("double")
+    lo = F.lit(None).cast("double")
+    hi = F.lit(None).cast("double")
+    mult = F.lit(None).cast("double")
+    unit = F.lit(None).cast("string")
+    for t, (b, s, l, h, m, u) in SENSOR_SPECS.items():
+        cond = F.col("sensor_type") == t
+        base = F.when(cond, F.lit(b)).otherwise(base)
+        noise = F.when(cond, F.lit(s)).otherwise(noise)
+        lo = F.when(cond, F.lit(l)).otherwise(lo)
+        hi = F.when(cond, F.lit(h)).otherwise(hi)
+        mult = F.when(cond, F.lit(m)).otherwise(mult)
+        unit = F.when(cond, F.lit(u)).otherwise(unit)
+
+    df = (
+        spark.range(n_events)
+        .withColumn("sensor_type", type_expr)
+        .withColumn("is_anomaly_injected", F.rand(seed) < anomaly_rate)
+        .withColumn(
+            "sigma",
+            F.when(F.col("is_anomaly_injected"), noise * mult).otherwise(noise),
+        )
+        .withColumn("raw_value", base + F.randn(seed + 1) * F.col("sigma"))
+        .withColumn("value", F.round(F.greatest(lo, F.least(hi, F.col("raw_value"))), 2))
+        .withColumn("unit", unit)
+        .withColumn(
+            "sensor_id",
+            F.format_string("sensor-%03d", (F.col("id") % n_sensors).cast("int")),
+        )
+        .withColumn(
+            "location",
+            F.format_string(
+                "floor-%d-zone-%s",
+                (F.col("id") % 5 + 1).cast("int"),
+                F.element_at(
+                    F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D")),
+                    (F.col("id") % 4 + 1).cast("int"),
+                ),
+            ),
+        )
+        .withColumn(
+            "event_time",
+            F.timestamp_micros(
+                F.unix_micros(F.lit(start_ts).cast("timestamp"))
+                + (F.col("id") * (1_000_000 // events_per_second))
+            ),
+        )
+        .withColumn(
+            "timestamp", F.date_format("event_time", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        )
+    )
+    return df.select(
+        "sensor_id", "sensor_type", "timestamp", "value", "unit", "location",
+        "event_time", "is_anomaly_injected",
+    )
+
+
+def events_as_json(df: DataFrame) -> DataFrame:
+    """Raw Kafka-wire shape: one JSON string per event (producer
+    ``json.dumps`` — ``sensor_simulator.py:120``)."""
+    payload = F.to_json(
+        F.struct("sensor_id", "sensor_type", "timestamp", "value", "unit", "location")
+    )
+    return df.select(payload.alias("value"))

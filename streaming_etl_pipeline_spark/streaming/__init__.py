@@ -1,0 +1,7 @@
+from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
+    EVENT_SCHEMA,
+    parse_events,
+    read_json_stream,
+    start_bronze_sink,
+    start_dead_letter_sink,
+)

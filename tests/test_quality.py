@@ -1,0 +1,129 @@
+"""Quality-engine tests: each expectation fails on the right mutation
+(reference tests/test_quality.py, FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark import quality
+
+T0 = datetime(2024, 6, 15, 10, 0, 0)
+SCHEMA = (
+    "sensor_id string, sensor_type string, value double, "
+    "event_time timestamp, location string"
+)
+
+
+@pytest.fixture()
+def good_bronze(spark):
+    rows = [
+        (f"sensor-{i:03d}", "temperature", 22.0 + i, T0, f"floor-1-zone-A")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _report_dict(report):
+    return {r["check"]: r["passed"] for r in report}
+
+
+def test_good_bronze_passes(good_bronze):
+    report = quality.validate_or_raise(good_bronze, quality.bronze_suite())
+    assert all(r["passed"] for r in report)
+
+
+def test_null_sensor_id_fails(spark, good_bronze):
+    bad = good_bronze.union(
+        spark.createDataFrame([(None, "temperature", 22.0, T0, "x")], SCHEMA)
+    )
+    with pytest.raises(quality.QualityError, match="not_null"):
+        quality.validate_or_raise(bad, quality.bronze_suite())
+
+
+def test_unknown_sensor_type_fails(spark, good_bronze):
+    bad = good_bronze.union(
+        spark.createDataFrame([("sensor-099", "radiation", 1.0, T0, "x")], SCHEMA)
+    )
+    report = quality.validate(bad, quality.bronze_suite())
+    assert _report_dict(report)["in_set(sensor_type)"] is False
+
+
+def test_mostly_null_tolerance(spark):
+    # 1 null location in 200 rows (0.5% nulls) passes mostly=0.99;
+    # 5 nulls (2.5%) fails — reference sensor_bronze.json:71-85.
+    rows = [
+        (f"sensor-{i:03d}", "temperature", 1.0, T0, None if i < 1 else "loc")
+        for i in range(200)
+    ]
+    ok = spark.createDataFrame(rows, SCHEMA)
+    assert _report_dict(quality.validate(ok, quality.bronze_suite()))[
+        "not_null(location)"
+    ]
+    rows_bad = [
+        (f"sensor-{i:03d}", "temperature", 1.0, T0, None if i < 5 else "loc")
+        for i in range(200)
+    ]
+    bad = spark.createDataFrame(rows_bad, SCHEMA)
+    assert not _report_dict(quality.validate(bad, quality.bronze_suite()))[
+        "not_null(location)"
+    ]
+
+
+def test_out_of_bounds_value_fails(spark, good_bronze):
+    bad = good_bronze.union(
+        spark.createDataFrame([("sensor-098", "pressure", 2000.0, T0, "x")], SCHEMA)
+    )
+    assert not _report_dict(quality.validate(bad, quality.bronze_suite()))[
+        "between(value)"
+    ]
+
+
+def test_bad_sensor_id_regex_fails(spark, good_bronze):
+    bad = good_bronze.union(
+        spark.createDataFrame([("sensor-12", "temperature", 1.0, T0, "x")], SCHEMA)
+    )
+    assert not _report_dict(quality.validate(bad, quality.bronze_suite()))[
+        "regex(sensor_id)"
+    ]
+
+
+def test_empty_frame_fails_non_empty(spark, good_bronze):
+    empty = good_bronze.limit(0)
+    assert not _report_dict(quality.validate(empty, quality.bronze_suite()))[
+        "non_empty(*)"
+    ]
+
+
+def test_duplicate_key_fails_silver(spark, good_bronze):
+    silver = good_bronze.withColumn("is_anomaly", F.lit(False))
+    dup = silver.union(silver.limit(1))
+    assert not _report_dict(quality.validate(dup, quality.silver_suite()))[
+        "compound_unique(sensor_id,event_time)"
+    ]
+    assert _report_dict(quality.validate(silver, quality.silver_suite()))[
+        "compound_unique(sensor_id,event_time)"
+    ]
+
+
+def test_missing_is_anomaly_fails_not_crashes(good_bronze):
+    report = quality.validate(good_bronze, quality.silver_suite())
+    d = _report_dict(report)
+    assert d["exists(is_anomaly)"] is False
+    assert d["not_null(is_anomaly)"] is False
+
+
+def test_row_count_ratio(spark, good_bronze):
+    within = quality.row_count_ratio_check(good_bronze, good_bronze)
+    assert within["passed"]
+    out = quality.row_count_ratio_check(good_bronze.limit(5), good_bronze)
+    assert not out["passed"]
+
+
+def test_single_pass_plan(good_bronze):
+    # The whole simple-suite report must come from ONE aggregate job —
+    # no per-check actions (the reference recomputes per check).
+    report = quality.validate(good_bronze, quality.bronze_suite())
+    assert len(report) == 13
