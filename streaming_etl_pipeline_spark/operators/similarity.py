@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+SURVEY.md §7 step 7 extension: approximate-nearest-neighbor search the
+reference has no analogue for. Two tiers:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, rank per query. Correct at any
+  corpus size as long as the QUERY side is small (it's the broadcast
+  side); cost is one pass over the corpus per batch of queries — this is
+  the shape to use for oracle checks and for small k×q workloads.
+- **hyperplane-LSH ANN** — the 100 TB path: sign-of-dot-product against
+  ``n_planes`` fixed Rademacher (±1) hyperplanes buckets each vector into
+  one of 2^n_planes cells; queries probe only their own cell (optionally
+  multi-probe neighbors). The bucket join replaces the cross join — the
+  only shuffle is on an md5-uniform-ish bucket id, and recall/cost is
+  tuned by n_planes.
+
+The hyperplanes are deterministic module-level literals (seeded PRNG at
+import), embedded identically into the Spark plan and the DuckDB oracle
+SQL, so bucket assignments — and therefore results — match exactly.
+No UDFs: dot products are ``zip_with``+``aggregate`` higher-order
+functions (JVM codegen); cosine values are rounded before ranking so the
+two engines' identical-input doubles can't diverge in tiebreaks.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import cosine_similarity, dot
+
+#: Fixed Rademacher hyperplanes: n_planes × dim entries in {+1.0, -1.0}.
+#: Deterministic (seed 7) and embedded as literals on BOTH engines.
+N_PLANES = 8
+DIM = 64
+_rng = random.Random(7)
+PLANES: list[list[float]] = [
+    [1.0 if _rng.random() < 0.5 else -1.0 for _ in range(DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def _plane_col(p: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in p])
+
+
+def lsh_bucket(vec: Column | str, n_planes: int = N_PLANES) -> Column:
+    """Bucket id in [0, 2^n_planes): bit j = (v · plane_j) > 0.
+
+    Fewer planes → bigger cells → higher recall, more candidates; pick
+    n_planes so the expected cell size fits the downstream join budget."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    acc = F.lit(0).cast("long")
+    for j, p in enumerate(PLANES[:n_planes]):
+        acc = acc + F.when(dot(v, _plane_col(p)) > 0, 1 << j).otherwise(0)
+    return acc
+
+
+def lsh_bucket_sql(vec_sql: str, n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of :func:`lsh_bucket` (list_dot_product reduces in
+    double left-to-right, same as zip_with+aggregate)."""
+    terms = []
+    for j, p in enumerate(PLANES[:n_planes]):
+        lit = "[" + ", ".join(str(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_sql} AS DOUBLE[]), {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self excluded).
+
+    Broadcast the query side — the corpus side streams through one scan,
+    so this works unchanged when the corpus is 100 TB and queries are a
+    few thousand rows. Ranking uses (rounded sim DESC, neighbor id ASC)
+    for a total deterministic order.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH cell.
+
+    The join is on ``bucket`` — an equi-join Spark shuffles (or broadcasts)
+    by bucket id instead of a cross join; with p planes the candidate set
+    shrinks ~2^p-fold at the recall cost of angular-far pairs. Same
+    deterministic ranking as :func:`cosine_topk`, so the DuckDB oracle
+    (same literal planes) matches exactly.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by the
+    same LSH cells so the pair join is bucket-local (near-identical
+    vectors land in the same cell with probability ≈ 1 − p·θ/π per plane).
+    """
+    b = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    sim = F.round(
+        cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 9
+    )
+    return (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

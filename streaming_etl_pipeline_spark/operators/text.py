@@ -1,0 +1,158 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``.
+
+Extensions beyond the reference's own surface (SURVEY.md §7 step 7): the
+reference's only string ops are regex extract/validate (F4,
+``src/dashboard/app.py:258-259``, ``great_expectations/.../sensor_bronze.json:63-68``);
+a corpus-scale pipeline also needs token counting, quality scoring,
+language ID and fingerprinting. Everything here is a pure built-in
+composition (no UDFs — SURVEY.md §2.10), so it stays inside whole-stage
+codegen and has an exact DuckDB-SQL twin for the correctness oracle.
+
+Scale notes (100 TB): every operator is a narrow per-row projection —
+no shuffle, no state — so it scales linearly with input splits and
+pipelines into whatever scan feeds it. The only regex engines involved
+are Java (Spark) and RE2 (DuckDB oracle); patterns are kept to the
+common subset of both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import md5_long, tokenize
+
+#: BPE-ish word/number/punct splitter — the common Java/RE2 regex subset.
+#: Always applied to normalized text, where the only whitespace is ' '.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: Stopword profiles for the language-ID scorer. Fixed literals — the
+#: operator is a deterministic profile scorer, not a trained model; real
+#: deployments would swap in per-language character-trigram profiles.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"),
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def norm_text(col: Column | str) -> Column:
+    """Lowercase + collapse runs of whitespace — canonical text form used
+    by every hash/fingerprint so trivial formatting differences dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def norm_text_sql(col_sql: str) -> str:
+    return rf"trim(regexp_replace(lower({col_sql}), '\s+', ' ', 'g'))"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish tokens: letter runs, digit runs, single punctuation marks
+    over normalized text. DuckDB twin: ``regexp_extract_all(norm, re, 0)``."""
+    return F.regexp_extract_all(norm_text(col), F.lit(BPE_RE), 0)
+
+
+def bpe_tokens_sql(col_sql: str) -> str:
+    return f"regexp_extract_all({norm_text_sql(col_sql)}, '{BPE_RE}', 0)"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: char/token/BPE counts, average token
+    length, punctuation & stopword & digit ratios, and a composite quality
+    score in [0, 1]. The score formula is fixed and documented so the
+    DuckDB oracle reproduces it exactly (see corpus_docs.q_text_stats).
+    """
+    toks = tokenize(norm_text(text_col))
+    bpe = bpe_tokens(text_col)
+    n_tok = F.size(toks)
+    n_bpe = F.size(bpe)
+    punct = F.size(F.filter(bpe, lambda t: t.rlike("^[^a-z0-9]$")))
+    digits = F.size(F.filter(bpe, lambda t: t.rlike("^[0-9]+$")))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_chars = F.length(norm_text(text_col))
+    avg_tok_len = F.round(tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+    punct_ratio = F.round(punct.cast("double") / F.greatest(n_bpe, F.lit(1)), 6)
+    digit_ratio = F.round(digits.cast("double") / F.greatest(n_bpe, F.lit(1)), 6)
+    stop_ratio = F.round(stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+    # Quality heuristic: long enough, mostly alphabetic, tokens of sane
+    # length. Mirrors C4/Gopher-style rule-based filters; weights fixed.
+    quality = F.round(
+        F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
+        + (1.0 - F.least(digit_ratio * 4.0, F.lit(1.0))) * 0.1
+        + F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), 0.2).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_norm"),
+        n_tok.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-profile language scorer.
+
+    For each language profile, score = (# tokens found in the profile) /
+    (# tokens); prediction = argmax with fixed alphabetical tiebreak.
+    Pure columnar expression — at 100 TB this is a projection, no shuffle.
+    """
+    toks = tokenize(norm_text(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    def in_profile(words: tuple[str, ...]):
+        return lambda t: t.isin(*words)
+
+    scores = {
+        lang: F.round(
+            F.size(F.filter(toks, in_profile(words))).cast("double") / n_tok,
+            6,
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best_score = F.greatest(*scores.values())
+    # argmax with a fixed alphabetical tiebreak: first language (in sorted
+    # order) whose score equals the max — a plain CASE chain, identical in
+    # the DuckDB oracle.
+    predicted = F.lit(None).cast("string")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        predicted = F.when(scores[lang] == best_score, lang).otherwise(predicted)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        predicted.alias("lang_predicted"),
+        best_score.alias("lang_score"),
+        (predicted == F.col("lang")).alias("lang_match"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprints: full-content md5 plus a winnowing-style
+    min/max over rolling k-gram hashes (the min-hash of the shingle set is
+    the classic rolling-hash document fingerprint; robust to prefix/suffix
+    edits in a way the full hash is not).
+    """
+    from streaming_etl_pipeline_spark.operators.dedup import shingles
+
+    sh = shingles(text_col, k)
+    sh_hashes = F.transform(sh, lambda s: md5_long(s))
+    return df.select(
+        "doc_id",
+        F.md5(norm_text(text_col)).alias("content_md5"),
+        F.array_min(sh_hashes).alias("min_shingle_hash"),
+        F.array_max(sh_hashes).alias("max_shingle_hash"),
+        F.size(sh).alias("n_shingles"),
+    )

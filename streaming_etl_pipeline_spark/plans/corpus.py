@@ -832,3 +832,8 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("out_of_bounds_count"),
         (n - F.countDistinct("event_id")).alias("duplicate_event_ids"),
     )
+
+
+# Extension corpora register themselves into QUERIES on import (kept in
+# separate modules so the reference-parity surface stays readable).
+from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

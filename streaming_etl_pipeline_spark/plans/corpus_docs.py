@@ -1,0 +1,445 @@
+"""Training-data-pipeline query corpus: dedup, similarity search, text
+analysis and multimodal over ``documents`` / ``embeddings``.
+
+SURVEY.md §7 step 7 — the operators a 100 TB corpus pipeline needs beyond
+the reference's own surface. Same oracle discipline as corpus.py: every
+hash is md5-derived, every float is rounded in-query, LSH planes are
+fixed literals shared by both engines, and near-dup queries *inject*
+deterministic duplicates (the synthetic corpus has none) so the dedup
+path is actually exercised, not vacuously green on empty output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import (
+    cosine_similarity,
+    md5_long_sql,
+)
+from streaming_etl_pipeline_spark.operators import dedup as DD
+from streaming_etl_pipeline_spark.operators import multimodal as MM
+from streaming_etl_pipeline_spark.operators import similarity as SIM
+from streaming_etl_pipeline_spark.operators import text as TX
+from streaming_etl_pipeline_spark.plans.corpus import register
+from streaming_etl_pipeline_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side of the text primitives)
+# ---------------------------------------------------------------------------
+
+_NORM = TX.norm_text_sql("text")
+_TOKS = f"list_filter(string_split_regex({_NORM}, '\\s+'), t -> t <> '')"
+_BPE = TX.bpe_tokens_sql("text")
+
+#: Deterministic near-duplicate injection: every 10th document gets a
+#: suffix-edited twin (id + 1_000_000). Shared by Spark and oracle.
+_DUP_SUFFIX = " corpus near dup probe"
+_DOCS_WITH_DUPS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{_DUP_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_DUP_SUFFIX)).alias("text"),
+        )
+    )
+    return docs.unionByName(twins)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks, {_BPE} AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+      length(norm) AS n_chars_norm,
+      len(toks) AS n_tokens,
+      len(bpe) AS n_bpe_tokens,
+      round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+            / greatest(len(toks), 1), 6) AS avg_token_len,
+      round(len(list_filter(bpe, x -> regexp_full_match(x, '[^a-z0-9]')))::DOUBLE
+            / greatest(len(bpe), 1), 6) AS punct_ratio,
+      round(len(list_filter(bpe, x -> regexp_full_match(x, '[0-9]+')))::DOUBLE
+            / greatest(len(bpe), 1), 6) AS digit_ratio,
+      round(len(list_filter(toks, x -> x IN {tuple(TX.STOPWORDS)}))::DOUBLE
+            / greatest(len(toks), 1), 6) AS stopword_ratio,
+      round(
+        least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+        + (1.0 - least(round(len(list_filter(bpe, x -> regexp_full_match(x, '[^a-z0-9]')))::DOUBLE
+                       / greatest(len(bpe), 1), 6) * 4.0, 1.0)) * 0.3
+        + (1.0 - least(round(len(list_filter(bpe, x -> regexp_full_match(x, '[0-9]+')))::DOUBLE
+                       / greatest(len(bpe), 1), 6) * 4.0, 1.0)) * 0.1
+        + (CASE WHEN round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+                      / greatest(len(toks), 1), 6) BETWEEN 3.0 AND 10.0
+           THEN 0.2 ELSE 0.0 END), 6) AS quality_score
+    FROM t
+    """,
+    bench=True,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + quality scoring (C4/Gopher-style
+    rule filters) — pure projections, no shuffle at any scale."""
+    return TX.text_stats(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "language_id",
+    # Inline twin of operators/text.py::language_id (CASE-chain argmax).
+    None,  # replaced below — needs generated SQL
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-profile language scorer per document."""
+    return TX.language_id(read_table(spark, sf_dir, "documents"))
+
+
+def _language_id_sql() -> str:
+    nt = f"greatest(len({_TOKS}), 1)"
+    scores = {}
+    for lang, words in sorted(TX.LANG_PROFILES.items()):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        scores[lang] = (
+            f"round(len(list_filter({_TOKS}, t -> t IN ({inlist})))::DOUBLE"
+            f" / {nt}, 6)"
+        )
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in sorted(scores))
+        + " END"
+    )
+    return f"""
+      SELECT doc_id, lang AS lang_actual, {pred} AS lang_predicted,
+             {best} AS lang_score, ({pred} = lang) AS lang_match
+      FROM documents
+    """
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS norm,
+                      {DD.shingles_sql("text")} AS sh FROM documents)
+    SELECT doc_id, md5(norm) AS content_md5,
+      list_min(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))
+        AS min_shingle_hash,
+      list_max(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))
+        AS max_shingle_hash,
+      len(sh) AS n_shingles
+    FROM t
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 + winnowing-style min/max rolling k-gram hashes."""
+    return TX.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_quality_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, source, {_TOKS} AS toks FROM documents
+    )
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_tokens,
+           round(avg(len(toks)), 6) AS avg_tokens
+    FROM t GROUP BY lang, source
+    """,
+)
+def q_corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per (lang, source): doc/token counts — the
+    pipeline-health aggregate over text_stats outputs."""
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokenize(TX.norm_text("text")))
+    return (
+        docs.select("lang", "source", n_toks.alias("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL})
+    SELECT md5({_NORM}) AS content_md5,
+           count(*) AS n_docs, min(doc_id) AS keeper_id
+    FROM docs GROUP BY 1
+    """,
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by normalized-text hash: one uniform-key
+    shuffle; survivors = keeper ids. Injected twins differ only by the
+    probe suffix, so they form their own groups; exact dups collapse."""
+    return DD.exact_dedup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    mh_defs = ",\n      ".join(
+        DD.minhash_from_hashes_sql("hs", num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        bucket = md5_long_sql(f"concat_ws(',', {concat})", f"band{b}")
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sigs"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    jac = (
+        "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    return f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+    sh AS (SELECT doc_id, {DD.shingles_sql("text")} AS sh FROM docs),
+    hsh AS (SELECT doc_id, sh, {DD.hashed_shingles_sql("sh")} AS hs FROM sh),
+    sigs AS (SELECT doc_id, {mh_defs} FROM hsh),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, round({jac}, 6) AS jaccard
+      FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                JOIN sh b ON cand.id_b = b.doc_id
+    ) WHERE jaccard >= 0.6
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_lsh_sql(), bench=True)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: shingle → 16-hash signature → 8 bands →
+    bucket join → exact-Jaccard verify ≥ 0.6. The bucket join is the only
+    shuffle; candidates are same-bucket pairs, never the full cross join."""
+    docs = _docs_with_dups(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", DD.shingles("text").alias("sh")
+    )
+    hsh = sh.select("doc_id", DD.hashed_shingles("sh").alias("hs"))
+    sigs = hsh.select("doc_id", *DD.minhash_from_hashes("hs", 16))
+    cand = DD.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", DD.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH h AS (SELECT doc_id, {DD.token_hashes_sql("text")} AS hs FROM documents)
+    SELECT doc_id, {DD.simhash_sql("hs", 32)} AS simhash FROM h
+    """,
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bitwise token-hash majority) — the
+    per-row half of SimHash near-dedup; a strong 500-value hash check."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", DD.token_hashes("text").alias("hs")
+    ).select("doc_id", DD.simhash_from_hashes("hs", 32).alias("simhash"))
+
+
+def _simhash_pairs_sql(bits: int = 32, chunks: int = 4, max_hamming: int = 3) -> str:
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS val FROM s"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+    h AS (SELECT doc_id, {DD.token_hashes_sql("text")} AS hs FROM docs),
+    s AS (SELECT doc_id, {DD.simhash_sql("hs", bits)} AS simhash FROM h),
+    chunks AS ({chunk_selects}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS h_a, r.simhash AS h_b
+      FROM chunks l JOIN chunks r
+        ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming FROM cand
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_pairs_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming ≤ 3 over 32 bits, candidates from
+    pigeonhole chunk banding (4 chunks — any pair ≤ 3 bits apart shares a
+    chunk), so the join is equi on (chunk, value), never a cross join."""
+    docs = _docs_with_dups(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", DD.token_hashes("text").alias("hs")
+    ).select("doc_id", DD.simhash_from_hashes("hs", 32).alias("simhash"))
+    return DD.hamming_close_pairs(
+        hashed, hash_col="simhash", max_hamming=3, chunks=4, bits=32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(q.qv, c.cv) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 9)"
+)
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON query_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+    bench=True,
+)
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 20 vectors: broadcast
+    query side × one corpus scan — the ANN correctness baseline."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.cosine_topk(dbl.filter(F.col("vec_id") < 20), dbl, k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qv, {SIM.lsh_bucket_sql("e", 4)} AS bucket
+          FROM v WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, e AS cv, {SIM.lsh_bucket_sql("e", 4)} AS bucket
+          FROM v)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates limited to the query's 4-plane LSH
+    cell (16 cells) — the 2^p-fold candidate-pruning scale path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.lsh_ann_topk(
+        dbl.filter(F.col("vec_id") < 20), dbl, k=5, n_planes=4
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(range(1, len(e) + 1),
+             i -> CASE WHEN i = 1 THEN e[i] + 0.01 ELSE e[i] END)
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    b AS (SELECT vec_id, e, {SIM.lsh_bucket_sql("e", 8)} AS bucket FROM v)
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             round(list_dot_product(l.e, r.e) /
+                   (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 9)
+               AS cosine_sim
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ) WHERE cosine_sim >= 0.9
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.9) found bucket-locally via
+    8-plane LSH; injected perturbed twins (every 10th vector, +0.01 on
+    one component) are the ground-truth near-dups the corpus lacks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("e")),
+            lambda i: F.when(i == 1, F.element_at(F.col("e"), i) + 0.01).otherwise(
+                F.element_at(F.col("e"), i)
+            ),
+        ).alias("e"),
+    )
+    return SIM.cosine_neardup_pairs(
+        base.unionByName(twins), threshold=0.9, vec_col="e", n_planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (rows-only — not SQL-expressible: Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (decode stubbed —
+    see operators/multimodal.py). Rows-only check: deterministic fake
+    assets, schema-stable features."""
+    assets = MM.synthesize_assets(spark, n=200)
+    return MM.extract_features(assets)
+
+
+# Patch in the generated language-id oracle (needs Python-built SQL).
+from streaming_etl_pipeline_spark.plans.corpus import QUERIES as _Q  # noqa: E402
+
+_Q["language_id"] = type(_Q["language_id"])(
+    fn=_Q["language_id"].fn, sql=_language_id_sql(), bench=_Q["language_id"].bench
+)

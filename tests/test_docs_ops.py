@@ -1,0 +1,238 @@
+"""Unit tests for the training-data-pipeline operators (SURVEY.md §7
+step 7): text analysis, dedup (exact / MinHash-LSH / SimHash), embedding
+similarity, and the multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from streaming_etl_pipeline_spark.operators import dedup as DD
+from streaming_etl_pipeline_spark.operators import multimodal as MM
+from streaming_etl_pipeline_spark.operators import similarity as SIM
+from streaming_etl_pipeline_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The quick brown fox jumps over the lazy dog", lang="en"),
+            Row(doc_id=2, text="the quick  brown fox jumps over the lazy dog", lang="en"),
+            Row(doc_id=3, text="El perro de la casa y el gato de la calle", lang="es"),
+            Row(doc_id=4, text="Numbers 123 and 456, with punct!", lang="en"),
+            Row(doc_id=5, text="completely different content about spark engines", lang="en"),
+        ]
+    )
+
+
+def test_norm_text_collapses_case_and_whitespace(spark, docs):
+    out = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", TX.norm_text("text").alias("n")).collect()
+    }
+    assert out[1] == out[2] == "the quick brown fox jumps over the lazy dog"
+
+
+def test_text_stats_golden(spark, docs):
+    row = {r.doc_id: r for r in TX.text_stats(docs).collect()}
+    r1 = row[1]
+    assert r1.n_tokens == 9
+    assert r1.n_bpe_tokens == 9
+    assert r1.punct_ratio == 0.0
+    # "the" appears twice out of 9 tokens
+    assert r1.stopword_ratio == round(2 / 9, 6)
+    r4 = row[4]  # "numbers 123 and 456, with punct!" → , and ! are punct
+    assert r4.n_tokens == 6
+    assert r4.n_bpe_tokens == 8
+    assert r4.punct_ratio == round(2 / 8, 6)
+    assert r4.digit_ratio == round(2 / 8, 6)
+    for r in row.values():
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_language_id_profiles(spark, docs):
+    out = {r.doc_id: r for r in TX.language_id(docs).collect()}
+    assert out[1].lang_predicted == "en" and out[1].lang_match
+    assert out[3].lang_predicted == "es" and out[3].lang_match
+    # doc 5 has no stopwords at all → score 0 ties → alphabetical first
+    assert out[5].lang_score == 0.0
+    assert out[5].lang_predicted == "de"
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = docs.select("doc_id", DD.shingles("text", 3).alias("sh"))
+    rows = {r.doc_id: r.sh for r in sh.collect()}
+    assert rows[1] == rows[2]  # normalization collapses case/whitespace
+    assert "the quick brown" in rows[1]
+    assert len(rows[1]) == 7  # 9 tokens → 7 trigrams
+    # short doc: whole text as one shingle
+    two = spark.createDataFrame([Row(doc_id=9, text="two words")])
+    assert DD.shingles("text", 3) is not None
+    out = two.select(DD.shingles("text", 3).alias("sh")).collect()[0].sh
+    assert out == ["two words"]
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = DD.exact_dedup_groups(docs).collect()
+    by_keeper = {r.keeper_id: r.n_docs for r in groups}
+    assert by_keeper[1] == 2  # docs 1 and 2 collapse
+    assert by_keeper[3] == 1
+    assert len(groups) == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    near = docs.union(
+        spark.createDataFrame(
+            [Row(doc_id=100, text="The quick brown fox jumps over the lazy dog indeed", lang="en")]
+        )
+    )
+    sh = near.select("doc_id", DD.shingles("text").alias("sh"))
+    sigs = sh.select("doc_id", *DD.minhash_from_shingles("sh", 16))
+    cand = DD.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs  # identical after normalization
+    assert (1, 100) in pairs or (2, 100) in pairs  # suffix edit caught
+
+
+def test_minhash_lsh_recall_on_injected_dups(spark, sf_dir):
+    # The corpus query injects a suffix-edited twin for every 10th doc
+    # (Jaccard ≥ 0.69); with 16 hashes / 8 bands the LSH must recover
+    # essentially all of them. Guards against degenerate hash families
+    # (e.g. a mixing modulus ≫ domain making all minhashes pick the same
+    # argmin shingle — seen once, caught only by measuring recall).
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    out = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    injected = {r.id_a for r in out if r.id_b == r.id_a + 1000000}
+    expected = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 10 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    assert len(injected) >= 0.95 * len(expected)
+
+
+def test_simhash_close_for_suffix_edit(spark, docs):
+    edited = docs.select("doc_id", F.concat("text", F.lit(" suffix")).alias("text"))
+    h1 = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", DD.simhash_from_hashes(DD.token_hashes("text"), 32).alias("h")
+        ).collect()
+    }
+    h2 = {
+        r.doc_id: r.h
+        for r in edited.select(
+            "doc_id", DD.simhash_from_hashes(DD.token_hashes("text"), 32).alias("h")
+        ).collect()
+    }
+    for d in h1:
+        assert bin(h1[d] ^ h2[d]).count("1") <= 8
+    assert h1[1] == h1[2]  # normalization-identical docs
+
+
+def test_hamming_pairs_pigeonhole_guarantee(spark):
+    # any pair with hamming <= 3 over 32 bits MUST be found with 4 chunks
+    rows = [
+        Row(doc_id=1, simhash=0b1010_1100_0011_0101_1111_0000_1010_0001),
+        Row(doc_id=2, simhash=0b1010_1100_0011_0101_1111_0000_1010_0111),  # +2 bits
+        Row(doc_id=3, simhash=0x5A5A5A5A),  # far away
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r.id_a, r.id_b): r.hamming for r in DD.hamming_close_pairs(df).collect()}
+    assert out == {(1, 2): 2}
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.0]),
+        ]
+    )
+    out = SIM.cosine_topk(vecs.filter("vec_id = 0"), vecs, k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert out[0].cosine_sim <= 1.0
+
+
+def test_lsh_ann_is_subset_of_bruteforce_candidates(spark, sf_dir):
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(200)
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = dbl.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(q, dbl, k=3).collect()
+    approx = SIM.lsh_ann_topk(q, dbl, k=3, n_planes=4).collect()
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact}
+    # approx neighbors are real corpus vectors with correctly-computed sims
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert exact_sims[(r.query_id, r.neighbor_id)] == r.cosine_sim
+    # every query's bucket contains itself → self excluded, ranks contiguous
+    for qid in {r.query_id for r in approx}:
+        ranks = sorted(r.rank for r in approx if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    a = emb.select("vec_id", SIM.lsh_bucket("embedding").alias("b")).collect()
+    b = emb.select("vec_id", SIM.lsh_bucket("embedding").alias("b")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0 <= r.b < 2**SIM.N_PLANES for r in a)
+
+
+def test_multimodal_schema_and_determinism(spark):
+    assets = MM.synthesize_assets(spark, n=20)
+    # nullability flags differ between expression inference and the declared
+    # contract; names/types are what the contract pins
+    assert assets.schema.simpleString() == MM.ASSET_SCHEMA.simpleString()
+    feats = MM.extract_features(assets)
+    assert feats.schema.simpleString() == MM.FEATURE_SCHEMA.simpleString()
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 20
+    again = {r.asset_id: r for r in MM.extract_features(assets).collect()}
+    for k in rows:
+        assert rows[k] == again[k]  # deterministic stub decode
+        assert len(rows[k].feature) == 8
+        assert rows[k].n_bytes == 128  # 4 × sha256
+        assert rows[k].decoder == "stub-sha256"
+        assert 0.0 < rows[k].byte_entropy <= 8.0
+    kinds = {r.kind for r in rows.values()}
+    assert kinds == {"image", "audio"}
+
+
+def test_multimodal_meta_by_kind(spark):
+    assets = MM.synthesize_assets(spark, n=10).collect()
+    for r in assets:
+        if r.kind == "image":
+            assert r.meta.width == 64 and r.meta.sample_rate is None
+        else:
+            assert r.meta.sample_rate == 16000 and r.meta.width is None
+        assert r.meta.n_bytes == len(r.payload)
+
+
+def test_fingerprint_stability_under_formatting(spark, docs):
+    fp = {r.doc_id: r for r in TX.fingerprint(docs).collect()}
+    assert fp[1].content_md5 == fp[2].content_md5
+    assert fp[1].min_shingle_hash == fp[2].min_shingle_hash
+    assert fp[1].n_shingles == 7
+    assert fp[1].content_md5 != fp[5].content_md5
+
+
+def test_byte_entropy_bounds():
+    assert MM._byte_entropy(b"\x00" * 100) == 0.0
+    assert MM._byte_entropy(bytes(range(256))) == 8.0
+    assert math.isclose(MM._byte_entropy(b"ab"), 1.0)
