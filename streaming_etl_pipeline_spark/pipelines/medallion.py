@@ -1,0 +1,178 @@
+"""Medallion batch pipelines: the reference's two batch entry points,
+composed from the operator library.
+
+- :func:`bronze_to_silver` re-expresses
+  ``src/transformations/bronze_to_silver.py:162-221``: date filter →
+  required-null drop → keep-latest dedup → range + rolling-z-score
+  anomaly flags → lineage → late-data merge → partitioned overwrite.
+- :func:`silver_to_gold` re-expresses
+  ``src/transformations/silver_to_gold.py:164-215``: three independent
+  aggregation plans (5-min per sensor, hourly per location, daily
+  summary) off one Silver scan.
+
+The key structural improvement over the reference (SURVEY.md §3.2): the
+reference runs ``count()`` five times, re-deriving the whole plan from
+the Parquet scan per action. Here every audit number rides along as an
+**observed metric** (``df.observe``) on the single write action — one
+pass, zero extra jobs, and the numbers are exact for exactly the rows
+written. At 100 TB that's the difference between 1 scan and 5.
+
+Scale notes: writes are partitioned (``sensor_type``; add a date column
+for time-pruned layouts) with dynamic partition overwrite, so a backfill
+of one day/type replaces only those partitions. The dedup/z-score
+shuffle on the entity key is the pipeline's only wide stage; AQE handles
+its skew.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import aggregates, cleaning
+from streaming_etl_pipeline_spark.sources.io import write_partitioned
+
+REQUIRED_COLUMNS = ("sensor_id", "sensor_type", "value", "event_time")
+EXPECTED_PER_5MIN = 300  # silver_to_gold.py:41
+
+
+@dataclass
+class PipelineResult:
+    """Output paths + single-pass observed metrics of one pipeline run."""
+
+    output_paths: dict[str, str]
+    metrics: dict[str, float] = field(default_factory=dict)
+
+
+def bronze_to_silver(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    run_date: _dt.date | str | None = None,
+    merge_with_existing: bool = True,
+    partition_by: tuple[str, ...] = ("sensor_type",),
+) -> PipelineResult:
+    """Clean Bronze into Silver with one scan and one write.
+
+    Mirrors the reference flow (validate → dedup → flag → lineage →
+    late-merge → overwrite) but counts via observed metrics instead of
+    five separate actions, and keeps the late-data merge as a union +
+    keep-latest dedup so a corrected late row wins
+    (``bronze_to_silver.py:145-159``).
+    """
+    df = spark.read.parquet(bronze_path)
+    if run_date is not None:
+        df = df.filter(F.to_date("event_time") == F.lit(str(run_date)))
+
+    obs_in = Observation("bronze_in")
+    df = df.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(
+            F.when(
+                F.greatest(*[F.col(c).isNull().cast("int") for c in REQUIRED_COLUMNS])
+                == 1,
+                1,
+            ).otherwise(0)
+        ).alias("invalid_rows"),
+    )
+
+    df = cleaning.drop_null_required(df, REQUIRED_COLUMNS)
+    df = cleaning.deduplicate_latest(
+        df, keys=("sensor_id", "event_time"), order_col="ingestion_time"
+    )
+    df = cleaning.flag_out_of_range(df, "sensor_type", "value")
+    df = cleaning.flag_zscore(
+        df,
+        partition_cols=("sensor_id",),
+        order_cols=("event_time",),
+        value_col="value",
+    )
+    df = cleaning.add_lineage(df, source_file=bronze_path)
+
+    if merge_with_existing:
+        try:
+            existing = spark.read.parquet(silver_path)
+            df = cleaning.merge_late_data(
+                existing,
+                df,
+                keys=("sensor_id", "event_time"),
+                order_col="ingestion_time",
+            )
+        except Exception:
+            pass  # first run: no existing Silver (reference does the same)
+
+    obs_out = Observation("silver_out")
+    df = df.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("output_rows"),
+        F.sum(F.col("is_anomaly").cast("int")).alias("anomaly_rows"),
+    )
+
+    write_partitioned(df, silver_path, partition_by=list(partition_by))
+    metrics = {**obs_in.get, **obs_out.get}
+    return PipelineResult(output_paths={"silver": silver_path}, metrics=metrics)
+
+
+def silver_to_gold(
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    run_date: _dt.date | str | None = None,
+    oracle_safe: bool = False,
+) -> PipelineResult:
+    """Aggregate Silver into the three Gold tables.
+
+    Three independent plans off one scan (scan → partial agg → shuffle →
+    final agg → write each); ``oracle_safe=False`` uses the plain double
+    aggregation path — the exact-decimal variant exists for differential
+    testing and costs ~20% more.
+    """
+    df = spark.read.parquet(silver_path)
+    if run_date is not None:
+        df = df.filter(F.to_date("event_time") == F.lit(str(run_date)))
+
+    sensor_5min = aggregates.windowed_stats(
+        df,
+        ts_col="event_time",
+        keys=["sensor_id", "sensor_type", "location"],
+        bucket_seconds=300,
+        value_col="value",
+        expected_per_window=EXPECTED_PER_5MIN,
+        oracle_safe=oracle_safe,
+    )
+    location_hourly = aggregates.windowed_stats(
+        df,
+        ts_col="event_time",
+        keys=["location", "sensor_type"],
+        bucket_seconds=3600,
+        value_col="value",
+        distinct_count_col="sensor_id",
+        oracle_safe=oracle_safe,
+    )
+    daily = aggregates.daily_summary(
+        df,
+        ts_col="event_time",
+        keys=["sensor_type"],
+        value_col="value",
+        anomaly_col="is_anomaly",
+        distinct_count_col="sensor_id",
+        oracle_safe=oracle_safe,
+    )
+
+    paths = {
+        "sensor_5min": f"{gold_path}/sensor_5min",
+        "location_hourly": f"{gold_path}/location_hourly",
+        "daily_summary": f"{gold_path}/daily_summary",
+    }
+    obs = Observation("gold_5min")
+    observed = sensor_5min.observe(
+        obs, F.count(F.lit(1)).alias("sensor_5min_groups")
+    )
+    write_partitioned(observed, paths["sensor_5min"], partition_by=["sensor_type"])
+    write_partitioned(location_hourly, paths["location_hourly"], partition_by=["sensor_type"])
+    write_partitioned(daily, paths["daily_summary"], partition_by=["sensor_type"])
+    return PipelineResult(output_paths=paths, metrics={**obs.get})

@@ -424,6 +424,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sessionization (gap-based session windows — SURVEY.md §2.9 gap filler)
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import sessions as SN  # noqa: E402
+
+
+@register(
+    "user_sessions",
+    SN.session_stats_sql(
+        "events", keys=("user_id",), ts_col="ts", gap_seconds=1800,
+        tiebreak=("event_id",),
+    ),
+    bench=True,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user:
+    lag-gap-cumsum in one Window stage + one aggregation — the batch
+    twin of a streaming ``F.session_window`` aggregation."""
+    events = read_table(spark, sf_dir, "events")
+    return SN.session_stats(
+        events, keys=("user_id",), ts_col="ts", gap_seconds=1800,
+        tiebreak=("event_id",),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (rows-only — not SQL-expressible: Arrow-batched mapInPandas)
 # ---------------------------------------------------------------------------
 

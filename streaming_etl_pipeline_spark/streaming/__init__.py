@@ -5,3 +5,7 @@ from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
     start_bronze_sink,
     start_dead_letter_sink,
 )
+from streaming_etl_pipeline_spark.streaming.stateful import (  # noqa: F401
+    dedup_within_watermark,
+    streaming_sessionize,
+)

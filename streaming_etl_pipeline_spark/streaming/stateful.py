@@ -1,0 +1,128 @@
+"""Custom stateful streaming operators.
+
+The reference keeps all state in checkpointed sinks (SURVEY.md §2.9 —
+"no mapGroupsWithState-style custom state"); the engine adds the two
+stateful patterns a real stream pipeline needs:
+
+- :func:`dedup_within_watermark` — T5 upgraded: exactly-once-per-key
+  within the watermark horizon via Spark's built-in
+  ``dropDuplicatesWithinWatermark`` (state auto-expires with the
+  watermark — bounded memory at any throughput).
+- :func:`streaming_sessionize` — gap-based sessionization as an
+  ``applyInPandasWithState`` operator: per-key state is the open
+  session ``(start, last, n)``; a closed session is emitted as soon as
+  an event arrives more than ``gap`` after the previous one. This is
+  the streaming twin of ``operators/sessions.py`` (same session
+  boundaries); state survives restarts via the checkpoint.
+
+Scale: state is partitioned by the group key across executors; per-key
+state here is O(1) (three longs), so the state store grows with
+*distinct keys in flight*, not events. For key cardinality beyond state
+store comfort, expire idle keys with a timeout (GroupStateTimeout) —
+left NoTimeout here so test emissions are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sensor_id", T.StringType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("last_event_time", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "event_time",
+    watermark: str | None = None,
+) -> DataFrame:
+    """T5/W1 streaming: drop duplicate keys arriving within the watermark
+    horizon. State expires automatically — unlike plain
+    ``dropDuplicates``, memory is bounded for unbounded streams.
+
+    Pass ``watermark`` only when ``df`` has none yet (Spark disallows
+    redefining it — ``parse_events`` output is already watermarked)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return df.dropDuplicatesWithinWatermark(list(keys))
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    key_col: str = "sensor_id",
+    ts_col: str = "event_time",
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """Gap-based sessions over a stream via ``applyInPandasWithState``.
+
+    Emits one row per *closed* session (closed = a newer event arrived
+    more than ``gap_seconds`` later). The open session per key stays in
+    the state store and is carried across micro-batches and restarts.
+    Output mode must be ``append``.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col]))
+        ts.sort()
+        closed = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((sid, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "sensor_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "last_event_time": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,252 @@
+"""End-to-end medallion pipeline tests (reference
+tests/test_integration.py:209-390 shape): generate → bronze → silver →
+gold with golden invariants, single-pass observed metrics, late-data
+repair, and gap-based sessionization (batch + streaming stateful)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from streaming_etl_pipeline_spark.operators import sessions as SN
+from streaming_etl_pipeline_spark.pipelines import bronze_to_silver, silver_to_gold
+from streaming_etl_pipeline_spark.sources.generator import generate_events
+from streaming_etl_pipeline_spark.streaming.stateful import (
+    dedup_within_watermark,
+    streaming_sessionize,
+)
+
+
+@pytest.fixture()
+def bronze_dir(spark, tmp_path):
+    """Bronze parquet: 4 sensors × 30 min of 10s-cadence events, plus a
+    duplicate (same sensor_id+event_time, later ingestion) and an
+    out-of-range anomaly per the reference fixture corpus."""
+    from pyspark.sql import Window
+
+    base = generate_events(spark, 720, n_sensors=4, anomaly_rate=0.0, seed=7)
+    # respread to a 10s cadence per sensor → 180 events = 30 min → 6
+    # five-minute windows per sensor (the reference integration shape)
+    rn = F.row_number().over(
+        Window.partitionBy("sensor_id").orderBy("event_time")
+    )
+    spread = F.expr(
+        "timestamp '2024-06-15 10:00:00' + make_interval(0,0,0,0,0,0,_rn * 10 - 10)"
+    )
+    bronze = (
+        base.withColumn("_rn", rn)
+        .withColumn("event_time", spread)
+        .select(
+            "sensor_id",
+            "sensor_type",
+            "event_time",
+            "value",
+            "unit",
+            # fixed per-sensor location (the generator randomizes per event;
+            # real sensors don't move)
+            F.lit("floor-1-zone-A").alias("location"),
+            F.col("event_time").alias("ingestion_time"),
+        )
+    )
+    dup = bronze.limit(1).withColumn(
+        "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 5 MINUTES")
+    ).withColumn("value", F.lit(22.7))
+    hot = bronze.limit(1).select(
+        F.lit("sensor-999").alias("sensor_id"),
+        F.lit("temperature").alias("sensor_type"),
+        F.col("event_time"),
+        F.lit(75.0).alias("value"),  # out of [-20, 60] silver range
+        "unit",
+        "location",
+        "ingestion_time",
+    )
+    out = str(tmp_path / "bronze")
+    bronze.unionByName(dup).unionByName(hot).write.parquet(out)
+    return out
+
+
+def test_bronze_to_silver_invariants(spark, bronze_dir, tmp_path):
+    silver = str(tmp_path / "silver")
+    res = bronze_to_silver(spark, bronze_dir, silver, merge_with_existing=False)
+    assert res.metrics["input_rows"] == 722
+    assert res.metrics["invalid_rows"] == 0
+    # dup collapsed: 721 distinct (sensor_id, event_time) pairs
+    assert res.metrics["output_rows"] == 721
+    out = spark.read.parquet(silver)
+    assert out.count() == 721
+    # keep-latest: the corrected value 22.7 won
+    dup_keys = (
+        out.groupBy("sensor_id", "event_time").count().filter("count > 1").count()
+    )
+    assert dup_keys == 0
+    # out-of-range row flagged
+    hot = out.filter("sensor_id = 'sensor-999'").collect()[0]
+    assert hot.is_anomaly is True
+    # lineage columns present
+    assert {"source_file", "processing_timestamp", "pipeline_version"} <= set(
+        out.columns
+    )
+    assert res.metrics["anomaly_rows"] >= 1
+
+
+def test_late_data_merge_corrected_value_wins(spark, bronze_dir, tmp_path):
+    silver = str(tmp_path / "silver")
+    bronze_to_silver(spark, bronze_dir, silver, merge_with_existing=False)
+    first = spark.read.parquet(silver)
+    target = first.orderBy("sensor_id", "event_time").limit(1).collect()[0]
+    # a late correction: same key, newer ingestion_time, new value
+    late_dir = str(tmp_path / "late")
+    spark.createDataFrame(
+        [
+            Row(
+                sensor_id=target.sensor_id,
+                sensor_type=target.sensor_type,
+                event_time=target.event_time,
+                value=99.9,
+                unit=target.unit,
+                location=target.location,
+                ingestion_time=target.ingestion_time,
+            )
+        ]
+    ).withColumn(
+        "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 1 HOUR")
+    ).write.parquet(late_dir)
+    res = bronze_to_silver(spark, late_dir, silver, merge_with_existing=True)
+    assert res.metrics["output_rows"] == 721  # merged, not appended
+    merged = spark.read.parquet(silver)
+    got = merged.filter(
+        (F.col("sensor_id") == target.sensor_id)
+        & (F.col("event_time") == target.event_time)
+    ).collect()
+    assert len(got) == 1 and got[0].value == 99.9
+
+
+def test_silver_to_gold_invariants(spark, bronze_dir, tmp_path):
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    bronze_to_silver(spark, bronze_dir, silver, merge_with_existing=False)
+    res = silver_to_gold(spark, silver, gold)
+    g5 = spark.read.parquet(res.output_paths["sensor_5min"])
+    # 4 sensors × 6 windows (30 min / 5 min) + sensor-999's single window
+    assert g5.filter("sensor_id != 'sensor-999'").count() == 24
+    assert res.metrics["sensor_5min_groups"] == g5.count()
+    # reading_count sums back to silver row count
+    total = g5.agg(F.sum("reading_count")).collect()[0][0]
+    assert total == spark.read.parquet(silver).count()
+    daily = spark.read.parquet(res.output_paths["daily_summary"])
+    anomalies = daily.agg(F.sum("anomaly_count")).collect()[0][0]
+    assert anomalies >= 1
+    hourly = spark.read.parquet(res.output_paths["location_hourly"])
+    assert {"unique_sensor_id_count", "p99_value"} <= set(hourly.columns)
+
+
+def test_batch_sessionize_golden(spark):
+    rows = [
+        Row(user_id=1, event_id=i, ts=f"2024-01-01 10:{m:02d}:00")
+        for i, m in enumerate([0, 5, 10, 55, 58])  # gap at 10→55
+    ] + [Row(user_id=2, event_id=10, ts="2024-01-01 12:00:00")]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = SN.session_stats(
+        df, keys=("user_id",), ts_col="ts", gap_seconds=1800, tiebreak=("event_id",)
+    ).collect()
+    u1 = sorted(
+        [r for r in out if r.user_id == 1], key=lambda r: r.session_id
+    )
+    assert [r.n_events for r in u1] == [3, 2]
+    assert u1[0].duration_seconds == 600.0
+    assert u1[1].session_id == 2
+    # session_end = last event + gap
+    assert (u1[0].session_end - u1[0].last_event_time).total_seconds() == 1800
+    assert len([r for r in out if r.user_id == 2]) == 1
+
+
+def _write_jsonl(path, rows):
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def _event(sensor, ts, value=20.0):
+    return {
+        "sensor_id": sensor,
+        "sensor_type": "temperature",
+        "timestamp": ts,
+        "value": value,
+        "unit": "celsius",
+        "location": "floor-1-zone-A",
+    }
+
+
+def test_streaming_sessionize_across_batches(spark, tmp_path):
+    from streaming_etl_pipeline_spark.streaming import parse_events, read_json_stream
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: s1 has a 10-min gap → first session closes in-batch
+    _write_jsonl(
+        f"{in_dir}/b1.json",
+        [
+            _event("s1", "2024-01-01T10:00:00+00:00"),
+            _event("s1", "2024-01-01T10:02:00+00:00"),
+            _event("s1", "2024-01-01T10:20:00+00:00"),
+        ],
+    )
+
+    out_dir = str(tmp_path / "sessions")
+
+    def run_once():
+        raw = read_json_stream(spark, in_dir)
+        bronze, _ = parse_events(raw)
+        sessions = streaming_sessionize(bronze, gap_seconds=300)
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.sensor_id, r.session_start.isoformat()): r.n_events
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    out1 = run_once()
+    assert out1 == {("s1", "2024-01-01T10:00:00"): 2}
+    # batch 2: closes the session that stayed open in state across runs
+    _write_jsonl(f"{in_dir}/b2.json", [_event("s1", "2024-01-01T11:00:00+00:00")])
+    out2 = run_once()
+    assert ("s1", "2024-01-01T10:20:00") in out2
+    assert out2[("s1", "2024-01-01T10:20:00")] == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from streaming_etl_pipeline_spark.streaming import parse_events, read_json_stream
+
+    in_dir = str(tmp_path / "in")
+    _write_jsonl(
+        f"{in_dir}/b1.json",
+        [
+            _event("s1", "2024-01-01T10:00:00+00:00", 1.0),
+            _event("s1", "2024-01-01T10:00:00+00:00", 2.0),  # dup key
+            _event("s2", "2024-01-01T10:00:00+00:00", 3.0),
+        ],
+    )
+    raw = read_json_stream(spark, in_dir)
+    bronze, _ = parse_events(raw)
+    deduped = dedup_within_watermark(bronze, keys=("sensor_id", "event_time"))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT sensor_id, count(*) n FROM dedup_wm GROUP BY 1").collect()
+    assert {r.sensor_id: r.n for r in out} == {"s1": 1, "s2": 1}
