@@ -1,0 +1,84 @@
+"""Tests for the warehouse load path (S7-S9) and the CSV replay source
+(S6) — the last untested SURVEY.md §2.1 rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from streaming_etl_pipeline_spark.sources.io import read_csv_events
+from streaming_etl_pipeline_spark.warehouse import build_fact, load_fact_window
+
+
+@pytest.fixture()
+def gold(spark):
+    rows = [
+        Row(sensor_id=f"sensor-{i:03d}", window_start=f"2024-06-15 {h:02d}:00:00",
+            avg_value=20.0 + i)
+        for i in range(4)
+        for h in (10, 11)
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "window_start", F.col("window_start").cast("timestamp")
+    )
+
+
+def test_build_fact_layout(spark, gold):
+    fact = build_fact(gold, num_partitions=4)
+    assert "loaded_at" in fact.columns
+    assert fact.rdd.getNumPartitions() == 4
+    # co-location: every sensor_id lives in exactly one partition
+    per_part = (
+        fact.withColumn("pid", F.spark_partition_id())
+        .groupBy("sensor_id")
+        .agg(F.countDistinct("pid").alias("nparts"))
+        .collect()
+    )
+    assert all(r.nparts == 1 for r in per_part)
+
+
+def test_load_fact_window_idempotent(spark, gold, tmp_path):
+    """S8: rewriting the same window converges (dynamic partition
+    overwrite replaces only the windows present in the new data)."""
+    path = str(tmp_path / "fact")
+    fact = build_fact(gold, num_partitions=2)
+    load_fact_window(fact, path)
+    assert spark.read.parquet(path).count() == 8
+    # reload ONLY the 10:00 hour window with corrected values
+    corrected = fact.filter(F.hour("window_start") == 10).withColumn(
+        "avg_value", F.lit(0.0)
+    )
+    load_fact_window(corrected, path)
+    out = spark.read.parquet(path)
+    assert out.count() == 8  # 11:00 rows untouched, 10:00 replaced not appended
+    assert out.filter(F.hour("window_start") == 10).agg(
+        F.sum("avg_value")
+    ).collect()[0][0] == 0.0
+    assert out.filter(F.hour("window_start") == 11).agg(
+        F.sum("avg_value")
+    ).collect()[0][0] > 0.0
+
+
+def test_read_csv_events_declared_schema(spark, tmp_path):
+    p = tmp_path / "events.csv"
+    p.write_text(
+        "sensor_id,sensor_type,timestamp,value,unit,location\n"
+        "sensor-001,temperature,2024-06-15T10:00:00,22.5,celsius,floor-1-zone-A\n"
+        "sensor-002,humidity,2024-06-15T10:00:10,55.1,percent,floor-2-zone-B\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("sensor_id", T.StringType()),
+            T.StructField("sensor_type", T.StringType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("unit", T.StringType()),
+            T.StructField("location", T.StringType()),
+        ]
+    )
+    df = read_csv_events(spark, str(p), schema)
+    assert df.schema == schema  # declared, never inferred
+    rows = df.collect()
+    assert len(rows) == 2 and rows[0].value == 22.5
+    assert rows[1].timestamp.isoformat() == "2024-06-15T10:00:10"
