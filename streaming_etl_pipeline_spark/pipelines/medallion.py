@@ -54,6 +54,7 @@ def bronze_to_silver(
     run_date: _dt.date | str | None = None,
     merge_with_existing: bool = True,
     partition_by: tuple[str, ...] = ("sensor_type",),
+    validate: bool = False,
 ) -> PipelineResult:
     """Clean Bronze into Silver with one scan and one write.
 
@@ -61,7 +62,9 @@ def bronze_to_silver(
     late-merge → overwrite) but counts via observed metrics instead of
     five separate actions, and keeps the late-data merge as a union +
     keep-latest dedup so a corrected late row wins
-    (``bronze_to_silver.py:145-159``).
+    (``bronze_to_silver.py:145-159``). With ``validate=True`` the written
+    Silver is checked against the silver expectation suite (fail-fast,
+    like the reference's quality gate in the DAG).
     """
     df = spark.read.parquet(bronze_path)
     if run_date is not None:
@@ -114,6 +117,14 @@ def bronze_to_silver(
 
     write_partitioned(df, silver_path, partition_by=list(partition_by))
     metrics = {**obs_in.get, **obs_out.get}
+    if validate:
+        from streaming_etl_pipeline_spark.quality.expectations import (
+            silver_suite,
+            validate_or_raise,
+        )
+
+        report = validate_or_raise(spark.read.parquet(silver_path), silver_suite())
+        metrics["quality_checks_passed"] = float(len(report))
     return PipelineResult(output_paths={"silver": silver_path}, metrics=metrics)
 
 

@@ -67,8 +67,11 @@ def bronze_dir(spark, tmp_path):
 
 def test_bronze_to_silver_invariants(spark, bronze_dir, tmp_path):
     silver = str(tmp_path / "silver")
-    res = bronze_to_silver(spark, bronze_dir, silver, merge_with_existing=False)
+    res = bronze_to_silver(
+        spark, bronze_dir, silver, merge_with_existing=False, validate=True
+    )
     assert res.metrics["input_rows"] == 722
+    assert res.metrics["quality_checks_passed"] > 0
     assert res.metrics["invalid_rows"] == 0
     # dup collapsed: 721 distinct (sensor_id, event_time) pairs
     assert res.metrics["output_rows"] == 721
@@ -138,6 +141,25 @@ def test_silver_to_gold_invariants(spark, bronze_dir, tmp_path):
     assert anomalies >= 1
     hourly = spark.read.parquet(res.output_paths["location_hourly"])
     assert {"unique_sensor_id_count", "p99_value"} <= set(hourly.columns)
+
+
+def test_cli_runner_all(spark, bronze_dir, tmp_path, capsys):
+    import json
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    rc = main(
+        ["all", "--bronze", bronze_dir, "--silver", silver, "--gold", gold,
+         "--validate"]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["b2s.output_rows"] == 721
+    assert metrics["b2s.quality_checks_passed"] > 0
+    assert metrics["s2g.sensor_5min_groups"] > 0
+    assert spark.read.parquet(f"{gold}/daily_summary").count() > 0
 
 
 def test_batch_sessionize_golden(spark):
