@@ -51,13 +51,15 @@ def md5_long(col: Column | str, seed: int | str = "") -> Column:
     engines. Used for minhash signatures, LSH bucketing, salting.
     """
     c = F.col(col) if isinstance(col, str) else col
-    salted = F.concat(c.cast("string"), F.lit(str(seed))) if seed != "" else c
+    s = c.cast("string")
+    salted = F.concat(s, F.lit(str(seed))) if seed != "" else s
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
 def md5_long_sql(col_sql: str, seed: int | str = "") -> str:
     """DuckDB-SQL twin of :func:`md5_long`."""
-    salted = f"({col_sql} || '{seed}')" if seed != "" else col_sql
+    s = f"CAST({col_sql} AS VARCHAR)"
+    salted = f"({s} || '{seed}')" if seed != "" else s
     return f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
 
 

@@ -149,6 +149,84 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (max cosine, deterministic centroid-id tiebreak) → an inverted-file
+    cell id column.
+
+    Centroids are a tiny broadcast table (k-means output in a real
+    system; any deterministic seed set works for the structure). One
+    corpus scan × C centroids, then ``max_by`` picks the cell — no
+    shuffle beyond the final grouping-free projection. DuckDB twin uses
+    ``max_by`` with the same (sim, -id) ordering struct.
+    """
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine_similarity(vec_col, "c_vec"), 9)
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        F.col(centroid_id),
+        sim.alias("_sim"),
+    )
+    # max_by over (sim, -centroid_id): highest sim, lowest id on ties —
+    # struct comparison is field-order lexicographic in both engines.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id), F.struct(F.col("_sim"), -F.col(centroid_id))
+        ).alias(centroid_id),
+        F.first(vec_col).alias(vec_col),
+    )
+    return best
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe only the query's nearest-centroid cell (nprobe=1).
+
+    The cell id is a plain column, so the probe is an equi-join on it —
+    same scale shape as the LSH path but with a data-adaptive quantizer
+    (cells follow the data distribution instead of fixed hyperplanes).
+    """
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid_id",
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

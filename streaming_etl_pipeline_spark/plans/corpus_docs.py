@@ -423,6 +423,65 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_COS = (
+    "round(list_dot_product(v.e, cent.c) / "
+    "(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c))), 9)"
+)
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_COS} DESC, cent.centroid_id) AS rn
+        FROM v CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv, centroid_id FROM assign
+          WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, e AS cv, centroid_id FROM assign)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON q.centroid_id = c.centroid_id AND query_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): data-adaptive coarse quantizer — assign every
+    vector to its nearest of 16 deterministic centroids, probe only the
+    query's cell. Complements the fixed-hyperplane LSH path."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = dbl.filter(F.col("vec_id") < 16)
+    return SIM.ivf_ann_topk(
+        dbl.filter(F.col("vec_id") < 20), dbl, centroids, k=5
+    )
+
+
+from streaming_etl_pipeline_spark.operators import sketches as SK  # noqa: E402
+
+
+@register(
+    "distinct_users_kmv",
+    SK.kmv_distinct_sql("events", keys=("event_type",), value_col="user_id", k=64),
+)
+def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event_type — an approximate
+    algorithm the oracle verifies EXACTLY (the sketch is a deterministic
+    function of the distinct md5 hashes; ±1/√k relative error)."""
+    events = read_table(spark, sf_dir, "events")
+    return SK.kmv_distinct(events, keys=("event_type",), value_col="user_id", k=64)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (gap-based session windows — SURVEY.md §2.9 gap filler)
 # ---------------------------------------------------------------------------

@@ -194,6 +194,64 @@ def test_lsh_bucket_deterministic(spark, sf_dir):
     assert all(0 <= r.b < 2**SIM.N_PLANES for r in a)
 
 
+def test_ivf_assign_nearest_centroid(spark):
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),   # centroid A
+            Row(vec_id=1, embedding=[0.0, 1.0]),   # centroid B
+            Row(vec_id=10, embedding=[0.9, 0.1]),  # near A
+            Row(vec_id=11, embedding=[0.1, 0.9]),  # near B
+            Row(vec_id=12, embedding=[-1.0, 0.0]), # anti-A → still nearer B? no: cos(-A,A)=-1, cos(-A,B)=0 → B
+        ]
+    )
+    cents = vecs.filter("vec_id < 2")
+    out = {r.vec_id: r.centroid_id for r in SIM.ivf_assign(vecs, cents).collect()}
+    assert out[10] == 0 and out[11] == 1
+    assert out[0] == 0 and out[1] == 1  # centroids map to themselves
+    assert out[12] == 1
+
+
+def test_ivf_ann_probes_own_cell(spark, sf_dir):
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = dbl.filter(F.col("vec_id") < 8)
+    out = SIM.ivf_ann_topk(dbl.filter(F.col("vec_id") < 5), dbl, cents, k=3).collect()
+    for qid in {r.query_id for r in out}:
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_kmv_distinct_accuracy(spark):
+    from streaming_etl_pipeline_spark.operators.sketches import kmv_distinct
+
+    # 3 groups with known distinct counts: 10 (< k → exact), 500, 2000
+    df = spark.range(8000).select(
+        F.when(F.col("id") < 1000, "small")
+        .when(F.col("id") < 4000, "mid")
+        .otherwise("big")
+        .alias("grp"),
+        F.when(F.col("id") < 1000, F.col("id") % 10)
+        .when(F.col("id") < 4000, F.col("id") % 500)
+        .otherwise(F.col("id") % 2000)
+        .alias("v"),
+    )
+    out = {r.grp: r for r in kmv_distinct(df, keys=("grp",), value_col="v", k=64).collect()}
+    assert out["small"].distinct_est == 10  # below k → exact
+    assert out["small"].n_kept == 10
+    assert abs(out["mid"].distinct_est - 500) / 500 < 0.4   # 1/sqrt(64) ≈ 12.5% rsd
+    assert abs(out["big"].distinct_est - 2000) / 2000 < 0.4
+    # deterministic: same input → identical sketch
+    again = {r.grp: r for r in kmv_distinct(df, keys=("grp",), value_col="v", k=64).collect()}
+    assert {g: r.kth_min for g, r in out.items()} == {
+        g: r.kth_min for g, r in again.items()
+    }
+
+
 def test_multimodal_schema_and_determinism(spark):
     assets = MM.synthesize_assets(spark, n=20)
     # nullability flags differ between expression inference and the declared
