@@ -1,0 +1,173 @@
+"""Property-based and edge-case tests (SURVEY.md §5: the reference has no
+randomized testing — the engine adds it). Hypothesis drives the *data*;
+each example round-trips through real Spark plans, so example counts are
+kept small and deadlines disabled."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, functions as F
+
+from streaming_etl_pipeline_spark.functions.core import time_bucket
+from streaming_etl_pipeline_spark.operators import dedup as DD
+from streaming_etl_pipeline_spark.operators import sessions as SN
+from streaming_etl_pipeline_spark.operators.cleaning import deduplicate_latest
+from streaming_etl_pipeline_spark.operators.aggregates import windowed_stats
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    global _spark
+    _spark = spark
+    yield
+
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ts_strategy = st.integers(
+    min_value=1_700_000_000, max_value=1_700_100_000
+)  # epoch seconds over ~28h
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 4), ts_strategy), min_size=1, max_size=120
+    ),
+    gap=st.sampled_from([60, 600, 3600]),
+)
+def test_sessionize_partition_properties(events, gap):
+    """Sessions partition each user's events; within-session gaps ≤ gap;
+    consecutive sessions are > gap apart; n_events reconciles."""
+    rows = [
+        Row(user_id=u, event_id=i, ts=dt.datetime.fromtimestamp(t, dt.timezone.utc))
+        for i, (u, t) in enumerate(events)
+    ]
+    df = _spark.createDataFrame(rows)
+    out = SN.session_stats(
+        df, keys=("user_id",), ts_col="ts", gap_seconds=gap, tiebreak=("event_id",)
+    ).collect()
+    assert sum(r.n_events for r in out) == len(events)
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, sess in by_user.items():
+        sess.sort(key=lambda r: r.session_id)
+        n_user_events = sum(1 for e, _ in [(x, y) for x, y in events] if e == u)
+        assert sum(r.n_events for r in sess) == n_user_events
+        assert [r.session_id for r in sess] == list(range(1, len(sess) + 1))
+        for r in sess:
+            dur = (r.last_event_time - r.session_start).total_seconds()
+            # a session of n events spanning dur seconds can't have all
+            # gaps > gap unless dur > gap*(n-1); conversely each hop ≤ gap
+            assert dur <= gap * max(r.n_events - 1, 0) or r.n_events == 1
+        for a, b in zip(sess, sess[1:]):
+            assert (b.session_start - a.last_event_time).total_seconds() > gap
+
+
+@SETTINGS
+@given(
+    ts=st.lists(ts_strategy, min_size=1, max_size=100),
+    width=st.sampled_from([60, 300, 3600]),
+)
+def test_time_bucket_properties(ts, width):
+    """bucket ≤ ts < bucket+width, and bucket is width-aligned."""
+    rows = [
+        Row(ts=dt.datetime.fromtimestamp(t, dt.timezone.utc)) for t in ts
+    ]
+    df = _spark.createDataFrame(rows)
+    out = df.select(
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros(time_bucket("ts", width)).alias("b"),
+    ).collect()
+    w_us = width * 1_000_000
+    for r in out:
+        assert r.b <= r.us < r.b + w_us
+        assert r.b % w_us == 0
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_dedup_latest_keeps_max_order(values):
+    """After keep-latest dedup: one row per key, and its order value is
+    the max for that key."""
+    rows = [Row(k=k, ord=o, uid=u) for k, o, u in values]
+    df = _spark.createDataFrame(rows)
+    out = deduplicate_latest(df, keys=("k",), order_col="ord", tiebreak=("uid",)).collect()
+    expected_max = {}
+    for k, o, _ in values:
+        expected_max[k] = max(expected_max.get(k, -1), o)
+    assert len(out) == len(expected_max)
+    for r in out:
+        assert r.ord == expected_max[r.k]
+
+
+@SETTINGS
+@given(
+    words_a=st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=40),
+    words_b=st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=40),
+)
+def test_minhash_estimates_jaccard(words_a, words_b):
+    """MinHash signature agreement is an unbiased Jaccard estimator —
+    with 32 hashes the estimate must land within ±0.35 of exact (coarse
+    bound ≈ 4σ) and be exactly 1.0 for identical shingle sets."""
+    ta, tb = " ".join(words_a), " ".join(words_b)
+    df = _spark.createDataFrame([Row(doc_id=1, text=ta), Row(doc_id=2, text=tb)])
+    sh = df.select("doc_id", DD.shingles("text").alias("sh"))
+    hs = sh.select("doc_id", "sh", DD.hashed_shingles("sh").alias("hs"))
+    sig = hs.select("doc_id", *DD.minhash_from_hashes("hs", 32)).collect()
+    s1, s2 = sorted(sig, key=lambda r: r.doc_id)
+    agree = sum(1 for i in range(32) if s1[f"mh{i}"] == s2[f"mh{i}"]) / 32
+    rows = {r.doc_id: set(r.sh) for r in sh.collect()}
+    exact = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    if exact == 1.0:
+        assert agree == 1.0
+    else:
+        assert abs(agree - exact) <= 0.35
+
+
+def test_empty_inputs_through_operators(spark):
+    """Reference edge cases (test_integration.py:279-340): empty frames
+    flow through cleaning/aggregation/session operators without errors."""
+    empty = spark.createDataFrame(
+        [], "sensor_id string, event_time timestamp, value double, "
+        "sensor_type string, ingestion_time timestamp",
+    )
+    assert deduplicate_latest(
+        empty, keys=("sensor_id", "event_time"), order_col="ingestion_time"
+    ).count() == 0
+    assert windowed_stats(
+        empty, ts_col="event_time", keys=["sensor_id"], bucket_seconds=300,
+        value_col="value",
+    ).count() == 0
+    assert SN.session_stats(
+        empty, keys=("sensor_id",), ts_col="event_time", gap_seconds=60
+    ).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert DD.exact_dedup_groups(empty_docs).count() == 0
+
+
+def test_single_row_stddev_is_null_not_nan(spark):
+    df = spark.createDataFrame([Row(sensor_id="s", event_time=dt.datetime(2024, 1, 1), value=1.0)])
+    out = windowed_stats(
+        df, ts_col="event_time", keys=["sensor_id"], bucket_seconds=300,
+        value_col="value",
+    ).collect()[0]
+    assert out.stddev_value is None  # ANSI NULL, never NaN (oracle parity)
+    assert out.reading_count == 1
