@@ -215,15 +215,20 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8) -> str:
             f"SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sigs"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    # Jaccard over the (distinct) hashed shingle sets, not the strings:
+    # 8-byte longs make the two verify joins far lighter than KB-sized
+    # string arrays, and both engines hash identically so the rare 31-bit
+    # collision changes the value identically on both sides.
     jac = (
-        "len(list_intersect(a.sh, b.sh))::DOUBLE / "
-        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+        "len(list_intersect(a.hsd, b.hsd))::DOUBLE / "
+        "(len(a.hsd) + len(b.hsd) - len(list_intersect(a.hsd, b.hsd)))"
     )
     return f"""
     WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
     sh AS (SELECT doc_id, {DD.shingles_sql("text")} AS sh FROM docs),
-    hsh AS (SELECT doc_id, sh, {DD.hashed_shingles_sql("sh")} AS hs FROM sh),
-    sigs AS (SELECT doc_id, {mh_defs} FROM hsh),
+    hsh AS (SELECT doc_id, {DD.hashed_shingles_sql("sh")} AS hs FROM sh),
+    hsd AS (SELECT doc_id, hs, list_distinct(hs) AS hsd FROM hsh),
+    sigs AS (SELECT doc_id, {mh_defs} FROM hsd),
     bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -232,8 +237,8 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8) -> str:
     )
     SELECT id_a, id_b, jaccard FROM (
       SELECT id_a, id_b, round({jac}, 6) AS jaccard
-      FROM cand JOIN sh a ON cand.id_a = a.doc_id
-                JOIN sh b ON cand.id_b = b.doc_id
+      FROM cand JOIN hsd a ON cand.id_a = a.doc_id
+                JOIN hsd b ON cand.id_b = b.doc_id
     ) WHERE jaccard >= 0.6
     """
 
@@ -248,15 +253,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", DD.shingles("text").alias("sh")
     )
     hsh = sh.select("doc_id", DD.hashed_shingles("sh").alias("hs"))
-    sigs = hsh.select("doc_id", *DD.minhash_from_hashes("hs", 16))
+    hsd = hsh.select("doc_id", "hs", F.array_distinct("hs").alias("hsd"))
+    sigs = hsd.select("doc_id", *DD.minhash_from_hashes("hs", 16))
     cand = DD.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = hsd.select(F.col("doc_id").alias("id_a"), F.col("hsd").alias("h_a"))
+    b = hsd.select(F.col("doc_id").alias("id_b"), F.col("hsd").alias("h_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
-            "id_a", "id_b", DD.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+            "id_a", "id_b", DD.jaccard(F.col("h_a"), F.col("h_b")).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.6)
     )

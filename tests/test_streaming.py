@@ -103,28 +103,55 @@ def test_ingest_exactly_once_on_restart(spark, ingest_dirs):
 
 
 def test_streaming_windowed_aggregation(spark, ingest_dirs):
-    # T7 streaming variant: watermarked tumbling-window agg in append mode.
-    _write_input(ingest_dirs["in"], good=20, bad=0)
-    raw = read_json_stream(spark, ingest_dirs["in"])
-    bronze, _ = parse_events(raw)
-    agg = (
-        bronze.groupBy(F.window("event_time", "5 minutes"), "sensor_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
-    )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("win_agg")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    # append mode only emits windows the watermark has closed; with a
-    # single batch nothing may close — run a second empty-ish pass to
-    # advance the watermark is overkill for a smoke test, so just check
-    # the query ran and the state schema is right.
-    res = spark.sql("SELECT * FROM win_agg")
-    assert {"window", "sensor_type", "n", "avg_value"} <= set(res.columns)
+    # T7 streaming variant: watermarked tumbling-window agg in append
+    # mode — windows are emitted once the watermark (10 min) passes their
+    # end, proven across two availableNow runs on one checkpoint.
+    out_dir = ingest_dirs["bronze"] + "_agg"
+
+    def run_once():
+        raw = read_json_stream(spark, ingest_dirs["in"])
+        bronze, _ = parse_events(raw)
+        agg = (
+            bronze.groupBy(F.window("event_time", "5 minutes"), "sensor_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ingest_dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    _write_input(ingest_dirs["in"], good=20, bad=0)  # 10:00..10:19 → 4 windows
+    first = run_once()
+    assert {"window", "sensor_type", "n", "avg_value"} <= set(first.columns)
+
+    # batch 2 at 11:00 pushes the watermark to 10:50 → all 4 earlier
+    # windows close and append
+    with open(os.path.join(ingest_dirs["in"], "batch1.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "sensor_id": "sensor-000",
+                    "sensor_type": "temperature",
+                    "timestamp": "2024-06-15T11:00:00+00:00",
+                    "value": 20.0,
+                    "unit": "celsius",
+                    "location": "floor-1-zone-A",
+                }
+            )
+        )
+    second = run_once()
+    closed = {
+        (r.window.start.isoformat(), r.n) for r in second.collect()
+    }
+    assert ("2024-06-15T10:00:00", 5) in closed  # events 10:00..10:04
+    assert ("2024-06-15T10:15:00", 5) in closed  # events 10:15..10:19
+    assert len(closed) == 4  # the 11:00 window stays open (unemitted)
 
 
 def test_generator_reference_invariants(spark):
