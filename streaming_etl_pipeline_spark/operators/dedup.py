@@ -237,6 +237,116 @@ def lsh_candidate_pairs(
     )
 
 
+def build_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """The persistable dedup fingerprint of a document batch: id + the
+    distinct hashed shingle set (for exact-Jaccard verification) + the
+    MinHash signature columns (for LSH banding).
+
+    ~(num_hashes + |shingles|) longs per doc — tiny next to the corpus —
+    and **mergeable**: signatures of new data join against a persisted
+    store without ever rescanning old text (see
+    :func:`incremental_near_dups`).
+    """
+    sh = docs.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    hs = sh.select(id_col, hashed_shingles("sh").alias("hs"))
+    return hs.select(
+        id_col,
+        F.array_distinct("hs").alias("hsd"),
+        *minhash_from_hashes("hs", num_hashes),
+    )
+
+
+def near_dup_pairs_from_signatures(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """LSH candidates + exact-Jaccard verify over signature tables.
+
+    With ``right=None``: self-dedup of ``left`` (pairs id_a < id_b).
+    With ``right``: only left×right pairs — the incremental shape, where
+    ``right`` is the persisted store and ``left`` the new batch; the
+    band join is the only shuffle either way.
+    """
+    self_mode = right is None
+    sigs = left if self_mode else left.unionByName(right)
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    if not self_mode:
+        left_ids = left.select(F.col(id_col).alias("_lid"))
+        right_ids = right.select(F.col(id_col).alias("_rid"))
+        # keep only cross pairs (one side new, one side store)
+        cand = (
+            cand.join(
+                left_ids.withColumnRenamed("_lid", "id_a").withColumn("_a_new", F.lit(True)),
+                "id_a",
+                "left",
+            )
+            .join(
+                left_ids.withColumnRenamed("_lid", "id_b").withColumn("_b_new", F.lit(True)),
+                "id_b",
+                "left",
+            )
+            .filter(F.coalesce("_a_new", F.lit(False)) != F.coalesce("_b_new", F.lit(False)))
+            .select("id_a", "id_b")
+        )
+        del right_ids
+    shsets = sigs.select(id_col, "hsd")
+    a = shsets.select(F.col(id_col).alias("id_a"), F.col("hsd").alias("h_a"))
+    b = shsets.select(F.col(id_col).alias("id_b"), F.col("hsd").alias("h_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("h_a"), F.col("h_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dups(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    append: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup against a persisted signature store.
+
+    Computes signatures for ``new_docs`` only, joins their LSH bands
+    against the store (old TEXT is never rescanned), returns
+    (new_id=id_a side or id_b side, store_id, jaccard) pairs above the
+    threshold, and appends the new signatures to the store. First call
+    bootstraps the store. This is the 100 TB dedup loop: per-ingest cost
+    scales with the new batch, not the corpus.
+    """
+    new_sigs = build_signatures(new_docs, id_col=id_col, text_col=text_col)
+    try:
+        store = spark.read.parquet(store_path)
+        pairs = near_dup_pairs_from_signatures(
+            new_sigs, store, id_col=id_col, threshold=threshold
+        )
+        if append:
+            # materialize before appending so the append doesn't feed
+            # back into the store scan (executor-side, not a collect)
+            pairs = pairs.localCheckpoint(eager=True)
+    except Exception:
+        pairs = spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    if append:
+        new_sigs.write.mode("append").parquet(store_path)
+    return pairs
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     """Exact Jaccard over two (already distinct) shingle arrays.
     DuckDB twin: len(list_intersect)/ (len(a)+len(b)-len(list_intersect)).

@@ -125,6 +125,107 @@ def _byte_entropy(payload: bytes) -> float:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resizer", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+        T.StructField("sampler", T.StringType(), False),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize image assets to width×height via Arrow-batched mapInPandas.
+
+    STUB decode/encode: without Pillow the "resized" payload is a
+    deterministic sha256-derived stand-in of the right conceptual shape;
+    the distributed plumbing (filter to images, batch iteration, schema
+    contract, payload replacement) is real. One narrow projection — no
+    shuffle at any scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                payload = bytes(payload)
+                try:  # pragma: no cover - library absent in this container
+                    from PIL import Image  # noqa: F401
+
+                    raise NotImplementedError("real resize not wired yet")
+                except ImportError:
+                    seed = hashlib.sha256(
+                        payload + f":{width}x{height}".encode()
+                    ).digest()
+                    payloads.append(seed * ((width * height) // len(seed) + 1))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "resizer": "stub-sha256",
+                }
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "kind", "payload")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample n frames per audio/video asset — the row-exploding shape
+    (one input asset → n output rows) via mapInPandas.
+
+    STUB frame extraction: each "frame" is a deterministic slice-hash of
+    the payload. Real decoders drop in at the marked point; the 1→n
+    Arrow plumbing, deterministic frame indexing and memory behavior
+    (frames stream out per batch, payload never amplified n× in one
+    buffer) are the engineered part.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = payload[i * step : (i + 1) * step] or payload[-step:]
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(hashlib.sha256(chunk).digest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_index": idxs,
+                    "frame_payload": frames,
+                    "sampler": "stub-slicehash",
+                }
+            )
+
+    return (
+        assets.filter(F.col("kind") != "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
 def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 

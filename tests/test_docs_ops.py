@@ -117,6 +117,31 @@ def test_minhash_lsh_recall_on_injected_dups(spark, sf_dir):
     assert len(injected) >= 0.95 * len(expected)
 
 
+def test_incremental_near_dups_against_store(spark, tmp_path, sf_dir):
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    store = str(tmp_path / "sigstore")
+    docs_tbl = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch1 = docs_tbl.filter("doc_id < 100")
+    # bootstrap: first call has no store → no pairs, signatures persisted
+    p0 = DD.incremental_near_dups(spark, batch1, store)
+    assert p0.count() == 0
+    assert spark.read.parquet(store).count() == 100
+    # batch 2: 10 suffix-edited twins of stored docs + 10 fresh docs
+    twins = batch1.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat("text", F.lit(" tiny suffix")).alias("text"),
+    )
+    fresh = docs_tbl.filter("doc_id >= 100 AND doc_id < 110")
+    p1 = DD.incremental_near_dups(spark, twins.unionByName(fresh), store)
+    found = {(r.id_a, r.id_b) for r in p1.collect()}
+    # every twin matched its stored original (new id = old id + 5000)
+    matched_originals = {min(a, b) for a, b in found}
+    assert {0, 10, 20, 30, 40, 50, 60, 70, 80, 90} <= matched_originals
+    # store grew by batch 2
+    assert spark.read.parquet(store).count() == 120
+
+
 def test_simhash_close_for_suffix_edit(spark, docs):
     edited = docs.select("doc_id", F.concat("text", F.lit(" suffix")).alias("text"))
     h1 = {
@@ -280,6 +305,27 @@ def test_multimodal_meta_by_kind(spark):
         else:
             assert r.meta.sample_rate == 16000 and r.meta.width is None
         assert r.meta.n_bytes == len(r.payload)
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    assets = MM.synthesize_assets(spark, n=20)
+    resized = MM.resize_images(assets, width=16, height=16).collect()
+    assert len(resized) == 10  # images only (even asset ids)
+    for r in resized:
+        assert r.width == 16 and r.height == 16
+        assert r.kind == "image" and len(r.payload) >= 16 * 16
+    frames = MM.sample_frames(assets, n_frames=4).collect()
+    assert len(frames) == 40  # 10 audio assets × 4 frames
+    by_asset: dict[int, list] = {}
+    for f in frames:
+        by_asset.setdefault(f.asset_id, []).append(f)
+    for aid, fs in by_asset.items():
+        assert sorted(x.frame_index for x in fs) == [0, 1, 2, 3]
+    # determinism
+    again = MM.sample_frames(assets, n_frames=4).collect()
+    assert {(f.asset_id, f.frame_index, bytes(f.frame_payload)) for f in frames} == {
+        (f.asset_id, f.frame_index, bytes(f.frame_payload)) for f in again
+    }
 
 
 def test_fingerprint_stability_under_formatting(spark, docs):

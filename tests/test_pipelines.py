@@ -182,6 +182,47 @@ def test_batch_sessionize_golden(spark):
     assert len([r for r in out if r.user_id == 2]) == 1
 
 
+def test_batch_sessionize_matches_builtin_session_window(spark):
+    """Cross-validation: the lag-gap-cumsum sessionizer must produce the
+    same (start, end, count) set as Spark's built-in F.session_window
+    aggregation for the same gap — two independent implementations of the
+    same semantics."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        Row(
+            user_id=rng.randrange(5),
+            event_id=i,
+            ts=dt_ts(1_700_000_000 + rng.randrange(0, 36000)),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    ours = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in SN.session_stats(
+            df, keys=("user_id",), ts_col="ts", gap_seconds=600,
+            tiebreak=("event_id",),
+        ).collect()
+    }
+    builtin = {
+        (r.user_id, r.session_window.start, r.session_window.end, r.n)
+        for r in df.groupBy(
+            F.session_window("ts", "10 minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert ours == builtin
+
+
+def dt_ts(epoch: int):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(epoch, datetime.timezone.utc)
+
+
 def _write_jsonl(path, rows):
     import json
     import os
