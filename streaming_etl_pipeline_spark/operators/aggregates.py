@@ -152,6 +152,54 @@ def daily_summary(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with explicit key salting for skew.
+
+    ``aggs`` maps output column → (input column, fn) where fn ∈
+    {sum, count, min, max} (algebraic — mergeable partials). Phase 1
+    groups by (keys, salt) so a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the partials per key.
+    AQE's skew handling covers *joins*; groupBy skew needs this (or
+    ``max_by``-style struct aggregation, see ``deduplicate_latest_agg``)
+    when one key dominates a partition's memory.
+
+    The salt is ``md5(monotonically_increasing_id) % buckets`` — uniform
+    and deterministic per row within a run; results are exactly equal to
+    the unsalted aggregation (the phase-2 merge is exact).
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salt = (
+        F.conv(
+            F.substring(F.md5(F.monotonically_increasing_id().cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % salt_buckets
+    )
+    p1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[
+                phase1_fn[fn](F.col(src)).alias(out)
+                for out, (src, fn) in aggs.items()
+            ]
+        )
+    )
+    return p1.groupBy(*keys).agg(
+        *[
+            merge_fn[fn](F.col(out)).alias(out)
+            for out, (src, fn) in aggs.items()
+        ]
+    )
+
+
 def last_per_group(
     df: DataFrame,
     keys: Sequence[str],

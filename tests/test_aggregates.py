@@ -136,3 +136,32 @@ def test_top_k_per_group(spark):
     out = aggregates.top_k_per_group(df, ["k"], "m", 2, tiebreak=["id"])
     got = sorted((r.k, r.id) for r in out.collect())
     assert got == [("a", 2), ("a", 3), ("b", 4)]
+
+
+def test_salted_agg_equals_unsalted(spark):
+    """Two-phase salted aggregation must be exactly equal to the plain
+    groupBy for algebraic aggregates — salting only changes the shuffle
+    shape, never the result."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i), i) for i in range(1000)], "k int, v double, n int"
+    )
+    salted = aggregates.salted_agg(
+        df,
+        keys=("k",),
+        aggs={
+            "total": ("v", "sum"),
+            "rows": ("n", "count"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+        salt_buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"),
+        F.count("n").alias("rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

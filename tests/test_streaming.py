@@ -154,6 +154,40 @@ def test_streaming_windowed_aggregation(spark, ingest_dirs):
     assert len(closed) == 4  # the 11:00 window stays open (unemitted)
 
 
+def test_ingest_throughput_meets_reference_target(spark, ingest_dirs):
+    """BASELINE.md parity target: sustain ≥100 events/sec source→Bronze.
+    6k events through parse+split+partitioned sink must land well inside
+    60 s on the local stack (the reference's p95 latency bound)."""
+    import time
+
+    lines = [
+        json.dumps(
+            {
+                "sensor_id": f"sensor-{i % 50:03d}",
+                "sensor_type": ["temperature", "humidity", "pressure", "vibration"][i % 4],
+                "timestamp": f"2024-06-15T10:{(i // 100) % 60:02d}:{i % 60:02d}+00:00",
+                "value": 20.0 + (i % 100) * 0.1,
+                "unit": "celsius",
+                "location": "floor-1-zone-A",
+            }
+        )
+        for i in range(6000)
+    ]
+    with open(os.path.join(ingest_dirs["in"], "bulk.json"), "w") as f:
+        f.write("\n".join(lines))
+    t0 = time.time()
+    raw = read_json_stream(spark, ingest_dirs["in"])
+    bronze, _ = parse_events(raw)
+    q = start_bronze_sink(
+        bronze, ingest_dirs["bronze"], ingest_dirs["ckpt"], trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    wall = time.time() - t0
+    assert spark.read.parquet(ingest_dirs["bronze"]).count() == 6000
+    assert wall < 60.0  # reference p95 bound
+    assert 6000 / wall > 100.0  # reference throughput target
+
+
 def test_generator_reference_invariants(spark):
     # Producer property tests (reference tests/test_producer.py): units per
     # type, value bounds, 2-dp rounding, id/location shapes.
