@@ -977,6 +977,61 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_event_counts",
+    """
+    SELECT event_type, lang_bucket, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (SELECT event_type, user_id,
+                 CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS lang_bucket
+          FROM events)
+    GROUP BY ROLLUP(event_type, lang_bucket)
+    """,
+)
+def q_rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (event_type → bucket → grand total) —
+    grouping-set aggregation the reference's dashboard recomputes with
+    separate pandas passes; one Expand + one shuffle here."""
+    events = read_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    return (
+        events.select("event_type", "user_id", bucket.alias("lang_bucket"))
+        .rollup("event_type", "lang_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "users_never_purchased",
+    """
+    SELECT user_id FROM events
+    WHERE user_id IS NOT NULL AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+    """,
+)
+def q_users_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 set difference as a real EXCEPT (distinct semantics both
+    engines) over the final activity week — users active without
+    purchasing; the anti-join formulation lives in
+    customers_without_recent_orders, this covers the set-operator API."""
+    events = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    active = (
+        events.filter(F.col("user_id").isNotNull() & (F.col("ts") >= cutoff))
+        .select("user_id")
+    )
+    purchasers = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("ts") >= cutoff))
+        .select("user_id")
+    )
+    return active.distinct().exceptAll(purchasers.distinct())
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
