@@ -356,6 +356,64 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return F.round(inter / union, 6)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Unlike MinHash+LSH (probabilistic candidates) this finds *every* pair
+    with Jaccard ≥ threshold: explode hashed k-gram shingles into an
+    inverted index, self-join on the shingle hash (pairs that share ≥1
+    shingle — a superset of any pair above threshold, since J > 0 requires
+    a shared shingle), count shared shingles per pair, and compute
+    J = |A∩B| / (|A| + |B| − |A∩B|) from the counts — no array
+    re-intersection on the pair side.
+
+    Scale shape: the only shuffles are the explode-join on shingle hash
+    and the pair groupBy. Stop-shingles that occur in a large fraction of
+    the corpus would quadratically blow up the index join at 100 TB; the
+    standard mitigation (drop shingles with document frequency above a
+    cutoff) is a pre-filter join on this same index and does not change
+    the ≥-threshold result set for thresholds where |A∩B| must be large.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(hashed_shingles(shingles(text_col, k))).alias("_hs"),
+    )
+    sized = base.select("_id", "_hs", F.size("_hs").alias("_sz"))
+    index = sized.select("_id", "_sz", F.explode("_hs").alias("_h"))
+    left = index.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_h"
+    )
+    right = index.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_h"
+    )
+    pairs = (
+        left.join(right, on="_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            F.first("sz_a").alias("_sa"),
+            F.first("sz_b").alias("_sb"),
+        )
+    )
+    jac = F.round(
+        F.col("_shared").cast("double")
+        / (F.col("_sa") + F.col("_sb") - F.col("_shared")),
+        6,
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def token_hashes(col: Column | str) -> Column:
     """md5-derived 60-bit hash per token of the normalized text — the
     shared input of :func:`simhash_from_hashes`. Materialize this ONCE

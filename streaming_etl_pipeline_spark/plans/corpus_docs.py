@@ -269,6 +269,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+    sh AS (SELECT doc_id, {DD.shingles_sql("text")} AS sh FROM docs),
+    base AS (SELECT doc_id,
+                    list_distinct({DD.hashed_shingles_sql("sh")}) AS hs
+             FROM sh),
+    idx AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM base),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS shared, any_value(a.sz) AS sa, any_value(b.sz) AS sb
+      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(shared::DOUBLE / (sa + sb - shared), 6) AS jaccard
+      FROM pairs
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8) via an inverted
+    shingle-hash index — the exhaustive counterpart to dedup_minhash_lsh
+    (no probabilistic candidate loss); shuffles only on shingle hash and
+    pair keys, never a full cross join."""
+    return DD.ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), k=3, threshold=0.8
+    )
+
+
+@register(
     "simhash_docs",
     f"""
     WITH h AS (SELECT doc_id, {DD.token_hashes_sql("text")} AS hs FROM documents)

@@ -340,3 +340,34 @@ def test_byte_entropy_bounds():
     assert MM._byte_entropy(b"\x00" * 100) == 0.0
     assert MM._byte_entropy(bytes(range(256))) == 8.0
     assert math.isclose(MM._byte_entropy(b"ab"), 1.0)
+
+
+def test_ngram_jaccard_pairs_exact_semantics(spark, docs):
+    # doc 1 vs 2 normalize identically → Jaccard 1.0; doc 5 shares nothing.
+    out = DD.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    # Inverted-index result == brute-force array-intersect Jaccard on
+    # every pair (ground truth), at threshold 0 (any shared shingle).
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(DD.hashed_shingles(DD.shingles("text", 3))).alias("hs"),
+    )
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("h_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("h_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", DD.jaccard(F.col("h_a"), F.col("h_b")).alias("j"))
+        .filter(F.col("j") > 0)
+        .collect()
+    )
+    want = {(r.id_a, r.id_b): r.j for r in brute}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, k=3, threshold=1e-9).collect()
+    }
+    assert got == want
