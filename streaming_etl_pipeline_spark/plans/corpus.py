@@ -1284,6 +1284,142 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Analytic window functions beyond the reference (lead/lag/rank/ntile —
+# SURVEY.md §2.5 notes these as trivially-covered gaps; exposed as real
+# oracle-gated queries so the coverage is proven, not claimed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inter_arrival_stats",
+    """
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+             - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) // 1000000 AS gap_s
+      FROM events)
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-arrival analysis: per-user gaps between consecutive
+    events (integer-second arithmetic — exact in both engines), then
+    min/max/total per user. One shuffle shared by the window sort and the
+    groupBy (same key)."""
+    from pyspark.sql.window import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    gap = (
+        F.floor(F.unix_micros(F.col("ts")) / 1_000_000)
+        - F.floor(F.unix_micros(prev) / 1_000_000)
+    )
+    return (
+        events.select("user_id", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+            F.sum("gap_s").cast("long").alias("total_gap_s"),
+        )
+    )
+
+
+@register(
+    "top_orders_by_year",
+    """
+    SELECT o_orderkey, order_year, o_totalprice, price_rank, price_dense_rank
+    FROM (
+      SELECT o_orderkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+             o_totalprice,
+             rank() OVER w AS price_rank,
+             dense_rank() OVER w AS price_dense_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY EXTRACT(year FROM o_orderdate)
+                   ORDER BY o_totalprice DESC, o_orderkey))
+    WHERE price_rank <= 10
+    """,
+)
+def q_top_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per-group top-k: 10 priciest orders per year.
+    The unique o_orderkey tiebreaker keeps rank deterministic; Spark
+    executes rank-≤-k with a partial windowed limit before the shuffle,
+    so no partition materializes more than its top k."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    w = Window.partitionBy("order_year").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "order_year",
+            "o_totalprice",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+        )
+        .filter(F.col("price_rank") <= 10)
+    )
+
+
+@register(
+    "order_price_quartiles",
+    """
+    SELECT order_year, price_quartile, count(*) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+             o_totalprice,
+             ntile(4) OVER (PARTITION BY EXTRACT(year FROM o_orderdate)
+                            ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+      FROM orders)
+    GROUP BY order_year, price_quartile
+    """,
+)
+def q_order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile profile: every order bucketed into price quartiles
+    within its year (deterministic via unique tiebreaker), then the
+    quartile boundaries summarized — the windowed-bucketing shape
+    dashboards use for percentile bands."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    w = Window.partitionBy("order_year").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "order_year",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("price_quartile"),
+        )
+        .groupBy("order_year", "price_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
