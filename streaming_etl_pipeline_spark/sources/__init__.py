@@ -2,6 +2,7 @@ from streaming_etl_pipeline_spark.sources.io import (  # noqa: F401
     TABLES,
     load_tables,
     read_table,
+    spread,
     register_views,
     write_partitioned,
 )

@@ -1,9 +1,11 @@
 from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
     EVENT_SCHEMA,
+    enrich_stream,
     parse_events,
     read_json_stream,
     start_bronze_sink,
     start_dead_letter_sink,
+    start_gold_upsert_sink,
 )
 from streaming_etl_pipeline_spark.streaming.stateful import (  # noqa: F401
     dedup_within_watermark,

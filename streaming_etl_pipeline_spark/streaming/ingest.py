@@ -158,6 +158,79 @@ def start_dead_letter_sink(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment join.
+
+    The static side is broadcast-hinted: every micro-batch joins against
+    an executor-local copy, so the stream side never shuffles — the join
+    adds zero stateful operators and no watermark requirement. The static
+    DataFrame is re-resolved per micro-batch, so a dimension table backed
+    by a path picks up slowly-changing updates between batches. (The
+    reference loads dimensions only in its warehouse layer,
+    ``redshift_loader.py:136-189``; this brings the same star-schema
+    lookup to the stream.)
+    """
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def start_gold_upsert_sink(
+    bronze: DataFrame,
+    path: str,
+    checkpoint: str,
+    bucket_seconds: int = 300,
+    keys: tuple[str, ...] = ("sensor_type",),
+    value_col: str = "value",
+    ts_col: str = "event_time",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming Gold: watermarked windowed aggregation, upserted by
+    window partition.
+
+    The reference batch-recomputes Gold (T7 hybrid); this is the additive
+    streaming variant: an UPDATE-mode windowed agg emits each window's
+    refreshed totals as late rows arrive, and ``foreachBatch`` replaces
+    exactly the touched ``window_start`` partitions via dynamic partition
+    overwrite — the same delete-by-window idempotency as the warehouse
+    loader (S8, ``redshift_loader.py:33-55``), so replays after a restart
+    rewrite partitions instead of duplicating rows. State is bounded by
+    the watermark: expired windows leave the store.
+    """
+    from streaming_etl_pipeline_spark.functions.core import time_bucket
+
+    agg = (
+        bronze.withColumn("window_start", time_bucket(ts_col, bucket_seconds))
+        .groupBy("window_start", *keys)
+        .agg(
+            F.avg(value_col).alias("avg_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.count(value_col).alias("reading_count"),
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start")
+            .parquet(path)
+        )
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def streaming_progress(query: StreamingQuery) -> dict:
     """T6 — rows/sec + batch duration from the last progress event
     (``spark_streaming.py:167-184``)."""

@@ -225,3 +225,89 @@ def test_json_roundtrip(spark):
     assert {"sensor_id", "sensor_type", "timestamp", "value", "unit", "location"} <= set(
         row
     )
+
+
+def test_enrich_stream_broadcast_dim(spark, ingest_dirs):
+    from streaming_etl_pipeline_spark.streaming import enrich_stream
+
+    _write_input(ingest_dirs["in"], good=10, bad=0)
+    dim = spark.createDataFrame(
+        [("temperature", "celsius_device"), ("humidity", "hygrometer")],
+        ["sensor_type", "device_kind"],
+    )
+    raw = read_json_stream(spark, ingest_dirs["in"])
+    bronze, _ = parse_events(raw)
+    enriched = enrich_stream(bronze, dim, on="sensor_type")
+    assert enriched.isStreaming
+    out_dir = os.path.join(ingest_dirs["bronze"], "enriched")
+    q = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ingest_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 10
+    assert got.filter(F.col("device_kind") == "celsius_device").count() == 10
+
+
+def test_gold_upsert_sink_idempotent_and_matches_batch(spark, ingest_dirs, tmp_path):
+    from streaming_etl_pipeline_spark.streaming import start_gold_upsert_sink
+
+    _write_input(ingest_dirs["in"], good=20, bad=0)
+    gold = str(tmp_path / "gold")
+
+    def run_once(ckpt):
+        raw = read_json_stream(spark, ingest_dirs["in"])
+        bronze, _ = parse_events(raw)
+        q = start_gold_upsert_sink(
+            bronze, gold, ckpt, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+
+    run_once(str(tmp_path / "g_ckpt1"))
+    first = {tuple(r) for r in spark.read.parquet(gold).collect()}
+
+    # replay from a fresh checkpoint (simulated redelivery): dynamic
+    # partition overwrite rewrites the same windows — no duplication
+    run_once(str(tmp_path / "g_ckpt2"))
+    again = {tuple(r) for r in spark.read.parquet(gold).collect()}
+    assert first == again
+
+    # cross-check against the batch-computed aggregate over the same input
+    from streaming_etl_pipeline_spark.functions.core import time_bucket
+
+    raw_batch = spark.read.text(ingest_dirs["in"]).select(
+        F.col("value").alias("raw_value"),
+        F.current_timestamp().alias("source_timestamp"),
+    )
+    from streaming_etl_pipeline_spark.streaming import EVENT_SCHEMA
+
+    parsed = (
+        raw_batch.withColumn("data", F.from_json("raw_value", EVENT_SCHEMA))
+        .select("data.*")
+        .withColumn("event_time", F.col("timestamp").cast("timestamp"))
+    )
+    want = {
+        tuple(r)
+        for r in parsed.withColumn("window_start", time_bucket("event_time", 300))
+        .groupBy("window_start", "sensor_type")
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("value").alias("reading_count"),
+        )
+        .select("avg_value", "min_value", "max_value", "reading_count", "window_start", "sensor_type")
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(gold)
+        .select("avg_value", "min_value", "max_value", "reading_count", "window_start", "sensor_type")
+        .collect()
+    }
+    assert got == want
