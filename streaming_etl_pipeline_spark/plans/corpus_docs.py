@@ -392,7 +392,7 @@ _COS = (
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for the first 20 vectors: broadcast
     query side × one corpus scan — the ANN correctness baseline."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -418,7 +418,7 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5: candidates limited to the query's 4-plane LSH
     cell (16 cells) — the 2^p-fold candidate-pruning scale path."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -452,7 +452,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) found bucket-locally via
     8-plane LSH; injected perturbed twins (every 10th vector, +0.01 on
     one component) are the ground-truth near-dups the corpus lacks."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -504,7 +504,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (nprobe=1): data-adaptive coarse quantizer — assign every
     vector to its nearest of 16 deterministic centroids, probe only the
     query's cell. Complements the fixed-hyperplane LSH path."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
