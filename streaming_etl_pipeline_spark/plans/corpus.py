@@ -35,7 +35,7 @@ from streaming_etl_pipeline_spark.functions.core import (
 )
 from streaming_etl_pipeline_spark.operators import aggregates, cleaning
 from streaming_etl_pipeline_spark.session import tune
-from streaming_etl_pipeline_spark.sources import read_table
+from streaming_etl_pipeline_spark.sources import read_table, spread
 
 
 @dataclass(frozen=True)
@@ -106,7 +106,10 @@ _STATS_ORACLE_AGGS = f"""
 def q_sensor_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_sensor_5min shape (silver_to_gold.py:44-92): 5-minute tumbling
     stats per entity with exact percentiles and a health metric."""
-    events = read_table(spark, sf_dir, "events")
+    # spread(): exact-percentile partials buffer raw values (no map-side
+    # reduction), so the single-row-group scan would serialize the
+    # heaviest stage on one core (measured 1.5 s -> 0.9 s warm at sf0.1).
+    events = spread(read_table(spark, sf_dir, "events"))
     out = aggregates.windowed_stats(
         events,
         ts_col="ts",
@@ -134,7 +137,7 @@ def q_sensor_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_location_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_location_hourly shape (silver_to_gold.py:95-134): hourly stats
     per type + exact distinct entity count."""
-    events = read_table(spark, sf_dir, "events")
+    events = spread(read_table(spark, sf_dir, "events"))
     out = aggregates.windowed_stats(
         events,
         ts_col="ts",
@@ -166,7 +169,7 @@ def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_daily_summary shape (silver_to_gold.py:137-161): calendar-day
     rollup with conditional anomaly count (threshold stands in for the
     reference's is_anomaly flag)."""
-    events = read_table(spark, sf_dir, "events").withColumn(
+    events = spread(read_table(spark, sf_dir, "events")).withColumn(
         "is_anomaly", F.col("value") > 180.0
     )
     out = aggregates.daily_summary(
@@ -954,6 +957,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
     HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
     """,
+    bench=True,
 )
 def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: heavy grouping on the fact join + HAVING filter
@@ -1081,6 +1085,7 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
+    bench=True,
 )
 def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue lost to returns in a
@@ -1116,6 +1121,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY c_custkey) c_orders
     GROUP BY c_count
     """,
+    bench=True,
 )
 def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: order-count-per-customer distribution — left outer
@@ -1308,6 +1314,7 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE gap_s IS NOT NULL
     GROUP BY user_id
     """,
+    bench=True,
 )
 def q_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() inter-arrival analysis: per-user gaps between consecutive

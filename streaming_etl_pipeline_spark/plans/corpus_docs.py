@@ -298,6 +298,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     ) WHERE jaccard >= 0.8
     """,
+    bench=True,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (≥ 0.8) via an inverted
