@@ -1427,6 +1427,99 @@ def q_order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cube_orders_profile",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(1, 2)
+    """,
+)
+def q_cube_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: order counts/revenue by (year × status), with
+    all three marginal totals and the grand total in one Expand + one
+    shuffle — the full cross-tab the dashboard would otherwise recompute
+    with four separate passes."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return orders.cube("order_year", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", precision=18).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "users_active_both_ends",
+    """
+    SELECT user_id FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+    """,
+)
+def q_users_active_both_ends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (distinct semantics): users active in both
+    the first week and the final days — complements the EXCEPT coverage
+    in users_lost_after_week1."""
+    events = read_table(spark, sf_dir, "events")
+    wk1 = events.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ).select("user_id")
+    late = events.filter(
+        F.col("ts") >= F.lit("2024-01-29 00:00:00").cast("timestamp")
+    ).select("user_id")
+    return wk1.intersect(late)
+
+
+@register(
+    "sliding_10min_stats",
+    f"""
+    SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % {300 * 1_000_000}
+                          - k * {300 * 1_000_000}) AS window_start,
+           event_type,
+           {exact_avg_sql("value")} AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(value) AS reading_count
+    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_10min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (10-minute window, 5-minute slide):
+    every event lands in exactly two overlapping windows. Spark's
+    ``F.window(ts, width, slide)`` generates the window rows before the
+    hash aggregate — same shuffle shape as tumbling, 2× the pre-shuffle
+    rows (width/slide replication). The oracle replicates via a 2-row
+    cross join on the slide index."""
+    events = spread(read_table(spark, sf_dir, "events"))
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            exact_avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count("value").alias("reading_count"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "reading_count",
+        )
+    )
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
