@@ -1,5 +1,6 @@
 from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
     EVENT_SCHEMA,
+    MetricsListener,
     enrich_stream,
     parse_events,
     read_json_stream,

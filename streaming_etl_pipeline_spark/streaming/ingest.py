@@ -231,6 +231,53 @@ def start_gold_upsert_sink(
     return writer.start()
 
 
+try:  # StreamingQueryListener requires Spark ≥ 3.4 python support
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class MetricsListener(StreamingQueryListener):
+        """T6 (listener flavor) — push-based stream metrics.
+
+        The reference polls ``query.lastProgress`` in a driver loop
+        (``spark_streaming.py:167-184,244-246``); a listener receives every
+        progress event instead (no polling gap, no missed batches) and is
+        the natural adapter to a metrics registry (the reference exports
+        Prometheus counters from its producer, ``sensor_simulator.py:38-48``).
+        Events accumulate in ``self.progress`` as plain dicts:
+        batchId / numInputRows / inputRowsPerSecond /
+        processedRowsPerSecond / durationMs.
+        """
+
+        def __init__(self) -> None:
+            self.progress: list[dict] = []
+            self.started: list[str] = []
+            self.terminated: list[str] = []
+
+        def onQueryStarted(self, event) -> None:
+            self.started.append(str(event.id))
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            self.progress.append(
+                {
+                    "id": str(p.id),
+                    "batchId": p.batchId,
+                    "numInputRows": p.numInputRows,
+                    "inputRowsPerSecond": p.inputRowsPerSecond,
+                    "processedRowsPerSecond": p.processedRowsPerSecond,
+                    "durationMs": dict(p.durationMs or {}),
+                }
+            )
+
+        def onQueryIdle(self, event) -> None:  # pragma: no cover
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            self.terminated.append(str(event.id))
+
+except ImportError:  # pragma: no cover
+    MetricsListener = None  # type: ignore[assignment,misc]
+
+
 def streaming_progress(query: StreamingQuery) -> dict:
     """T6 — rows/sec + batch duration from the last progress event
     (``spark_streaming.py:167-184``)."""

@@ -165,3 +165,44 @@ def test_salted_agg_equals_unsalted(spark):
         F.max("v").alias("hi"),
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_windowed_stats_scale_path_close_to_exact(spark, sf_dir):
+    """The 100 TB path (oracle_safe=False + percentile_approx) must agree
+    with the exact oracle path within tolerance — same groups, identical
+    min/max/count, avg within 1e-6, approx percentiles within the value
+    range of the group."""
+    from streaming_etl_pipeline_spark.operators.aggregates import windowed_stats
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    # week-scale buckets -> ~50+ rows per group, where approx percentiles
+    # are rank-exact up to one inter-value gap (tiny groups instead return
+    # an actual element while the exact path interpolates)
+    kw = dict(
+        ts_col="ts", keys=["event_type"], bucket_seconds=86400 * 7,
+        value_col="value",
+    )
+    exact = {
+        (r["window_start"], r["event_type"]): r
+        for r in windowed_stats(events, **kw).collect()
+    }
+    approx = {
+        (r["window_start"], r["event_type"]): r
+        for r in windowed_stats(
+            events, exact_percentiles=False, oracle_safe=False, **kw
+        ).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["reading_count"] == e["reading_count"]
+        assert a["min_value"] == e["min_value"]
+        assert a["max_value"] == e["max_value"]
+        assert abs(a["avg_value"] - e["avg_value"]) < 1e-6
+        for col in ("p50_value", "p95_value", "p99_value"):
+            assert e["min_value"] <= a[col] <= e["max_value"]
+        # percentile_approx default accuracy is tight at this group size
+        assert abs(a["p50_value"] - e["p50_value"]) <= 0.10 * (
+            e["max_value"] - e["min_value"] + 1e-9
+        )

@@ -311,3 +311,34 @@ def test_gold_upsert_sink_idempotent_and_matches_batch(spark, ingest_dirs, tmp_p
         .collect()
     }
     assert got == want
+
+
+def test_metrics_listener_receives_progress(spark, ingest_dirs):
+    from streaming_etl_pipeline_spark.streaming import MetricsListener
+
+    assert MetricsListener is not None
+    _write_input(ingest_dirs["in"], good=15, bad=0)
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        raw = read_json_stream(spark, ingest_dirs["in"])
+        bronze, _ = parse_events(raw)
+        q = start_bronze_sink(
+            bronze,
+            ingest_dirs["bronze"],
+            ingest_dirs["ckpt"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously
+        import time as _t
+
+        for _ in range(50):
+            if listener.progress and listener.started:
+                break
+            _t.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.started
+    assert sum(p["numInputRows"] for p in listener.progress) == 15
+    assert all("triggerExecution" in p["durationMs"] for p in listener.progress)
