@@ -380,11 +380,17 @@ def ngram_jaccard_pairs(
     cutoff) is a pre-filter join on this same index and does not change
     the ≥-threshold result set for thresholds where |A∩B| must be large.
     """
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(hashed_shingles(shingles(text_col, k))).alias("_hs"),
     )
     sized = base.select("_id", "_hs", F.size("_hs").alias("_sz"))
+    # Both sides of the self-join would re-run the md5 shingle pass (the
+    # dominant cost); persist computes it once. The cached row is
+    # (id, hashes, size) — far smaller than the exploded index.
+    sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     index = sized.select("_id", "_sz", F.explode("_hs").alias("_h"))
     left = index.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_h"
