@@ -189,6 +189,39 @@ def q_corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_parse_stats",
+    r"""
+    SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS source_num,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN regexp_full_match(source, 'src\d+')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS well_formed,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_source_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 regex parse + validate (the reference's ``floor-(\\d+)`` /
+    ``zone-([A-D])`` dashboard extraction, ``app.py:258-259``, and the
+    ``^sensor-\\d{3}$`` expectation regex): pull the numeric source id
+    with a capture group, count rlike-valid rows, roll up per source."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "source_num", F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+        )
+        .groupBy("source_num")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("source").rlike(r"^src\d+$"), 1).otherwise(0))
+            .cast("long")
+            .alias("well_formed"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     WITH docs AS ({_DOCS_WITH_DUPS_SQL})
