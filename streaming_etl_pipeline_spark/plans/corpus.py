@@ -1602,9 +1602,15 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
     )
+    from pyspark import StorageLevel
+
+    # Both consumers (the max and the final join) would otherwise re-scan
+    # lineitem; the persisted aggregate is one row per supplier — tiny at
+    # any scale.
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     supp = read_table(spark, sf_dir, "supplier")
