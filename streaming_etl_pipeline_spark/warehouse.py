@@ -16,6 +16,8 @@ Replaces the reference's Redshift layer (``src/loaders/redshift_schema.sql``,
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,3 +93,29 @@ def load_fact_window(
     window twice converges to the same table state with no delete pass."""
     bucketed = fact.withColumn("load_window", time_bucket(window_col, bucket_seconds))
     write_partitioned(bucketed, path, partition_by=["load_window"])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Bucketing is the storage-level half of the DISTKEY idea in
+    ``build_fact``: two tables bucketed on the same key with the same
+    bucket count join with NO shuffle exchange on either side (and no
+    sort when also ``sortBy`` the key) — at 100 TB this converts every
+    recurring fact⋈fact join on the key into a local zip of
+    pre-organized buckets. Bucket metadata lives in the session catalog
+    (``saveAsTable``; plain Spark, no Hive metastore needed).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

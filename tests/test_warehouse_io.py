@@ -82,3 +82,42 @@ def test_read_csv_events_declared_schema(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2 and rows[0].value == 22.5
     assert rows[1].timestamp.isoformat() == "2024-06-15T10:00:10"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with zero shuffle exchanges — the co-located-join storage layout
+    SCALE.md prescribes for recurring fact-fact joins."""
+    from streaming_etl_pipeline_spark.sources import read_table
+    from streaming_etl_pipeline_spark.warehouse import write_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(
+        orders, "orders_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"]
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("li_b")
+            b = spark.table("orders_b")
+            joined = a.join(b, a.l_orderkey == b.o_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan.replace("BroadcastExchange", "")
+            # and it actually computes the right thing
+            want = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+            )
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
