@@ -2,6 +2,7 @@ from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
     EVENT_SCHEMA,
     MetricsListener,
     enrich_stream,
+    join_streams,
     parse_events,
     read_json_stream,
     start_bronze_sink,

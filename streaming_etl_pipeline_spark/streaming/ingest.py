@@ -231,6 +231,48 @@ def start_gold_upsert_sink(
     return writer.start()
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "10 minutes",
+    how: str = "inner",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-stream join on a key within a ± time tolerance.
+
+    Spark bounds the join state only when (a) both inputs are watermarked
+    and (b) the join condition constrains the two event times relative to
+    each other — the ``tolerance`` range here. State for rows older than
+    watermark + tolerance is evicted, so the store size tracks the late-
+    data window, not the stream length. Outer flavors additionally emit
+    unmatched rows once their side's state expires.
+
+    ``right_cols`` selects which non-key right columns survive (default:
+    all except the join keys; the right event time is kept as
+    ``right_<ts>``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left_a = left.alias("_l")
+    right_a = right.alias("_r")
+    cond = None
+    for k in keys:
+        c = F.col(f"_l.{k}") == F.col(f"_r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.col(f"_l.{left_ts}") - F.expr(f"INTERVAL {tolerance}")
+    hi = F.col(f"_l.{left_ts}") + F.expr(f"INTERVAL {tolerance}")
+    cond = cond & (F.col(f"_r.{right_ts}") >= lo) & (F.col(f"_r.{right_ts}") <= hi)
+    keep_right = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    out_cols = [F.col(f"_l.{c}") for c in left.columns]
+    out_cols.append(F.col(f"_r.{right_ts}").alias(f"right_{right_ts}"))
+    out_cols += [F.col(f"_r.{c}") for c in keep_right]
+    return left_a.join(right_a, cond, how).select(*out_cols)
+
+
 try:  # StreamingQueryListener requires Spark ≥ 3.4 python support
     from pyspark.sql.streaming.listener import StreamingQueryListener
 

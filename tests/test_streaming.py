@@ -342,3 +342,60 @@ def test_metrics_listener_receives_progress(spark, ingest_dirs):
     assert listener.started
     assert sum(p["numInputRows"] for p in listener.progress) == 15
     assert all("triggerExecution" in p["durationMs"] for p in listener.progress)
+
+
+def test_stream_stream_join_within_tolerance(spark, tmp_path):
+    """Two watermarked file streams joined on sensor_id within ±5 min:
+    calibration records enrich only temporally-near readings; state is
+    bounded by watermark + tolerance."""
+    from streaming_etl_pipeline_spark.streaming import join_streams
+
+    in_a, in_b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(in_a), os.makedirs(in_b)
+    # readings at 10:00..10:09; calibrations at 10:02 (near) and 11:00 (far)
+    with open(os.path.join(in_a, "r.json"), "w") as f:
+        for i in range(10):
+            f.write(
+                json.dumps(
+                    {"sensor_id": "s1", "ts": f"2024-06-15 10:0{i}:00", "value": i}
+                )
+                + "\n"
+            )
+    with open(os.path.join(in_b, "c.json"), "w") as f:
+        f.write(json.dumps({"sensor_id": "s1", "cts": "2024-06-15 10:02:00", "offset": 0.5}) + "\n")
+        f.write(json.dumps({"sensor_id": "s1", "cts": "2024-06-15 11:00:00", "offset": 9.9}) + "\n")
+
+    readings = (
+        spark.readStream.format("json")
+        .schema("sensor_id string, ts string, value double")
+        .load(in_a)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    calib = (
+        spark.readStream.format("json")
+        .schema("sensor_id string, cts string, offset double")
+        .load(in_b)
+        .withColumn("cts", F.col("cts").cast("timestamp"))
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = join_streams(
+        readings, calib, on="sensor_id", left_ts="ts", right_ts="cts",
+        tolerance="5 minutes",
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # readings 10:00..10:07 are within ±5 min of the 10:02 calibration;
+    # the 11:00 calibration matches nothing (readings end 10:09)
+    assert got.count() == 8
+    assert got.filter(F.col("offset") != 0.5).count() == 0
+    assert {r.value for r in got.collect()} == set(float(i) for i in range(8))
