@@ -1622,6 +1622,57 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_18' THEN volume
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             {_DISC_PRICE_SQL} AS volume,
+             n.n_name AS nation
+      FROM lineitem, orders, supplier, nation n, part
+      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        AND s_nationkey = n.n_nationkey AND l_partkey = p_partkey
+        AND p_type = 'PROMO')
+    GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a product segment's revenue
+    per year — star join with the share computed as a conditional decimal
+    sum over the total (both sums share one aggregation, so the ratio
+    divides two exact values)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    vol = _disc_price()
+    natvol = F.when(F.col("n_name") == "NATION_18", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            natvol.alias("natvol"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum("natvol").cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

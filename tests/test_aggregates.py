@@ -206,3 +206,17 @@ def test_windowed_stats_scale_path_close_to_exact(spark, sf_dir):
         assert abs(a["p50_value"] - e["p50_value"]) <= 0.10 * (
             e["max_value"] - e["min_value"] + 1e-9
         )
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """A5 scale path: approx_count_distinct (HLL++) must land within its
+    configured relative standard deviation of the exact count."""
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    row = events.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert row["exact"] > 0
+    assert abs(row["approx"] - row["exact"]) <= max(4 * 0.02 * row["exact"], 2)
