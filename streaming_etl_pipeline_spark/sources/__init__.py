@@ -1,5 +1,6 @@
 from streaming_etl_pipeline_spark.sources.io import (  # noqa: F401
     TABLES,
+    compact,
     load_tables,
     read_table,
     spread,

@@ -73,6 +73,51 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """Rewrite a parquet dataset with consolidated files; returns rows.
+
+    Streaming sinks (one file per trigger per partition) and frequent
+    small batch appends accumulate small files until scan planning and
+    footer reads dominate query time — the classic operational problem of
+    an append-only lake. This maintenance job rewrites the dataset with
+    one task per Hive partition (bounded by ``maxRecordsPerFile``) into a
+    staging directory, then swaps it in. The swap is not atomic for
+    concurrent readers — run it like the reference runs its batch layers,
+    from the orchestrator between pipeline stages (a table format with a
+    transaction log is the upgrade path for live-reader safety).
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    staging = path.rstrip("/") + "._compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    out = df.repartition(*partition_by) if partition_by else df.coalesce(
+        max(1, spark.sparkContext.defaultParallelism // 4)
+    )
+    writer = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    backup = path.rstrip("/") + "._precompact"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(backup, path)  # roll back; leave source intact
+        raise
+    shutil.rmtree(backup)
+    return n
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Raise a DataFrame's parallelism to at least the cluster's cores.
 

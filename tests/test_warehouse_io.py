@@ -121,3 +121,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_compact_consolidates_small_files(spark, tmp_path):
+    import glob as _glob
+
+    from streaming_etl_pipeline_spark.sources import compact
+    from streaming_etl_pipeline_spark.sources.generator import generate_events
+
+    path = str(tmp_path / "lake")
+    ev = generate_events(spark, 20_000)
+    # simulate many tiny streaming appends: 40 files per sensor_type
+    ev.repartition(40).write.partitionBy("sensor_type").parquet(path)
+    before = len(_glob.glob(path + "/**/*.parquet", recursive=True))
+    want = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    n = compact(spark, path, partition_by=("sensor_type",))
+    after = len(_glob.glob(path + "/**/*.parquet", recursive=True))
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    assert n == 20_000
+    assert got == want
+    assert after < before / 10  # 160 files -> 4 (one per sensor_type)
+    assert not _glob.glob(path + "._*")
