@@ -9,6 +9,8 @@ silver→gold → quality):
         --silver /data/silver --gold /data/gold
     python -m streaming_etl_pipeline_spark.pipelines.run all \\
         --bronze /data/bronze --silver /data/silver --gold /data/gold
+    python -m streaming_etl_pipeline_spark.pipelines.run dedup \\
+        --docs /data/new_batch --store /data/dedup_store [--threshold 0.6]
 
 Orchestration stays external (cron/Airflow/dbt invoke these commands);
 idempotency comes from dynamic partition overwrite, so re-running a task
@@ -49,6 +51,15 @@ def make_parser() -> argparse.ArgumentParser:
     both.add_argument("--gold", required=True)
     both.add_argument("--date", default=None)
     both.add_argument("--validate", action="store_true")
+
+    dd = sub.add_parser(
+        "dedup", help="incremental near-dedup of a document batch vs a store"
+    )
+    dd.add_argument("--docs", required=True, help="parquet with doc_id,text")
+    dd.add_argument("--store", required=True, help="signature store dir")
+    dd.add_argument("--threshold", type=float, default=0.6)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
     return p
 
 
@@ -71,6 +82,22 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.silver, args.gold, run_date=args.date
         )
         metrics.update({f"s2g.{k}": v for k, v in res.metrics.items()})
+    if args.cmd == "dedup":
+        from streaming_etl_pipeline_spark.operators.dedup import (
+            incremental_near_dups,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        pairs = incremental_near_dups(
+            spark,
+            docs,
+            args.store,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            threshold=args.threshold,
+        )
+        metrics["dedup.input_docs"] = docs.count()
+        metrics["dedup.near_dup_pairs"] = pairs.count()
     print(json.dumps(metrics))
     return 0
 
