@@ -221,3 +221,40 @@ def silver_suite() -> Suite:
         Expectation("compound_unique", columns=("sensor_id", "event_time"))
     )
     return Suite("sensor_silver", tuple(exps))
+
+
+def check_freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_age_seconds: int = 1800,
+    now: str | None = None,
+) -> dict:
+    """Data-freshness gate (the reference's Airflow freshness check,
+    ``dags/streaming_pipeline_dag.py:121-126``, and the dashboard's
+    30-minute stale banner, ``app.py:314-317``).
+
+    One max() aggregation — no scan of anything but the ts column's
+    parquet stats when the reader can answer max() from footers. ``now``
+    is injectable (ISO timestamp string) for deterministic tests;
+    defaults to the current clock.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(F.max(ts_col).alias("latest")).collect()[0]
+    latest = row["latest"]
+    if latest is None:
+        return {"fresh": False, "age_seconds": None, "latest": None}
+    if now is not None:
+        import datetime as _dt
+
+        now_dt = _dt.datetime.fromisoformat(now)
+    else:
+        import datetime as _dt
+
+        now_dt = _dt.datetime.now()
+    age = (now_dt - latest).total_seconds()
+    return {
+        "fresh": age <= max_age_seconds,
+        "age_seconds": age,
+        "latest": latest.isoformat(),
+    }

@@ -127,3 +127,22 @@ def test_single_pass_plan(good_bronze):
     # no per-check actions (the reference recomputes per check).
     report = quality.validate(good_bronze, quality.bronze_suite())
     assert len(report) == 13
+
+
+def test_check_freshness(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.quality.expectations import check_freshness
+
+    df = spark.createDataFrame(
+        [Row(ts="2024-06-15 10:00:00"), Row(ts="2024-06-15 10:25:00")]
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+
+    ok = check_freshness(df, "ts", max_age_seconds=1800, now="2024-06-15T10:40:00")
+    assert ok["fresh"] and ok["age_seconds"] == 900
+
+    stale = check_freshness(df, "ts", max_age_seconds=1800, now="2024-06-15T11:30:00")
+    assert not stale["fresh"] and stale["age_seconds"] == 3900
+
+    empty = check_freshness(df.filter("ts IS NULL"), "ts")
+    assert not empty["fresh"] and empty["latest"] is None
