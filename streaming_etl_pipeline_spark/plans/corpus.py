@@ -1673,6 +1673,72 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier JOIN li l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    GROUP BY s_name
+    """,
+)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: a positive AND a negative correlated subquery on
+    the same fact — suppliers who were the sole late shipper in
+    multi-supplier orders (late = shipped >60 days after order date,
+    standing in for commit/receipt dates the corpus lacks). The shared
+    (orderkey, suppkey, is_late) projection is persisted once and reused
+    by the main branch, the EXISTS semi join, and the NOT-EXISTS anti
+    join."""
+    from pyspark import StorageLevel
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    li = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    l1 = li.filter(F.col("is_late"))
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    multi = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2_key) & (l1.l_suppkey != l2.s2_key),
+        "left_semi",
+    )
+    sole_late = multi.join(
+        l3,
+        (multi.l_orderkey == l3.o3_key) & (multi.l_suppkey != l3.s3_key),
+        "left_anti",
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+    )
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
