@@ -548,6 +548,41 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT CAST(i - 1 AS INTEGER) AS dim,
+           min(x) AS min_val,
+           max(x) AS max_val,
+           count(*) AS n,
+           round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+                 / count(*), 9) AS avg_val
+    FROM (SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY 1
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (posexplode) as a relational op: per-dimension
+    min/max/avg over the embedding matrix — the column-profile pass a
+    feature store runs before normalization. Decimal accumulation keeps
+    the float sums order-independent; positions are 0-based on both
+    sides."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    return exploded.groupBy("dim").agg(
+        F.min("x").alias("min_val"),
+        F.max("x").alias("max_val"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_val"),
+    )
+
+
 from streaming_etl_pipeline_spark.operators import sketches as SK  # noqa: E402
 
 
