@@ -194,11 +194,18 @@ def start_gold_upsert_sink(
     The reference batch-recomputes Gold (T7 hybrid); this is the additive
     streaming variant: an UPDATE-mode windowed agg emits each window's
     refreshed totals as late rows arrive, and ``foreachBatch`` replaces
-    exactly the touched ``window_start`` partitions via dynamic partition
-    overwrite — the same delete-by-window idempotency as the warehouse
-    loader (S8, ``redshift_loader.py:33-55``), so replays after a restart
-    rewrite partitions instead of duplicating rows. State is bounded by
-    the watermark: expired windows leave the store.
+    exactly the touched partitions via dynamic partition overwrite — the
+    same delete-by-window idempotency as the warehouse loader (S8,
+    ``redshift_loader.py:33-55``), so replays after a restart rewrite
+    partitions instead of duplicating rows. State is bounded by the
+    watermark: expired windows leave the store.
+
+    The sink partitions by ``(window_start, *keys)``, not ``window_start``
+    alone: update mode delivers only the *groups* refreshed in a trigger,
+    so overwriting whole ``window_start`` partitions would silently drop
+    the window's untouched sibling groups. Partitioning down to the group
+    key makes the dynamic overwrite granularity match the update-mode
+    emission granularity exactly.
     """
     from streaming_etl_pipeline_spark.functions.core import time_bucket
 
@@ -217,7 +224,7 @@ def start_gold_upsert_sink(
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("window_start")
+            .partitionBy("window_start", *keys)
             .parquet(path)
         )
 

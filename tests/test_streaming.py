@@ -313,6 +313,59 @@ def test_gold_upsert_sink_idempotent_and_matches_batch(spark, ingest_dirs, tmp_p
     assert got == want
 
 
+def test_gold_upsert_preserves_sibling_groups(spark, ingest_dirs, tmp_path):
+    # Update-mode delivers only the groups refreshed in a trigger. A later
+    # micro-batch touching one sensor_type in a window must NOT wipe the
+    # other sensor_type's rows for that same window (the sink partitions
+    # by (window_start, *keys), so dynamic overwrite is group-granular).
+    from streaming_etl_pipeline_spark.streaming import start_gold_upsert_sink
+
+    def event(i, stype, minute, second=0):
+        return json.dumps(
+            {
+                "sensor_id": f"sensor-{i:03d}",
+                "sensor_type": stype,
+                "timestamp": f"2024-06-15T10:{minute:02d}:{second:02d}+00:00",
+                "value": 20.0 + i,
+                "unit": "celsius" if stype == "temperature" else "percent",
+                "location": "floor-1-zone-A",
+            }
+        )
+
+    # batch 1: both groups in the 10:00 window
+    lines = [event(i, "temperature", i) for i in range(4)]
+    lines += [event(10 + i, "humidity", i) for i in range(4)]
+    with open(os.path.join(ingest_dirs["in"], "b1.json"), "w") as f:
+        f.write("\n".join(lines))
+
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "g_ckpt")
+
+    def run_once():
+        raw = read_json_stream(spark, ingest_dirs["in"])
+        bronze, _ = parse_events(raw)
+        q = start_gold_upsert_sink(bronze, gold, ckpt, trigger={"availableNow": True})
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(gold)
+    assert first.filter(F.col("sensor_type") == "humidity").count() == 1
+    assert first.filter(F.col("sensor_type") == "temperature").count() == 1
+
+    # batch 2: a late row for ONLY temperature, same 10:00 window
+    with open(os.path.join(ingest_dirs["in"], "b2.json"), "w") as f:
+        f.write(event(99, "temperature", 4, 30))
+    run_once()
+
+    out = spark.read.parquet(gold)
+    hum = out.filter(F.col("sensor_type") == "humidity").collect()
+    assert len(hum) == 1, "sibling group was wiped by the window overwrite"
+    assert hum[0]["reading_count"] == 4
+    temp = out.filter(F.col("sensor_type") == "temperature").collect()
+    assert len(temp) == 1
+    assert temp[0]["reading_count"] == 5
+
+
 def test_metrics_listener_receives_progress(spark, ingest_dirs):
     from streaming_etl_pipeline_spark.streaming import MetricsListener
 
