@@ -178,14 +178,11 @@ def minhash_from_shingles(sh: Column | str, num_hashes: int = 16) -> list[Column
 
 
 def minhash_signature_sql(col_sql: str, num_hashes: int = 16, k: int = 3) -> list[str]:
-    sh = shingles_sql(col_sql, k)
-    return [
-        (
-            f"list_min(list_transform({sh}, "
-            f"s -> ('0x' || substr(md5(s || '{i}'), 1, 15))::BIGINT)) AS mh{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    """True DuckDB twin of :func:`minhash_signature`: the same composition
+    (shingle → single md5 pass → Carter-Wegman mixes), so Spark and oracle
+    signatures match bit-for-bit."""
+    hs = hashed_shingles_sql(shingles_sql(col_sql, k))
+    return minhash_from_hashes_sql(hs, num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -328,9 +325,25 @@ def incremental_near_dups(
     bootstraps the store. This is the 100 TB dedup loop: per-ingest cost
     scales with the new batch, not the corpus.
     """
+    from pyspark.errors import AnalysisException
+
     new_sigs = build_signatures(new_docs, id_col=id_col, text_col=text_col)
+    # Only "store doesn't exist yet" means first run. Any other failure
+    # (schema drift, OOM in the band join) must propagate — swallowing it
+    # would return zero pairs (false-negative dedup) while still
+    # advancing the store.
     try:
         store = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        store = None
+    if store is None:
+        id_type = new_docs.schema[id_col].dataType.simpleString()
+        pairs = spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double"
+        )
+    else:
         pairs = near_dup_pairs_from_signatures(
             new_sigs, store, id_col=id_col, threshold=threshold
         )
@@ -338,10 +351,6 @@ def incremental_near_dups(
             # materialize before appending so the append doesn't feed
             # back into the store scan (executor-side, not a collect)
             pairs = pairs.localCheckpoint(eager=True)
-    except Exception:
-        pairs = spark.createDataFrame(
-            [], "id_a long, id_b long, jaccard double"
-        )
     if append:
         new_sigs.write.mode("append").parquet(store_path)
     return pairs

@@ -40,17 +40,25 @@ TABLES = (
 )
 
 
-@lru_cache(maxsize=256)
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
     timestamp type, so we read them as long (nanosAsLong) and downcast to
-    microsecond timestamps, matching DuckDB's nanos→micros truncation."""
+    microsecond timestamps, matching DuckDB's nanos→micros truncation.
+
+    Cached per (file, mtime): a rewrite of the same path (compaction,
+    overwrite) with different timestamp types invalidates the entry, so a
+    stale nanos→micros decision can't corrupt the cast."""
     f = path
     if os.path.isdir(path):
         files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         if not files:
             return ()
         f = sorted(files)[0]
+    return _nanos_ts_columns_cached(f, os.path.getmtime(f))
+
+
+@lru_cache(maxsize=256)
+def _nanos_ts_columns_cached(f: str, mtime: float) -> tuple[str, ...]:
     schema = pq.read_schema(f)
     return tuple(
         name

@@ -142,6 +142,43 @@ def test_incremental_near_dups_against_store(spark, tmp_path, sf_dir):
     assert spark.read.parquet(store).count() == 120
 
 
+def test_incremental_near_dups_bootstrap_string_ids_and_error_propagation(
+    spark, tmp_path
+):
+    # bootstrap with string doc ids: empty result schema must match the
+    # id type (was hardcoded long), and only path-not-found is "first run"
+    store = str(tmp_path / "s2")
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    p0 = DD.incremental_near_dups(spark, docs, store)
+    assert p0.count() == 0
+    assert dict(p0.dtypes)["id_a"] == "string"
+    # a genuine failure (store exists but is not parquet-readable garbage
+    # with wrong schema) must NOT be swallowed as "first run"
+    bad = str(tmp_path / "bad_store")
+    spark.createDataFrame([(1,)], "not_a_sig int").write.parquet(bad)
+    with pytest.raises(Exception, match="hsd|mh0|doc_id|UNRESOLVED"):
+        DD.incremental_near_dups(spark, docs, bad, append=False).count()
+
+
+def test_minhash_signature_sql_matches_spark(spark, docs):
+    # the one-shot SQL twin must reproduce the Spark signature bit-for-bit
+    import duckdb
+
+    sdf = docs.select("doc_id", *DD.minhash_signature("text", num_hashes=4))
+    got = {r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3) for r in sdf.collect()}
+    con = duckdb.connect()
+    con.register("docs_mm", docs.toPandas())
+    cols = ", ".join(DD.minhash_signature_sql("text", num_hashes=4))
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(f"SELECT doc_id, {cols} FROM docs_mm").fetchall()
+    }
+    assert got == want
+
+
 def test_simhash_close_for_suffix_edit(spark, docs):
     edited = docs.select("doc_id", F.concat("text", F.lit(" suffix")).alias("text"))
     h1 = {
