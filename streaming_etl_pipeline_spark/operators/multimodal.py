@@ -4,15 +4,16 @@ Design (SURVEY.md §7 step 7): media travel as opaque ``binary`` payload
 columns next to typed metadata — the lakehouse-native pattern (same as
 Spark's built-in ``binaryFile`` source schema). All heavy per-asset work
 (decode, resize, feature-extract, frame-sample) runs as Arrow-batched
-``mapInPandas`` over the payload column:
+``mapInPandas`` over the payload column.
 
-- the PLUMBING is real and tested — schema contract, batch shape,
-  partition sizing, Arrow round-trip;
-- the DECODE itself is stubbed: the image/audio libraries are not in
-  this container, so ``_decode_payload`` tries the real library and
-  falls back to a clearly-marked deterministic fake (documented below).
-  Swapping in Pillow/torchaudio later changes one function, not the
-  pipeline.
+Decode is REAL: image payloads are PNG containers decoded with Pillow
+when installed, else the pure-stdlib zlib decoder in
+``functions/codecs.py``; audio payloads are PCM16 WAV decoded with the
+stdlib ``wave`` module. Features are computed from actual pixel / sample
+arrays (dimensions, channel stats, RMS, zero-crossing rate). A payload
+that fails to decode falls back to a clearly-labelled ``stub-sha256``
+byte-hash feature instead of failing the job — the dead-letter-style
+behavior for corrupt media.
 
 Scale notes: payloads dominate bytes, so the operative knobs are
 ``spark.sql.files.maxPartitionBytes`` (keep decoded batches within
@@ -25,13 +26,22 @@ never the payload.
 from __future__ import annotations
 
 import hashlib
+import io
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from streaming_etl_pipeline_spark.functions.codecs import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -65,54 +75,132 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+IMG_SIZE = 64
+AUDIO_RATE = 16000
+AUDIO_SAMPLES = 16000  # 1 second of PCM16
+
+
+def _det_bytes(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random bytes: counter-mode sha256 of the seed."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}#{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
 
 def synthesize_assets(spark: SparkSession, n: int = 100) -> DataFrame:
-    """Deterministic fake asset table: payload bytes derived from the
-    asset id via sha256 (columnar — ``spark.range`` + built-ins only).
-    Stands in for a real ``spark.read.format("binaryFile")`` scan."""
-    base = spark.range(n).select(F.col("id").alias("asset_id"))
-    kind = F.when(F.col("asset_id") % 2 == 0, "image").otherwise("audio")
-    payload = F.unhex(
-        F.concat(
-            *[
-                F.sha2(F.concat(F.col("asset_id").cast("string"), F.lit(f"#{i}")), 256)
-                for i in range(4)
-            ]
-        )
-    )
-    n_bytes = F.length(payload).cast("int")
-    return base.select(
-        "asset_id",
-        kind.alias("kind"),
-        payload.alias("payload"),
-        F.struct(
-            F.when(kind == "image", F.lit(64)).otherwise(F.lit(None)).cast("int").alias("width"),
-            F.when(kind == "image", F.lit(64)).otherwise(F.lit(None)).cast("int").alias("height"),
-            F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(None)).cast("int").alias("sample_rate"),
-            n_bytes.alias("n_bytes"),
-        ).alias("meta"),
-    )
+    """Deterministic fake asset table with REAL media payloads: even ids
+    carry a 64×64 RGB PNG, odd ids a 1-second PCM16 WAV — both derived
+    from the asset id via counter-mode sha256, so every run produces the
+    same bytes. Stands in for a ``spark.read.format("binaryFile")`` scan;
+    generation runs distributed via Arrow-batched ``mapInPandas``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for aid in pdf["id"]:
+                aid = int(aid)
+                if aid % 2 == 0:
+                    arr = np.frombuffer(
+                        _det_bytes(f"img{aid}", IMG_SIZE * IMG_SIZE * 3),
+                        dtype=np.uint8,
+                    ).reshape(IMG_SIZE, IMG_SIZE, 3)
+                    payload = png_encode(arr)
+                    meta = {
+                        "width": IMG_SIZE,
+                        "height": IMG_SIZE,
+                        "sample_rate": None,
+                        "n_bytes": len(payload),
+                    }
+                    kinds.append("image")
+                else:
+                    samples = np.frombuffer(
+                        _det_bytes(f"aud{aid}", AUDIO_SAMPLES * 2), dtype="<i2"
+                    )
+                    payload = wav_encode(samples, AUDIO_RATE)
+                    meta = {
+                        "width": None,
+                        "height": None,
+                        "sample_rate": AUDIO_RATE,
+                        "n_bytes": len(payload),
+                    }
+                    kinds.append("audio")
+                ids.append(aid)
+                payloads.append(payload)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"asset_id": ids, "kind": kinds, "payload": payloads, "meta": metas}
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Pillow when installed, stdlib PNG decoder otherwise. Returns
+    (H, W, C) uint8 pixels + the decoder name."""
+    try:
+        from PIL import Image
+
+        arr = np.asarray(Image.open(io.BytesIO(payload)))
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr.astype(np.uint8), "pillow"
+    except ImportError:
+        return png_decode(payload), "png-stdlib"
 
 
 def _decode_payload(kind: str, payload: bytes) -> tuple[list[float], str]:
-    """Decode an asset and produce a small feature vector.
+    """Decode an asset and compute an 8-dim feature vector from the
+    actual pixels / samples:
 
-    STUB: real decoders (Pillow for images, soundfile/torchaudio for
-    audio) are not installed in this container. We try them, and fall
-    back to a deterministic fake feature (sha256-seeded, fixed 8-dim)
-    so the distributed plumbing is fully exercisable. The fake is NOT a
-    real feature — swap `_decode_payload` when the codec libs exist.
+    - image: [width, height, channels, mean, std, min, max, mean(ch0)]
+      over pixels scaled to [0, 1];
+    - audio: [sample_rate, n_samples, rms, zero_cross_rate, mean, min,
+      max, peak] over samples scaled to [-1, 1].
+
+    An undecodable payload yields the labelled ``stub-sha256`` fallback
+    (byte-hash features) instead of failing the batch.
     """
-    if kind == "image":
-        try:  # pragma: no cover - library absent in this container
-            from PIL import Image  # noqa: F401
-
-            raise NotImplementedError("real image decode not wired yet")
-        except ImportError:
-            pass
-    digest = hashlib.sha256(payload).digest()
-    feat = [round(b / 255.0, 6) for b in digest[:8]]
-    return feat, "stub-sha256"
+    try:
+        if kind == "image":
+            arr, decoder = _decode_image(payload)
+            h, w, c = arr.shape
+            x = arr.astype(np.float64) / 255.0
+            feat = [
+                float(w),
+                float(h),
+                float(c),
+                round(float(x.mean()), 6),
+                round(float(x.std()), 6),
+                round(float(x.min()), 6),
+                round(float(x.max()), 6),
+                round(float(x[..., 0].mean()), 6),
+            ]
+            return feat, decoder
+        samples, rate = wav_decode(payload)
+        x = samples.astype(np.float64) / 32768.0
+        flat = x.mean(axis=1) if x.ndim > 1 else x
+        zc = (
+            float(np.mean(np.signbit(flat[1:]) != np.signbit(flat[:-1])))
+            if len(flat) > 1
+            else 0.0
+        )
+        feat = [
+            float(rate),
+            float(len(flat)),
+            round(float(np.sqrt(np.mean(flat**2))), 6),
+            round(zc, 6),
+            round(float(flat.mean()), 6),
+            round(float(flat.min()), 6),
+            round(float(flat.max()), 6),
+            round(float(np.abs(flat).max()), 6),
+        ]
+        return feat, "wav-stdlib"
+    except Exception:
+        digest = hashlib.sha256(payload).digest()
+        return [round(b / 255.0, 6) for b in digest[:8]], "stub-sha256"
 
 
 def _byte_entropy(payload: bytes) -> float:
@@ -146,30 +234,37 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize image assets to width×height via Arrow-batched mapInPandas.
+def _resize_nn(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via integer index sampling — identical
+    output whichever library decoded the pixels."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys][:, xs]
 
-    STUB decode/encode: without Pillow the "resized" payload is a
-    deterministic sha256-derived stand-in of the right conceptual shape;
-    the distributed plumbing (filter to images, batch iteration, schema
-    contract, payload replacement) is real. One narrow projection — no
-    shuffle at any scale.
-    """
+
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize image assets to width×height via Arrow-batched mapInPandas:
+    real decode (Pillow or stdlib PNG), nearest-neighbor resample, PNG
+    re-encode. Corrupt payloads fall back to a labelled sha256 stand-in.
+    One narrow projection — no shuffle at any scale."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, resizers = [], []
             for payload in pdf["payload"]:
                 payload = bytes(payload)
-                try:  # pragma: no cover - library absent in this container
-                    from PIL import Image  # noqa: F401
-
-                    raise NotImplementedError("real resize not wired yet")
-                except ImportError:
+                try:
+                    arr, decoder = _decode_image(payload)
+                    out = png_encode(_resize_nn(arr, width, height))
+                    payloads.append(out)
+                    resizers.append(f"{decoder}+nn")
+                except Exception:
                     seed = hashlib.sha256(
                         payload + f":{width}x{height}".encode()
                     ).digest()
                     payloads.append(seed * ((width * height) // len(seed) + 1))
+                    resizers.append("stub-sha256")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -177,7 +272,7 @@ def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataF
                     "payload": payloads,
                     "width": width,
                     "height": height,
-                    "resizer": "stub-sha256",
+                    "resizer": resizers,
                 }
             )
 
@@ -192,30 +287,42 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     """Sample n frames per audio/video asset — the row-exploding shape
     (one input asset → n output rows) via mapInPandas.
 
-    STUB frame extraction: each "frame" is a deterministic slice-hash of
-    the payload. Real decoders drop in at the marked point; the 1→n
-    Arrow plumbing, deterministic frame indexing and memory behavior
-    (frames stream out per batch, payload never amplified n× in one
-    buffer) are the engineered part.
+    Audio: real WAV decode, n equal PCM chunks, each re-encoded as a
+    standalone WAV at the source rate ("wav-chunks"). Undecodable
+    payloads fall back to deterministic slice hashes. Frames stream out
+    per Arrow batch — the payload is never amplified n× in one buffer.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, samplers = [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = bytes(payload)
-                step = max(len(payload) // n_frames, 1)
-                for i in range(n_frames):
-                    chunk = payload[i * step : (i + 1) * step] or payload[-step:]
-                    ids.append(aid)
-                    idxs.append(i)
-                    frames.append(hashlib.sha256(chunk).digest())
+                try:
+                    samples, rate = wav_decode(payload)
+                    step = max(len(samples) // n_frames, 1)
+                    for i in range(n_frames):
+                        chunk = samples[i * step : (i + 1) * step]
+                        if len(chunk) == 0:
+                            chunk = samples[-step:]
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(wav_encode(chunk, rate))
+                        samplers.append("wav-chunks")
+                except Exception:
+                    step = max(len(payload) // n_frames, 1)
+                    for i in range(n_frames):
+                        raw = payload[i * step : (i + 1) * step] or payload[-step:]
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(hashlib.sha256(raw).digest())
+                        samplers.append("stub-slicehash")
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
                     "frame_index": idxs,
                     "frame_payload": frames,
-                    "sampler": "stub-slicehash",
+                    "sampler": samplers,
                 }
             )
 

@@ -631,9 +631,10 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via mapInPandas (decode stubbed —
-    see operators/multimodal.py). Rows-only check: deterministic fake
-    assets, schema-stable features."""
+    """Binary-payload feature extraction via mapInPandas with real decode
+    (PNG via zlib, WAV via stdlib wave; Pillow when installed — see
+    operators/multimodal.py). Rows-only check: deterministic synthetic
+    media, schema-stable features."""
     assets = MM.synthesize_assets(spark, n=200)
     return MM.extract_features(assets)
 

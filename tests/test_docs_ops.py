@@ -325,13 +325,65 @@ def test_multimodal_schema_and_determinism(spark):
     assert len(rows) == 20
     again = {r.asset_id: r for r in MM.extract_features(assets).collect()}
     for k in rows:
-        assert rows[k] == again[k]  # deterministic stub decode
+        assert rows[k] == again[k]  # deterministic decode
         assert len(rows[k].feature) == 8
-        assert rows[k].n_bytes == 128  # 4 × sha256
-        assert rows[k].decoder == "stub-sha256"
         assert 0.0 < rows[k].byte_entropy <= 8.0
+        if rows[k].kind == "image":
+            # real decode: dimensions and channel count come from the PNG
+            assert rows[k].decoder in ("png-stdlib", "pillow")
+            assert rows[k].feature[:3] == [64.0, 64.0, 3.0]
+            assert 0.0 < rows[k].feature[3] < 1.0  # pixel mean
+        else:
+            assert rows[k].decoder == "wav-stdlib"
+            assert rows[k].feature[0] == 16000.0  # sample rate from header
+            assert rows[k].feature[1] == 16000.0  # n samples
+            assert 0.0 < rows[k].feature[2] < 1.0  # rms
     kinds = {r.kind for r in rows.values()}
     assert kinds == {"image", "audio"}
+
+
+def test_multimodal_corrupt_payload_falls_back_to_stub(spark):
+    from pyspark.sql import types as T
+
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"not a png"), (None, None, None, 9)),
+         (2, "audio", bytearray(b"not a wav"), (None, None, None, 9))],
+        MM.ASSET_SCHEMA,
+    )
+    rows = {r.asset_id: r for r in MM.extract_features(bad).collect()}
+    assert rows[1].decoder == "stub-sha256"
+    assert rows[2].decoder == "stub-sha256"
+    assert len(rows[1].feature) == 8
+
+
+def test_png_codec_roundtrip_all_filters():
+    import numpy as np
+
+    from streaming_etl_pipeline_spark.functions import codecs as C
+
+    rng_bytes = MM._det_bytes("roundtrip", 24 * 17 * 3)
+    arr = np.frombuffer(rng_bytes, dtype=np.uint8).reshape(24, 17, 3)
+    for ftype in range(5):  # None, Sub, Up, Average, Paeth
+        data = C.png_encode(arr, filter_type=ftype)
+        out = C.png_decode(data)
+        assert out.shape == (24, 17, 3)
+        assert (out == arr).all(), f"filter {ftype} roundtrip mismatch"
+    # greyscale and RGBA shapes
+    g = arr[:, :, 0]
+    assert (C.png_decode(C.png_encode(g))[:, :, 0] == g).all()
+    rgba = np.dstack([arr, g])
+    assert (C.png_decode(C.png_encode(rgba)) == rgba).all()
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from streaming_etl_pipeline_spark.functions import codecs as C
+
+    samples = np.frombuffer(MM._det_bytes("wavrt", 2000), dtype="<i2")
+    out, rate = C.wav_decode(C.wav_encode(samples, 22050))
+    assert rate == 22050
+    assert (out == samples).all()
 
 
 def test_multimodal_meta_by_kind(spark):
@@ -345,17 +397,27 @@ def test_multimodal_meta_by_kind(spark):
 
 
 def test_multimodal_resize_and_frame_sample(spark):
+    from streaming_etl_pipeline_spark.functions import codecs as C
+
     assets = MM.synthesize_assets(spark, n=20)
     resized = MM.resize_images(assets, width=16, height=16).collect()
     assert len(resized) == 10  # images only (even asset ids)
     for r in resized:
         assert r.width == 16 and r.height == 16
-        assert r.kind == "image" and len(r.payload) >= 16 * 16
+        assert r.kind == "image"
+        assert r.resizer in ("png-stdlib+nn", "pillow+nn")
+        # the resized payload is a real PNG of the requested dimensions
+        out = C.png_decode(bytes(r.payload))
+        assert out.shape == (16, 16, 3)
     frames = MM.sample_frames(assets, n_frames=4).collect()
     assert len(frames) == 40  # 10 audio assets × 4 frames
     by_asset: dict[int, list] = {}
     for f in frames:
         by_asset.setdefault(f.asset_id, []).append(f)
+        assert f.sampler == "wav-chunks"
+        # each frame is a standalone decodable WAV chunk at the source rate
+        samples, rate = C.wav_decode(bytes(f.frame_payload))
+        assert rate == 16000 and len(samples) == 16000 // 4
     for aid, fs in by_asset.items():
         assert sorted(x.frame_index for x in fs) == [0, 1, 2, 3]
     # determinism
