@@ -37,11 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return corpus.queries()
+    """One entry per implemented operator group from SURVEY.md §2.
+
+    The driver gates at most the first 50 entries, so this exports the
+    curated ≤50-name DRIVER_SET (plans/corpus_merged.py): every declared
+    operator is either its own entry or value-verified inside a merged
+    entry (COVERED_BY documents the mapping). The full granular registry
+    remains locally gated via scripts/check_oracle.py."""
+    return corpus.driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each query (omitted for genuinely
     non-SQL-expressible ops → rows-only check)."""
-    return corpus.oracle_sql()
+    return corpus.driver_oracle_sql()

@@ -497,11 +497,14 @@ def hamming_close_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     bits: int = 32,
+    include_hashes: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, with pigeonhole
     banding: split the hash into ``chunks`` equal bit-chunks — any pair
     within ``max_hamming < chunks`` must share at least one exact chunk,
     so the join key is (chunk index, chunk value), never a cross join.
+    ``include_hashes`` keeps both signatures (h_a, h_b) in the output so
+    downstream checks can verify the per-doc SimHash values themselves.
     """
     width = bits // chunks
     mask = (1 << width) - 1
@@ -536,6 +539,7 @@ def hamming_close_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    cols = ["id_a", "id_b"] + (["h_a", "h_b"] if include_hashes else [])
     return pairs.select(
-        "id_a", "id_b", hamming.alias("hamming")
+        *cols, hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

@@ -1742,3 +1742,19 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
+from streaming_etl_pipeline_spark.plans import corpus_merged  # noqa: E402,F401
+
+
+def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The ≤50-entry subset exported to the round driver (which gates only
+    the first 50 names) — see corpus_merged.DRIVER_SET. The full QUERIES
+    registry stays the local gate via scripts/check_oracle.py."""
+    return {n: QUERIES[n].fn for n in corpus_merged.DRIVER_SET}
+
+
+def driver_oracle_sql() -> dict[str, str]:
+    return {
+        n: QUERIES[n].sql
+        for n in corpus_merged.DRIVER_SET
+        if QUERIES[n].sql is not None
+    }

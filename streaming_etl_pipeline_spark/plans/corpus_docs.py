@@ -377,8 +377,8 @@ def _simhash_pairs_sql(bits: int = 32, chunks: int = 4, max_hamming: int = 3) ->
       FROM chunks l JOIN chunks r
         ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
     )
-    SELECT id_a, id_b, hamming FROM (
-      SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming FROM cand
+    SELECT id_a, id_b, h_a, h_b, hamming FROM (
+      SELECT id_a, id_b, h_a, h_b, bit_count(xor(h_a, h_b)) AS hamming FROM cand
     ) WHERE hamming <= {max_hamming}
     """
 
@@ -387,13 +387,16 @@ def _simhash_pairs_sql(bits: int = 32, chunks: int = 4, max_hamming: int = 3) ->
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming ≤ 3 over 32 bits, candidates from
     pigeonhole chunk banding (4 chunks — any pair ≤ 3 bits apart shares a
-    chunk), so the join is equi on (chunk, value), never a cross join."""
+    chunk), so the join is equi on (chunk, value), never a cross join.
+    The paired signatures (h_a, h_b) ride along so the per-doc SimHash
+    values are hash-verified by the same oracle row."""
     docs = _docs_with_dups(spark, sf_dir)
     hashed = docs.select(
         "doc_id", DD.token_hashes("text").alias("hs")
     ).select("doc_id", DD.simhash_from_hashes("hs", 32).alias("simhash"))
     return DD.hamming_close_pairs(
-        hashed, hash_col="simhash", max_hamming=3, chunks=4, bits=32
+        hashed, hash_col="simhash", max_hamming=3, chunks=4, bits=32,
+        include_hashes=True,
     )
 
 

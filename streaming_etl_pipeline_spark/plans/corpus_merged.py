@@ -1,0 +1,374 @@
+"""Driver-gate consolidation: merged queries + the DRIVER_SET export.
+
+The round driver gates the FIRST 50 entries of ``__spark_entry__
+.queries()`` (round 1 recorded exactly queries 0-49 of 63, leaving the
+whole LLM-ops tail ungated). Rather than let 13 declared operators go
+driver-unverified, this module merges groups of related queries into
+single differential-gated entries — same operator functions, same oracle
+rigor, one row in the driver's CORRECTNESS file per group — and defines
+``DRIVER_SET``: the ≤50 names ``__spark_entry__`` exports, extension
+operators first.
+
+Merge rules (each merged query composes the REGISTERED constituent SQL
+verbatim, so the oracle twins stay in lock-step automatically):
+
+- same-grain projections over one table join on the key (text_profile,
+  event_enrichment);
+- single-row scalars cross-join into one wide row (revenue_scalars,
+  metrics_overview);
+- same-schema result sets union with a method/label column (ann_topk,
+  user_set_ops, customer_recency).
+
+Every granular query stays registered — the local gate
+(``scripts/check_oracle.py``) checks all of them; ``COVERED_BY`` maps
+each non-exported name to the merged entry that carries its values
+through the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.plans.corpus import QUERIES, register
+
+
+def _sql(name: str) -> str:
+    sql = QUERIES[name].sql
+    assert sql is not None, name
+    return sql
+
+
+def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# text_profile = text_stats ⋈ language_id ⋈ doc_fingerprint (per-doc grain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_profile",
+    f"""
+    WITH ts AS ({_sql("text_stats")}),
+         li AS ({_sql("language_id")}),
+         fp AS ({_sql("doc_fingerprint")})
+    SELECT ts.*,
+           li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
+           fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
+           fp.n_shingles
+    FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
+    """,
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: token/quality stats + language ID +
+    content fingerprint in one row per doc — the full text-analysis
+    surface driver-gated as a single 500-row hash."""
+    return (
+        _run("text_stats", spark, sf_dir)
+        .join(_run("language_id", spark, sf_dir), "doc_id")
+        .join(_run("doc_fingerprint", spark, sf_dir), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_set_ops = EXCEPT ∪ EXCEPT ∪ INTERSECT with a set_op label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_set_ops",
+    f"""
+    SELECT 'lost_after_week1' AS set_op, user_id
+    FROM ({_sql("users_lost_after_week1")})
+    UNION ALL
+    SELECT 'never_purchased' AS set_op, user_id
+    FROM ({_sql("users_never_purchased")})
+    UNION ALL
+    SELECT 'active_both_ends' AS set_op, user_id
+    FROM ({_sql("users_active_both_ends")})
+    """,
+)
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT coverage in one result: each constituent set
+    query labelled by set_op (U2 + the INTERSECT complement)."""
+    parts = [
+        _run("users_lost_after_week1", spark, sf_dir).select(
+            F.lit("lost_after_week1").alias("set_op"), "user_id"
+        ),
+        _run("users_never_purchased", spark, sf_dir).select(
+            F.lit("never_purchased").alias("set_op"), "user_id"
+        ),
+        _run("users_active_both_ends", spark, sf_dir).select(
+            F.lit("active_both_ends").alias("set_op"), "user_id"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# customer_recency = semi ∪ anti with a has_recent flag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_recency",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, TRUE AS has_recent
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, FALSE AS has_recent
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+)
+def q_customer_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one gated
+    result: every customer labelled by recent-order membership. Together
+    the two branches partition the customer table, so both join flavors
+    are value-verified."""
+    from streaming_etl_pipeline_spark.operators.joins import anti_join, semi_join
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    has = semi_join(cust, recent, on="c_custkey").select(
+        *cols, F.lit(True).alias("has_recent")
+    )
+    lacks = anti_join(cust, recent, on="c_custkey").select(
+        *cols, F.lit(False).alias("has_recent")
+    )
+    return has.unionByName(lacks)
+
+
+# ---------------------------------------------------------------------------
+# revenue_scalars = q6 × q14 × q17 × q19 (all single-row lineitem scalars)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_scalars",
+    f"""
+    SELECT q6.revenue AS q6_revenue, q6.n_items AS q6_items,
+           q14.promo_revenue_pct AS q14_promo_pct,
+           q17.avg_yearly AS q17_avg_yearly,
+           q19.revenue AS q19_revenue, q19.n_items AS q19_items
+    FROM ({_sql("q6_forecast_revenue")}) q6,
+         ({_sql("q14_promo_revenue")}) q14,
+         ({_sql("q17_small_qty_revenue")}) q17,
+         ({_sql("q19_disjunctive_revenue")}) q19
+    """,
+)
+def q_revenue_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6/Q14/Q17/Q19 shapes — four single-row revenue scalars
+    cross-joined into one wide gated row (each cross join input is one
+    row, so the joins are trivially broadcast)."""
+    q6 = _run("q6_forecast_revenue", spark, sf_dir).select(
+        F.col("revenue").alias("q6_revenue"), F.col("n_items").alias("q6_items")
+    )
+    q14 = _run("q14_promo_revenue", spark, sf_dir).select(
+        F.col("promo_revenue_pct").alias("q14_promo_pct")
+    )
+    q17 = _run("q17_small_qty_revenue", spark, sf_dir).select(
+        F.col("avg_yearly").alias("q17_avg_yearly")
+    )
+    q19 = _run("q19_disjunctive_revenue", spark, sf_dir).select(
+        F.col("revenue").alias("q19_revenue"), F.col("n_items").alias("q19_items")
+    )
+    return q6.crossJoin(q14).crossJoin(q17).crossJoin(q19)
+
+
+# ---------------------------------------------------------------------------
+# event_enrichment = range_flags ⋈ rolling_zscore (per-event grain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_enrichment",
+    f"""
+    WITH rf AS ({_sql("range_flags")}),
+         rz AS ({_sql("rolling_zscore")})
+    SELECT rf.event_id, rf.user_id, rf.event_type, rz.ts, rf.value,
+           rf.is_anomaly AS range_anomaly, rz.is_anomaly AS zscore_anomaly
+    FROM rf JOIN rz ON rf.event_id = rz.event_id
+    """,
+)
+def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 per-type range flags + W2/W3 rolling z-score flags joined on
+    the event key — both anomaly operators value-verified per event in
+    one 10k-row gated result."""
+    rf = _run("range_flags", spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("is_anomaly").alias("range_anomaly"),
+    )
+    rz = _run("rolling_zscore", spark, sf_dir).select(
+        "event_id", "ts", F.col("is_anomaly").alias("zscore_anomaly")
+    )
+    return rf.join(rz, "event_id").select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        "range_anomaly", "zscore_anomaly",
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics_overview = global_metrics × quality_metrics (single-row each)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metrics_overview",
+    f"""
+    SELECT g.*, q.*
+    FROM ({_sql("global_metrics")}) g, ({_sql("quality_metrics")}) q
+    """,
+)
+def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 dashboard scalars + §2.11 expectation metrics in one wide
+    gated row (column names are disjoint by construction)."""
+    return _run("global_metrics", spark, sf_dir).crossJoin(
+        _run("quality_metrics", spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_topk = bruteforce ∪ lsh ∪ ivf with a method label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk",
+    f"""
+    SELECT 'bruteforce' AS method, query_id, rank, neighbor_id, cosine_sim
+    FROM ({_sql("ann_topk_bruteforce")})
+    UNION ALL
+    SELECT 'lsh' AS method, query_id, rank, neighbor_id, cosine_sim
+    FROM ({_sql("ann_topk_lsh")})
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine_sim
+    FROM ({_sql("ann_topk_ivf")})
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN strategies (exact brute-force baseline, hyperplane
+    LSH, IVF) in one gated result, labelled by method — every ranked
+    neighbor list value-verified."""
+    out = None
+    for method in ("bruteforce", "lsh", "ivf"):
+        part = _run(f"ann_topk_{method}", spark, sf_dir).select(
+            F.lit(method).alias("method"),
+            "query_id", "rank", "neighbor_id", "cosine_sim",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
+# ---------------------------------------------------------------------------
+
+#: Granular queries not exported to the driver → the merged entry whose
+#: green row carries their values. (simhash_docs' signatures ride inside
+#: dedup_simhash as h_a/h_b.)
+COVERED_BY: dict[str, str] = {
+    "text_stats": "text_profile",
+    "language_id": "text_profile",
+    "doc_fingerprint": "text_profile",
+    "users_lost_after_week1": "user_set_ops",
+    "users_never_purchased": "user_set_ops",
+    "users_active_both_ends": "user_set_ops",
+    "customers_with_recent_orders": "customer_recency",
+    "customers_without_recent_orders": "customer_recency",
+    "q6_forecast_revenue": "revenue_scalars",
+    "q14_promo_revenue": "revenue_scalars",
+    "q17_small_qty_revenue": "revenue_scalars",
+    "q19_disjunctive_revenue": "revenue_scalars",
+    "range_flags": "event_enrichment",
+    "rolling_zscore": "event_enrichment",
+    "global_metrics": "metrics_overview",
+    "quality_metrics": "metrics_overview",
+    "ann_topk_bruteforce": "ann_topk",
+    "ann_topk_lsh": "ann_topk",
+    "ann_topk_ivf": "ann_topk",
+    "simhash_docs": "dedup_simhash",
+}
+
+DRIVER_SET: list[str] = [
+    # flagship
+    "sensor_5min",
+    # LLM-data-pipeline extensions (ungated in round 1 — front of the line)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_topk",
+    "embedding_neardup",
+    "embedding_dim_stats",
+    "distinct_users_kmv",
+    "user_sessions",
+    "multimodal_features",
+    "text_profile",
+    "corpus_quality_by_lang",
+    "source_parse_stats",
+    # merged core groups
+    "user_set_ops",
+    "customer_recency",
+    "revenue_scalars",
+    "event_enrichment",
+    "metrics_overview",
+    # reference-shape core
+    "location_hourly",
+    "daily_summary",
+    "dedup_latest",
+    "late_data_merge",
+    "upsert_user_dim",
+    "dim_time",
+    "asof_latest_purchase",
+    "json_extract_stats",
+    "inter_arrival_stats",
+    "sliding_10min_stats",
+    "rollup_event_counts",
+    "cube_orders_profile",
+    "pivot_status_by_year",
+    "histogram_totalprice",
+    "latest_order_per_customer",
+    "top_customers",
+    "top_orders_by_year",
+    "order_price_quartiles",
+    # TPC-H shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+]
+
+assert len(DRIVER_SET) == len(set(DRIVER_SET)), "duplicate driver entries"
+assert len(DRIVER_SET) <= 50, f"driver set too large: {len(DRIVER_SET)}"
+_unknown = [n for n in DRIVER_SET if n not in QUERIES]
+assert not _unknown, f"unregistered driver entries: {_unknown}"
+_uncovered = [
+    n for n in QUERIES if n not in DRIVER_SET and n not in COVERED_BY
+]
+assert not _uncovered, f"queries neither exported nor covered: {_uncovered}"
