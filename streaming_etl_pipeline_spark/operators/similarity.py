@@ -72,6 +72,34 @@ def lsh_bucket_sql(vec_sql: str, n_planes: int = N_PLANES) -> str:
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
+def lsh_probe_buckets(
+    vec: Column | str, n_planes: int = N_PLANES, multiprobe: bool = False
+) -> Column:
+    """Array of bucket ids the query probes: its own cell, plus (with
+    ``multiprobe``) every cell at Hamming distance 1 — the cells a
+    near-miss neighbor most likely fell into when exactly one plane's
+    sign disagreed. n_planes+1 probes ≈ the recall of one fewer plane at
+    a fraction of the candidate volume."""
+    base = lsh_bucket(vec, n_planes)
+    if not multiprobe:
+        return F.array(base)
+    return F.array(
+        base, *[base.bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(n_planes)]
+    )
+
+
+def lsh_probe_buckets_sql(
+    vec_sql: str, n_planes: int = N_PLANES, multiprobe: bool = False
+) -> str:
+    """DuckDB twin of :func:`lsh_probe_buckets` (a list literal to
+    ``unnest`` on the query side)."""
+    b = lsh_bucket_sql(vec_sql, n_planes)
+    if not multiprobe:
+        return f"[{b}]"
+    flips = ", ".join(f"xor({b}, {1 << j})" for j in range(n_planes))
+    return f"[{b}, {flips}]"
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,19 +142,24 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH cell.
+    """Approximate top-k: candidates limited to the query's LSH cell(s).
 
     The join is on ``bucket`` — an equi-join Spark shuffles (or broadcasts)
     by bucket id instead of a cross join; with p planes the candidate set
-    shrinks ~2^p-fold at the recall cost of angular-far pairs. Same
-    deterministic ranking as :func:`cosine_topk`, so the DuckDB oracle
-    (same literal planes) matches exactly.
+    shrinks ~2^p-fold at the recall cost of angular-far pairs. With
+    ``multiprobe`` the query side explodes into its own cell plus every
+    flip-1-bit neighbor cell (p+1 probes) — corpus vectors still live in
+    exactly one cell, so each (query, neighbor) candidate appears at most
+    once and no dedup is needed. Same deterministic ranking as
+    :func:`cosine_topk`, so the DuckDB oracle (same literal planes)
+    matches exactly.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(vec_col, n_planes).alias("bucket"),
+        F.explode(lsh_probe_buckets(vec_col, n_planes, multiprobe)).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -187,6 +220,32 @@ def ivf_assign(
     return best
 
 
+def ivf_probe_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Query-side IVF probing: one row per (vector, probed cell) for the
+    vector's ``nprobe`` nearest centroids (deterministic centroid-id
+    tiebreak). nprobe=1 reproduces :func:`ivf_assign`'s choice."""
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine_similarity(vec_col, "c_vec"), 9)
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col, vec_col, F.col(centroid_id), sim.alias("_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, centroid_id)
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -194,14 +253,18 @@ def ivf_ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: probe only the query's nearest-centroid cell (nprobe=1).
+    """IVF ANN: probe the query's ``nprobe`` nearest-centroid cells.
 
     The cell id is a plain column, so the probe is an equi-join on it —
     same scale shape as the LSH path but with a data-adaptive quantizer
     (cells follow the data distribution instead of fixed hyperplanes).
+    Corpus vectors live in exactly one cell (their rank-1 assignment), so
+    probing more cells only widens the candidate set — each (query,
+    neighbor) pair still appears at most once.
     """
-    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q = ivf_probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid_id",

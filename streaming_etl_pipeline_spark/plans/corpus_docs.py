@@ -440,8 +440,10 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_lsh",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qv, {SIM.lsh_bucket_sql("e", 4)} AS bucket
-          FROM v WHERE vec_id < 20),
+    q AS (SELECT query_id, qv, unnest(probes) AS bucket FROM (
+            SELECT vec_id AS query_id, e AS qv,
+                   {SIM.lsh_probe_buckets_sql("e", 4, multiprobe=True)} AS probes
+            FROM v WHERE vec_id < 20)),
     c AS (SELECT vec_id AS neighbor_id, e AS cv, {SIM.lsh_bucket_sql("e", 4)} AS bucket
           FROM v)
     SELECT query_id, rank, neighbor_id, cosine_sim FROM (
@@ -453,14 +455,16 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: candidates limited to the query's 4-plane LSH
-    cell (16 cells) — the 2^p-fold candidate-pruning scale path."""
+    """Approximate top-5 with multi-probe: each query probes its own
+    4-plane LSH cell plus the 4 flip-1-bit neighbor cells (5 of 16
+    cells) — near-misses on a single plane's sign are recovered while
+    the candidate volume stays ~5/16 of the corpus."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     return SIM.lsh_ann_topk(
-        dbl.filter(F.col("vec_id") < 20), dbl, k=5, n_planes=4
+        dbl.filter(F.col("vec_id") < 20), dbl, k=5, n_planes=4, multiprobe=True
     )
 
 
@@ -518,17 +522,18 @@ _IVF_COS = (
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < 16),
-    assign AS (
-      SELECT vec_id, e, centroid_id FROM (
+    ranked AS (
+      SELECT vec_id, e, centroid_id, rn FROM (
         SELECT v.vec_id, v.e, cent.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {_IVF_COS} DESC, cent.centroid_id) AS rn
         FROM v CROSS JOIN cent
-      ) WHERE rn = 1
+      )
     ),
-    q AS (SELECT vec_id AS query_id, e AS qv, centroid_id FROM assign
-          WHERE vec_id < 20),
-    c AS (SELECT vec_id AS neighbor_id, e AS cv, centroid_id FROM assign)
+    q AS (SELECT vec_id AS query_id, e AS qv, centroid_id FROM ranked
+          WHERE rn <= 2 AND vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, e AS cv, centroid_id FROM ranked
+          WHERE rn = 1)
     SELECT query_id, rank, neighbor_id, cosine_sim FROM (
       SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
              row_number() OVER (PARTITION BY query_id
@@ -538,16 +543,17 @@ _IVF_COS = (
     """,
 )
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (nprobe=1): data-adaptive coarse quantizer — assign every
-    vector to its nearest of 16 deterministic centroids, probe only the
-    query's cell. Complements the fixed-hyperplane LSH path."""
+    """IVF ANN (nprobe=2): data-adaptive coarse quantizer — every corpus
+    vector lives in its nearest of 16 deterministic centroids' cells;
+    each query probes its 2 nearest cells. Complements the
+    fixed-hyperplane LSH path."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     centroids = dbl.filter(F.col("vec_id") < 16)
     return SIM.ivf_ann_topk(
-        dbl.filter(F.col("vec_id") < 20), dbl, centroids, k=5
+        dbl.filter(F.col("vec_id") < 20), dbl, centroids, k=5, nprobe=2
     )
 
 
