@@ -59,26 +59,68 @@ def read_json_stream(
     )
 
 
+#: Kafka wire schema (what ``format("kafka").load()`` yields) — used by
+#: the projection below and by tests that exercise the Kafka branch's
+#: downstream contract without a broker.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The reference's Kafka source options (``spark_streaming.py:79-87``)
+    as a plain dict, so tests can pin them without a broker/connector and
+    ops can override/extend before binding the reader."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def project_kafka(raw: DataFrame) -> DataFrame:
+    """Kafka wire record → the pipeline's source shape
+    ``(raw_value string, source_timestamp timestamp)``. Separated from
+    the reader so the projection (and everything downstream of it) is
+    exercised against :data:`KAFKA_WIRE_SCHEMA` in tests."""
+    return raw.select(
+        F.col("value").cast("string").alias("raw_value"),
+        F.col("timestamp").alias("source_timestamp"),
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """S1 (production flavor) — Kafka source with the reference's options
     (``spark_streaming.py:79-87``). Requires the Kafka connector jars."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
-        .load()
-    )
-    return raw.select(
-        F.col("value").cast("string").alias("raw_value"),
-        F.col("timestamp").alias("source_timestamp"),
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return project_kafka(reader.load())
 
 
 def parse_events(

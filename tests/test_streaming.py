@@ -366,6 +366,80 @@ def test_gold_upsert_preserves_sibling_groups(spark, ingest_dirs, tmp_path):
     assert temp[0]["reading_count"] == 5
 
 
+def test_kafka_reader_options_match_reference():
+    # reference spark_streaming.py:79-87 source options, pinned without a
+    # broker or the connector jar
+    from streaming_etl_pipeline_spark.streaming import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "broker1:9092,broker2:9092", "sensor-events",
+        starting_offsets="earliest", max_offsets_per_trigger=10000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "sensor-events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("b:9092", "t")
+
+
+def test_kafka_projection_and_parse_on_wire_schema(spark):
+    # Drive the Kafka branch's projection + parse over the connector's
+    # actual wire schema (binary value, kafka timestamp) — everything
+    # downstream of .load() is exercised; only the broker I/O is not.
+    import datetime as dt
+
+    from streaming_etl_pipeline_spark.streaming import (
+        KAFKA_WIRE_SCHEMA,
+        project_kafka,
+    )
+
+    good = json.dumps(
+        {
+            "sensor_id": "sensor-001",
+            "sensor_type": "temperature",
+            "timestamp": "2024-06-15T10:00:00+00:00",
+            "value": 21.5,
+            "unit": "celsius",
+            "location": "floor-1-zone-A",
+        }
+    ).encode()
+    ts = dt.datetime(2024, 6, 15, 10, 0, 5)
+    rows = [
+        (b"k1", good, "sensor-events", 0, 42, ts, 0),
+        (None, b"not json at all", "sensor-events", 1, 43, ts, 0),
+        (b"k3", None, "sensor-events", 0, 44, ts, 0),  # tombstone
+    ]
+    raw = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    projected = project_kafka(raw)
+    assert [f.name for f in projected.schema.fields] == [
+        "raw_value", "source_timestamp",
+    ]
+    assert dict(projected.dtypes)["raw_value"] == "string"
+
+    bronze, dlq = parse_events(projected)
+    b = bronze.collect()
+    assert len(b) == 1 and b[0].sensor_id == "sensor-001"
+    assert b[0].source_timestamp == ts  # kafka ingestion time survives
+    # malformed payload and null tombstone both route to the dead letter
+    assert dlq.count() == 2
+
+
+def test_kafka_source_binding_requires_connector(spark):
+    # The real reader path either binds (connector present) or fails with
+    # the canonical missing-data-source error — never a silent fallback.
+    from streaming_etl_pipeline_spark.streaming import read_kafka_stream
+
+    try:
+        df = read_kafka_stream(spark, "localhost:9092", "t", "earliest")
+    except Exception as e:
+        pytest.skip(f"kafka connector not on classpath: {type(e).__name__}")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["raw_value", "source_timestamp"]
+
+
 def test_metrics_listener_receives_progress(spark, ingest_dirs):
     from streaming_etl_pipeline_spark.streaming import MetricsListener
 
