@@ -144,3 +144,58 @@ def test_compact_consolidates_small_files(spark, tmp_path):
     assert got == want
     assert after < before / 10  # 160 files -> 4 (one per sensor_type)
     assert not _glob.glob(path + "._*")
+
+
+def test_jdbc_delete_window_sql_matches_reference():
+    # parity with redshift_loader.build_delete_sql (src/loaders/
+    # redshift_loader.py:33-55)
+    from streaming_etl_pipeline_spark.warehouse import jdbc_delete_window_sql
+
+    assert jdbc_delete_window_sql(
+        "fact_sensor_readings", "2024-06-15 10:00:00", "2024-06-15 11:00:00"
+    ) == (
+        "DELETE FROM fact_sensor_readings "
+        "WHERE window_start >= '2024-06-15 10:00:00' "
+        "AND window_start < '2024-06-15 11:00:00'"
+    )
+
+
+def test_write_jdbc_idempotent_window_load(spark, tmp_path):
+    """Real JDBC round-trip against embedded Derby (bundled with Spark):
+    append creates the table, a delete-window reload converges instead of
+    duplicating, sibling windows survive."""
+    from streaming_etl_pipeline_spark.warehouse import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    rows = [
+        ("2024-06-15 10:00:00", "temperature", 21.5, 10),
+        ("2024-06-15 10:00:00", "humidity", 55.0, 8),
+        ("2024-06-15 11:00:00", "temperature", 22.0, 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "window_start string, sensor_type string, avg_value double, n long"
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+
+    # first load: table auto-created (delete skipped — table absent)
+    write_jdbc(df, url, "fact_gold",
+               delete_window=("2024-06-15 10:00:00", "2024-06-15 12:00:00"))
+    assert spark.read.jdbc(url, "fact_gold").count() == 3
+
+    # replay ONLY the 10:00 window with a corrected value
+    w10 = df.filter(F.col("sensor_type") == "temperature").filter(
+        F.col("window_start") == "2024-06-15 10:00:00"
+    ).withColumn("avg_value", F.lit(99.0))
+    write_jdbc(w10, url, "fact_gold",
+               delete_window=("2024-06-15 10:00:00", "2024-06-15 11:00:00"))
+
+    out = spark.read.jdbc(url, "fact_gold")
+    assert out.count() == 2  # 10:00 window replaced (2 rows -> 1), 11:00 intact
+    ten = out.filter(F.col("window_start") == "2024-06-15 10:00:00").collect()
+    assert len(ten) == 1 and ten[0].avg_value == 99.0
+    eleven = out.filter(F.col("window_start") == "2024-06-15 11:00:00").collect()
+    assert len(eleven) == 1 and eleven[0].avg_value == 22.0
+
+    # exact replay converges (idempotency)
+    write_jdbc(w10, url, "fact_gold",
+               delete_window=("2024-06-15 10:00:00", "2024-06-15 11:00:00"))
+    assert spark.read.jdbc(url, "fact_gold").count() == 2
