@@ -371,6 +371,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    df_cutoff: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -384,10 +385,15 @@ def ngram_jaccard_pairs(
 
     Scale shape: the only shuffles are the explode-join on shingle hash
     and the pair groupBy. Stop-shingles that occur in a large fraction of
-    the corpus would quadratically blow up the index join at 100 TB; the
-    standard mitigation (drop shingles with document frequency above a
-    cutoff) is a pre-filter join on this same index and does not change
-    the ≥-threshold result set for thresholds where |A∩B| must be large.
+    the corpus would quadratically blow up the index join at 100 TB;
+    ``df_cutoff`` (fraction of docs, e.g. 0.05) applies the standard
+    mitigation: shingles with document frequency above the cutoff are
+    dropped from CANDIDATE GENERATION only, and the surviving candidate
+    pairs are re-verified with the exact full-set Jaccard — so reported
+    values are identical to the unfiltered path, and a qualifying pair is
+    only missed if every shingle it shares is a stop-shingle (vanishingly
+    unlikely at high thresholds, where |A∩B| must cover most of both
+    documents).
     """
     from pyspark import StorageLevel
 
@@ -401,6 +407,34 @@ def ngram_jaccard_pairs(
     # (id, hashes, size) — far smaller than the exploded index.
     sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     index = sized.select("_id", "_sz", F.explode("_hs").alias("_h"))
+
+    if df_cutoff is not None:
+        n_docs = sized.count()  # one cheap action over the persisted base
+        rare = (
+            index.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= int(df_cutoff * n_docs))
+            .select("_h")
+        )
+        cand_index = index.join(rare, on="_h")
+        cand = (
+            cand_index.select(F.col("_id").alias("id_a"), "_h")
+            .join(cand_index.select(F.col("_id").alias("id_b"), "_h"), on="_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = sized.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_ha"))
+        b = sized.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_hb"))
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a", "id_b", jaccard(F.col("_ha"), F.col("_hb")).alias("jaccard")
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
     left = index.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_h"
     )

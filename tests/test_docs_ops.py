@@ -142,6 +142,33 @@ def test_incremental_near_dups_against_store(spark, tmp_path, sf_dir):
     assert spark.read.parquet(store).count() == 120
 
 
+def test_ngram_jaccard_df_cutoff_identical_pairs(spark, sf_dir):
+    # The stop-shingle pre-filter prunes candidate generation only; the
+    # surviving pairs are re-verified with the exact full-set Jaccard, so
+    # the >=-threshold result set and values must be identical on the
+    # corpus (plus injected twins so the result is non-empty).
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat("text", F.lit(" tiny suffix")).alias("text"),
+    )
+    corpus = docs.unionByName(twins)
+    plain = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(corpus, threshold=0.8).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(
+            corpus, threshold=0.8, df_cutoff=0.05
+        ).collect()
+    }
+    assert len(plain) > 0
+    assert cut == plain
+
+
 def test_incremental_near_dups_bootstrap_string_ids_and_error_propagation(
     spark, tmp_path
 ):
