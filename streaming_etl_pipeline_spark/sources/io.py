@@ -140,9 +140,23 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     ``spark.sql.files.maxPartitionBytes`` and this becomes a no-op
     (``repartition`` is skipped when the partition count is already ≥ the
     target), so it is safe to leave in the operator.
+
+    The partition count comes from the physical plan's output partitioning
+    (``outputPartitioning.numPartitions``) — no ``df.rdd`` conversion,
+    which would force plan translation on the driver per call.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        current = (
+            df._jdf.queryExecution().executedPlan().outputPartitioning().numPartitions()
+        )
+    except Exception:  # Connect or API drift
+        current = 0
+    if current <= 0:
+        # AQE reports UnknownPartitioning(0) for not-yet-executed shuffle
+        # stages — only then pay the RDD-conversion probe
+        current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
     return df.repartition(target)
 
