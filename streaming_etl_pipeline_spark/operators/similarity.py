@@ -182,6 +182,35 @@ def lsh_ann_topk(
     )
 
 
+def _centroid_candidates(
+    centroids: DataFrame, vec_col: Column, id_col: str, emb_col: str
+) -> Column:
+    """Literal array of (rounded cosine sim, −centroid_id, centroid_id)
+    structs for one row's vector — the per-row scoring table.
+
+    The centroid set is collected to the driver once (it is the tiny
+    quantizer table — k-means output, 10²-10⁴ rows) and embedded as
+    literals, so assignment is a pure projection: NO corpus×centroid
+    join, NO groupBy, zero shuffles over the corpus at any scale. Struct
+    comparison is field-order lexicographic in both engines, so
+    max/sort pick (highest sim, lowest id) deterministically.
+    """
+    rows = centroids.select(id_col, emb_col).collect()
+    cands = []
+    for r in rows:
+        cid = r[0]
+        cvec = F.array(*[F.lit(float(x)) for x in r[1]])
+        sim = F.round(cosine_similarity(vec_col, cvec), 9)
+        cands.append(
+            F.struct(
+                sim.alias("s"),
+                F.lit(-cid).cast("long").alias("ni"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+        )
+    return F.array(*cands)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -193,31 +222,18 @@ def ivf_assign(
     (max cosine, deterministic centroid-id tiebreak) → an inverted-file
     cell id column.
 
-    Centroids are a tiny broadcast table (k-means output in a real
-    system; any deterministic seed set works for the structure). One
-    corpus scan × C centroids, then ``max_by`` picks the cell — no
-    shuffle beyond the final grouping-free projection. DuckDB twin uses
-    ``max_by`` with the same (sim, -id) ordering struct.
+    Shuffle-free: the centroids are embedded as literals (see
+    :func:`_centroid_candidates`) and ``array_max`` picks the best per
+    row — one projection over the corpus scan, the 100 TB shape. The
+    DuckDB twin's window-rn=1 over the cross join picks the identical
+    cell because the (sim, −id) ordering matches.
     """
-    c = centroids.select(
-        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("c_vec")
-    )
-    sim = F.round(cosine_similarity(vec_col, "c_vec"), 9)
-    scored = vectors.join(F.broadcast(c)).select(
+    cands = _centroid_candidates(centroids, F.col(vec_col), id_col, vec_col)
+    return vectors.select(
         id_col,
         vec_col,
-        F.col(centroid_id),
-        sim.alias("_sim"),
+        F.array_max(cands)["cid"].alias(centroid_id),
     )
-    # max_by over (sim, -centroid_id): highest sim, lowest id on ties —
-    # struct comparison is field-order lexicographic in both engines.
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col(centroid_id), F.struct(F.col("_sim"), -F.col(centroid_id))
-        ).alias(centroid_id),
-        F.first(vec_col).alias(vec_col),
-    )
-    return best
 
 
 def ivf_probe_cells(
@@ -230,20 +246,14 @@ def ivf_probe_cells(
 ) -> DataFrame:
     """Query-side IVF probing: one row per (vector, probed cell) for the
     vector's ``nprobe`` nearest centroids (deterministic centroid-id
-    tiebreak). nprobe=1 reproduces :func:`ivf_assign`'s choice."""
-    c = centroids.select(
-        F.col(id_col).alias(centroid_id), F.col(vec_col).alias("c_vec")
-    )
-    sim = F.round(cosine_similarity(vec_col, "c_vec"), 9)
-    scored = vectors.join(F.broadcast(c)).select(
-        id_col, vec_col, F.col(centroid_id), sim.alias("_sim")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= nprobe)
-        .select(id_col, vec_col, centroid_id)
-    )
+    tiebreak). nprobe=1 reproduces :func:`ivf_assign`'s choice. Same
+    shuffle-free literal-centroid scoring; the only row expansion is the
+    explode to nprobe rows per query."""
+    cands = _centroid_candidates(centroids, F.col(vec_col), id_col, vec_col)
+    top = F.slice(F.sort_array(cands, asc=False), 1, nprobe)
+    return vectors.select(
+        id_col, vec_col, F.explode(top).alias("_c")
+    ).select(id_col, vec_col, F.col("_c")["cid"].alias(centroid_id))
 
 
 def ivf_ann_topk(
