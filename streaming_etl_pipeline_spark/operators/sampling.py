@@ -1,0 +1,107 @@
+"""Deterministic corpus-sampling operators for training-data pipelines.
+
+A 100 TB pretraining pipeline samples constantly — downsampling
+over-represented sources, capping per-language token budgets, carving
+eval holdouts — and every sample must be REPRODUCIBLE (same corpus +
+same seed → same sample, on any cluster layout). Spark's built-in
+``df.sample`` is seed-stable only per partitioning, so these operators
+derive inclusion from content keys instead:
+
+- :func:`hash_sample` — Bernoulli-by-key: include iff
+  md5(key, seed) mod D < fraction·D. Per-row projection, zero shuffles,
+  stable under repartitioning, and a superset property holds across
+  fractions (the 10% sample contains the 5% sample at the same seed).
+- :func:`reservoir_per_group` — exactly-n-per-group uniform-ish sample:
+  rank rows by the same keyed hash within each group, keep the first n.
+  One shuffle on the group key.
+- :func:`token_budget_sample` — greedy per-group token cap: order docs
+  deterministically (hash order → an unbiased shuffle), keep whole docs
+  while the running token total stays within the budget. One shuffle on
+  the group key. The 100 TB shape for "at most B tokens per
+  (lang, source)" mixture specs.
+
+All three are plain window/filter compositions with exact DuckDB twins
+(see ``plans/corpus_samples.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import md5_long, md5_long_sql
+
+#: Hash-space modulus for Bernoulli inclusion: the low 31 bits of the
+#: 60-bit md5-derived hash — uniform, positive, and exactly representable
+#: in both engines' arithmetic.
+_SAMPLE_MOD = 1 << 31
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose keyed hash lands
+    below ``fraction`` of the hash space. Same (corpus, seed, fraction)
+    → same rows regardless of partitioning or cluster size; larger
+    fractions strictly contain smaller ones (same seed)."""
+    h = md5_long(key_col, seed) % _SAMPLE_MOD
+    return df.filter(h < int(fraction * _SAMPLE_MOD))
+
+
+def hash_sample_sql(key_sql: str, fraction: float, seed: str = "sample") -> str:
+    """DuckDB twin of :func:`hash_sample`'s predicate."""
+    return f"({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD}) < {int(fraction * _SAMPLE_MOD)}"
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    n: int,
+    key_col: str,
+    seed: str = "reservoir",
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen by keyed-hash order
+    — the deterministic analogue of a per-group reservoir sample. The
+    hash is uniform in the key, so within a group the selection is
+    unbiased w.r.t. any data attribute not correlated with the key."""
+    h = md5_long(key_col, seed)
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    token_col: str,
+    budget: int,
+    key_col: str,
+    seed: str = "budget",
+) -> DataFrame:
+    """Greedy per-group token cap: visit the group's docs in keyed-hash
+    order (an unbiased deterministic shuffle) and keep whole docs while
+    the cumulative token count stays ≤ ``budget``. Docs larger than the
+    remaining budget are skipped-by-stopping, not truncated — the
+    standard mixture-spec semantics ("≤ B tokens of lang X from source
+    Y"). One shuffle on the group key; the window cumsum is the only
+    state."""
+    h = md5_long(key_col, seed)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .filter(F.col("_cum_tokens") <= budget)
+        .drop("_cum_tokens")
+    )

@@ -1743,6 +1743,7 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
 from streaming_etl_pipeline_spark.plans import corpus_merged  # noqa: E402,F401
+from streaming_etl_pipeline_spark.plans import corpus_samples  # noqa: E402,F401
 
 
 def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

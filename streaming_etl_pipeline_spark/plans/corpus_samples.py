@@ -1,0 +1,84 @@
+"""Sampling-operator query corpus (local differential gate).
+
+Registered into the full QUERIES registry so ``scripts/check_oracle.py``
+hash-verifies them against DuckDB; NOT in the driver's 50-entry
+DRIVER_SET (which is at capacity) — ``LOCAL_ONLY`` records that status
+for the contract test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import md5_long_sql
+from streaming_etl_pipeline_spark.operators import sampling as SP
+from streaming_etl_pipeline_spark.plans.corpus import register
+from streaming_etl_pipeline_spark.sources import read_table
+
+#: Queries gated locally but not exported to the (full) driver set.
+LOCAL_ONLY: set[str] = {
+    "sample_docs_hash",
+    "reservoir_events_per_type",
+    "char_budget_by_lang",
+}
+
+
+@register(
+    "sample_docs_hash",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {SP.hash_sample_sql("doc_id", 0.1, seed="sample")}
+    """,
+)
+def q_sample_docs_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli-by-key sample of the documents table —
+    partitioning-independent, superset-stable across fractions."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SP.hash_sample(docs, 0.1, key_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "reservoir_events_per_type",
+    f"""
+    SELECT event_id, event_type, user_id FROM (
+      SELECT event_id, event_type, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {md5_long_sql("event_id", "reservoir")}, event_id) AS rn
+      FROM events)
+    WHERE rn <= 50
+    """,
+)
+def q_reservoir_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 events per type by keyed-hash order — the deterministic
+    per-group reservoir sample."""
+    events = read_table(spark, sf_dir, "events")
+    return SP.reservoir_per_group(
+        events, keys=["event_type"], n=50, key_col="event_id"
+    ).select("event_id", "event_type", "user_id")
+
+
+@register(
+    "char_budget_by_lang",
+    f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY {md5_long_sql("doc_id", "budget")}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+    WHERE cum <= 20000
+    """,
+)
+def q_char_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language character budget (≤ 20k chars/lang, docs
+    visited in keyed-hash order) — the mixture-spec capping shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SP.token_budget_sample(
+        docs, keys=["lang"], token_col="n_chars", budget=20000, key_col="doc_id"
+    ).select("doc_id", "lang", "n_chars")
