@@ -356,6 +356,52 @@ def test_ivf_ann_probes_own_cell(spark, sf_dir):
     assert all(r.query_id != r.neighbor_id for r in out)
 
 
+def test_kmeans_fit_recovers_blobs(spark):
+    # 3 well-separated angular blobs in 4-d; k-means with deterministic
+    # init must land one centroid per blob and assignment must recover
+    # the blob partition.
+    import math
+
+    from streaming_etl_pipeline_spark.operators.clustering import kmeans_fit
+
+    dirs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = []
+    for i in range(300):
+        blob = i % 3
+        base = dirs[blob]
+        # deterministic small angular noise from the index
+        noise = [((i * 37 + d * 11) % 17 - 8) / 100.0 for d in range(4)]
+        rows.append((i, [b + n for b, n in zip(base, noise)]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_fit(vecs, k=3, iters=4)
+    got = cents.collect()
+    assert len(got) == 3
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    # each blob direction is captured by exactly one centroid
+    matched = set()
+    for d in dirs:
+        best = max(range(3), key=lambda j: cos(d, got[j].embedding))
+        assert cos(d, got[best].embedding) > 0.95
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+    # assignments with the trained centroids partition the blobs cleanly
+    assigned = SIM.ivf_assign(vecs, cents).collect()
+    by_blob: dict[int, set] = {}
+    for r in assigned:
+        by_blob.setdefault(r.vec_id % 3, set()).add(r.centroid_id)
+    assert all(len(cells) == 1 for cells in by_blob.values())
+
+    # determinism: refit produces identical centroids
+    again = kmeans_fit(vecs, k=3, iters=4).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
 def test_kmv_distinct_accuracy(spark):
     from streaming_etl_pipeline_spark.operators.sketches import kmv_distinct
 
