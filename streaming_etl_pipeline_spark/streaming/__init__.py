@@ -11,6 +11,7 @@ from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
     read_kafka_stream,
     start_bronze_sink,
     start_dead_letter_sink,
+    start_gold_jdbc_sink,
     start_gold_upsert_sink,
 )
 from streaming_etl_pipeline_spark.streaming.stateful import (  # noqa: F401

@@ -366,6 +366,61 @@ def test_gold_upsert_preserves_sibling_groups(spark, ingest_dirs, tmp_path):
     assert temp[0]["reading_count"] == 5
 
 
+def test_gold_jdbc_sink_group_granular_upsert(spark, ingest_dirs, tmp_path):
+    # The full production topology against a real warehouse (embedded
+    # Derby): stream -> windowed gold -> JDBC delete-then-insert. A later
+    # micro-batch touching one group must replace only that group's row.
+    from streaming_etl_pipeline_spark.streaming import start_gold_jdbc_sink
+
+    url = f"jdbc:derby:{tmp_path}/goldwh;create=true"
+
+    def event(i, stype, minute, second=0):
+        return json.dumps(
+            {
+                "sensor_id": f"sensor-{i:03d}",
+                "sensor_type": stype,
+                "timestamp": f"2024-06-15T10:{minute:02d}:{second:02d}+00:00",
+                "value": 20.0 + i,
+                "unit": "celsius",
+                "location": "floor-1-zone-A",
+            }
+        )
+
+    lines = [event(i, "temperature", i) for i in range(4)]
+    lines += [event(10 + i, "humidity", i) for i in range(4)]
+    with open(os.path.join(ingest_dirs["in"], "b1.json"), "w") as f:
+        f.write("\n".join(lines))
+
+    ckpt = str(tmp_path / "jdbc_ckpt")
+
+    def run_once():
+        raw = read_json_stream(spark, ingest_dirs["in"])
+        bronze, _ = parse_events(raw)
+        q = start_gold_jdbc_sink(
+            bronze, url, "fact_gold_stream", ckpt, trigger={"availableNow": True},
+            # Derby would otherwise create the key as CLOB, which can't be
+            # compared/pushed-down; any JDBC warehouse honors this option
+            properties={"createTableColumnTypes": "sensor_type VARCHAR(128)"},
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.jdbc(url, "fact_gold_stream")
+    assert first.count() == 2  # one row per (window, sensor_type)
+
+    # late temperature row, same window — only that group may change
+    with open(os.path.join(ingest_dirs["in"], "b2.json"), "w") as f:
+        f.write(event(99, "temperature", 4, 30))
+    run_once()
+
+    out = spark.read.jdbc(url, "fact_gold_stream")
+    assert out.count() == 2
+    hum = out.filter(F.col("sensor_type") == "humidity").collect()
+    assert len(hum) == 1 and hum[0].reading_count == 4
+    temp = out.filter(F.col("sensor_type") == "temperature").collect()
+    assert len(temp) == 1 and temp[0].reading_count == 5
+
+
 def test_kafka_reader_options_match_reference():
     # reference spark_streaming.py:79-87 source options, pinned without a
     # broker or the connector jar
