@@ -3,6 +3,7 @@ from streaming_etl_pipeline_spark.quality.expectations import (  # noqa: F401
     QualityError,
     Suite,
     bronze_suite,
+    fk_check,
     row_count_ratio_check,
     silver_suite,
     validate,

@@ -163,6 +163,30 @@ def validate_or_raise(df: DataFrame, suite: Suite) -> list[dict]:
     return report
 
 
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_col: str,
+    parent_col: str,
+    ignore_nulls: bool = True,
+) -> dict:
+    """Referential-integrity expectation (dbt's ``relationships`` test):
+    every (non-null) child key must exist in the parent. One left-anti
+    join + count — Spark broadcasts the parent key set when small, and
+    AQE picks the join strategy otherwise; either way a single job, no
+    per-row Python. ``observed`` is the orphan count."""
+    keys = child.select(F.col(child_col).alias("_k"))
+    if ignore_nulls:
+        keys = keys.filter(F.col("_k").isNotNull())
+    parents = parent.select(F.col(parent_col).alias("_k")).distinct()
+    orphans = keys.join(parents, "_k", "left_anti").count()
+    return {
+        "check": f"fk({child_col}->{parent_col})",
+        "passed": orphans == 0,
+        "observed": float(orphans),
+    }
+
+
 def row_count_ratio_check(
     df_a: DataFrame, df_b: DataFrame, tolerance: float = 0.05
 ) -> dict:

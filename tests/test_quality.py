@@ -122,6 +122,22 @@ def test_row_count_ratio(spark, good_bronze):
     assert not out["passed"]
 
 
+def test_fk_check_referential_integrity(spark):
+    from conftest import SF_ORACLE
+
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    orders = read_table(spark, SF_ORACLE, "orders")
+    customer = read_table(spark, SF_ORACLE, "customer")
+    ok = quality.fk_check(orders, customer, "o_custkey", "c_custkey")
+    assert ok["passed"] and ok["observed"] == 0.0
+    # remove some parents -> orphans detected
+    broken = quality.fk_check(
+        orders, customer.filter(F.col("c_custkey") > 100), "o_custkey", "c_custkey"
+    )
+    assert not broken["passed"] and broken["observed"] > 0
+
+
 def test_single_pass_plan(good_bronze):
     # The whole simple-suite report must come from ONE aggregate job —
     # no per-check actions (the reference recomputes per check).
