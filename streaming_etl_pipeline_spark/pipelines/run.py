@@ -11,6 +11,12 @@ silver→gold → quality):
         --bronze /data/bronze --silver /data/silver --gold /data/gold
     python -m streaming_etl_pipeline_spark.pipelines.run dedup \\
         --docs /data/new_batch --store /data/dedup_store [--threshold 0.6]
+    python -m streaming_etl_pipeline_spark.pipelines.run sample \\
+        --input /data/docs --output /data/docs_10pct \\
+        --fraction 0.1 --key-col doc_id [--seed run42]
+    python -m streaming_etl_pipeline_spark.pipelines.run train-quantizer \\
+        --input /data/embeddings --output /data/ivf_centroids \\
+        [--k 256] [--iters 5]
 
 Orchestration stays external (cron/Airflow/dbt invoke these commands);
 idempotency comes from dynamic partition overwrite, so re-running a task
@@ -60,6 +66,26 @@ def make_parser() -> argparse.ArgumentParser:
     dd.add_argument("--threshold", type=float, default=0.6)
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
+
+    sm = sub.add_parser(
+        "sample", help="deterministic keyed-hash sample of a parquet table"
+    )
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--fraction", type=float, required=True)
+    sm.add_argument("--key-col", required=True)
+    sm.add_argument("--seed", default="sample")
+
+    tq = sub.add_parser(
+        "train-quantizer",
+        help="k-means-train IVF centroids over an embedding table",
+    )
+    tq.add_argument("--input", required=True, help="parquet with vec_id,embedding")
+    tq.add_argument("--output", required=True, help="centroid parquet out")
+    tq.add_argument("--k", type=int, default=256)
+    tq.add_argument("--iters", type=int, default=5)
+    tq.add_argument("--id-col", default="vec_id")
+    tq.add_argument("--vec-col", default="embedding")
     return p
 
 
@@ -98,6 +124,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         metrics["dedup.input_docs"] = docs.count()
         metrics["dedup.near_dup_pairs"] = pairs.count()
+    if args.cmd == "sample":
+        from streaming_etl_pipeline_spark.operators.sampling import hash_sample
+
+        df = spark.read.parquet(args.input)
+        out = hash_sample(df, args.fraction, key_col=args.key_col, seed=args.seed)
+        out.write.mode("overwrite").parquet(args.output)
+        metrics["sample.input_rows"] = df.count()
+        metrics["sample.output_rows"] = spark.read.parquet(args.output).count()
+    if args.cmd == "train-quantizer":
+        from streaming_etl_pipeline_spark.operators.clustering import kmeans_fit
+
+        vecs = spark.read.parquet(args.input)
+        cents = kmeans_fit(
+            vecs, k=args.k, iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        cents.write.mode("overwrite").parquet(args.output)
+        metrics["quantizer.k"] = args.k
+        metrics["quantizer.centroids"] = spark.read.parquet(args.output).count()
     print(json.dumps(metrics))
     return 0
 

@@ -162,6 +162,33 @@ def test_cli_runner_all(spark, bronze_dir, tmp_path, capsys):
     assert spark.read.parquet(f"{gold}/daily_summary").count() > 0
 
 
+def test_cli_sample_and_train_quantizer(spark, tmp_path, capsys):
+    import json
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    from conftest import SF_ORACLE
+
+    docs_in = str(tmp_path / "docs_in")
+    read_table(spark, SF_ORACLE, "documents").write.parquet(docs_in)
+    sample_out = str(tmp_path / "docs_sample")
+    rc = main(["sample", "--input", docs_in, "--output", sample_out,
+               "--fraction", "0.2", "--key-col", "doc_id"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < m["sample.output_rows"] < m["sample.input_rows"]
+
+    emb_in = str(tmp_path / "emb_in")
+    read_table(spark, SF_ORACLE, "embeddings").write.parquet(emb_in)
+    cent_out = str(tmp_path / "cents")
+    rc = main(["train-quantizer", "--input", emb_in, "--output", cent_out,
+               "--k", "8", "--iters", "2"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["quantizer.centroids"] == 8
+
+
 def test_batch_sessionize_golden(spark):
     rows = [
         Row(user_id=1, event_id=i, ts=f"2024-01-01 10:{m:02d}:00")

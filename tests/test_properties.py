@@ -171,3 +171,43 @@ def test_single_row_stddev_is_null_not_nan(spark):
     ).collect()[0]
     assert out.stddev_value is None  # ANSI NULL, never NaN (oracle parity)
     assert out.reading_count == 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, c, ftype, seed):
+    # any shape (incl. 1x1, 1xN, Nx1) x any channel count x any scanline
+    # filter must roundtrip bit-exactly — pure-python, no SparkSession
+    import numpy as np
+
+    from streaming_etl_pipeline_spark.functions import codecs as C
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = C.png_decode(C.png_encode(arr, filter_type=ftype))
+    assert out.shape == (h, w, c)
+    assert (out == arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 4000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_property(n, rate, seed):
+    import numpy as np
+
+    from streaming_etl_pipeline_spark.functions import codecs as C
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+    out, got_rate = C.wav_decode(C.wav_encode(samples, rate))
+    assert got_rate == rate
+    assert (out == samples).all()
