@@ -960,17 +960,27 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: heavy grouping on the fact join + HAVING filter
-    (large-quantity orders); customer dim broadcast."""
+    """TPC-H Q18 shape: heavy grouping + HAVING (large-quantity orders).
+
+    Plan: aggregate lineitem by order key FIRST and apply the HAVING
+    before any join — o_orderkey is unique per order, so the grouping is
+    identical to grouping the joined row, but the map-side-combined
+    pre-aggregation shuffles only (key, sum) pairs and the HAVING leaves
+    a tiny survivor set (≈1e-4 of orders) to join against orders +
+    broadcast customer. At 100 TB this is the difference between
+    shuffling the whole fact join through a wide hash agg and shuffling
+    one decimal per order."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sq"))
         .filter(F.col("_sq") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
