@@ -29,7 +29,10 @@ def time_bucket(col: Column | str, seconds: int) -> Column:
     plain column usable as a partition or join key.
     """
     c = F.col(col) if isinstance(col, str) else col
-    us = F.unix_micros(c)
+    # Defensive: unix_micros rejects TIMESTAMP_NTZ; casting to timestamp
+    # is a no-op for LTZ input and an exact (UTC session tz)
+    # reinterpretation for NTZ input.
+    us = F.unix_micros(c.cast("timestamp"))
     width = seconds * MICROS
     return F.timestamp_micros(us - us % width)
 

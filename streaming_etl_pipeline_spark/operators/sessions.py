@@ -48,8 +48,11 @@ def sessionize(
     """
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
-    gap_us = F.unix_micros(F.col(ts_col)) - prev_us
+    # Cast defensively: unix_micros rejects TIMESTAMP_NTZ, and NTZ→LTZ
+    # under the UTC session tz is an exact reinterpretation.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    gap_us = ts_us - prev_us
     new_session = (
         F.when(prev_us.isNull() | (gap_us > gap_seconds * MICROS), 1).otherwise(0)
     )
@@ -72,6 +75,9 @@ def session_stats(
     last event time + gap (the window stays open for the gap length).
     """
     s = sessionize(df, keys, ts_col, gap_seconds, tiebreak)
+    # Same defensive NTZ→LTZ normalization as sessionize, applied before
+    # the min/max so every downstream unix_micros sees TIMESTAMP.
+    s = s.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         s.groupBy(*keys, "session_id")
         .agg(

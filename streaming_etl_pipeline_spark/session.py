@@ -34,6 +34,13 @@ RUNTIME_CONF: dict[str, str] = {
     # The test corpus stores TIMESTAMP(NANOS) which Spark has no native
     # type for; read as long and convert in sources.io.read_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Corpus regenerations have also shipped TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false), which Spark would surface as TIMESTAMP_NTZ —
+    # a type unix_micros/window rejects. Read it as plain TIMESTAMP (the
+    # session tz is UTC, so the instant is identical and DuckDB-parity
+    # holds: DuckDB TIMESTAMP is itself NTZ). read_table additionally
+    # casts any NTZ column that slips through (sources/io.py).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 #: Every table in the driver-provided corpus (TESTDATA.md).
 TABLES = (
@@ -78,6 +79,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Corpus regenerations have shipped three parquet timestamp flavors:
+    # ns-as-long (handled above), µs-LTZ (native), and µs-NTZ. The NTZ
+    # flavor is normally neutralized by inferTimestampNTZ=false
+    # (session.RUNTIME_CONF), but a driver-owned session created before
+    # tune() ran may have already cached the read schema — so also cast
+    # schema-driven here. Session tz is UTC, making the NTZ→LTZ
+    # reinterpretation exact and DuckDB-parity-safe (DuckDB TIMESTAMP is
+    # itself NTZ).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,56 @@
+"""Bench regression gate, run from pytest (judge VERDICT r2 item #5).
+
+Round 2's bench crashed (NTZ analysis error on the first warmup) and the
+committed gate script never got to run — the driver recorded a crash
+instead of numbers. This test executes ``bench.py`` end-to-end in a fresh
+interpreter at sf0.001 so a bench-breaking commit fails ``pytest tests/``
+locally, and compares per-query + total wall against the committed smoke
+baseline (``BENCH_BASELINE_SMOKE.json``) with the same 2x threshold and
+sub-second jitter floor as ``scripts/bench_regress.py`` (which remains the
+sf0.1 gate for round-level runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMOKE_SF = "/root/testdata/sf0.001"
+BASELINE = os.path.join(REPO, "BENCH_BASELINE_SMOKE.json")
+THRESHOLD = 2.0
+FLOOR_SEC = 2.0  # sf0.001 queries are sub-second-noisy; gate the big movers
+
+
+@pytest.mark.slow
+def test_bench_runs_and_stays_within_budget():
+    if not os.path.isdir(SMOKE_SF):
+        pytest.skip("driver testdata not present")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SMOKE_SF)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert proc.returncode == 0, f"bench.py crashed:\n{proc.stderr[-4000:]}"
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"bench.py printed no JSON line:\n{proc.stdout[-2000:]}"
+    run = json.loads(lines[-1])
+    assert run["unit"] == "sec" and run["value"] > 0 and run["queries"]
+
+    base = json.load(open(BASELINE))
+    regressions = []
+    for name, sec in run["queries"].items():
+        ref = base["queries"].get(name)
+        if ref is None:
+            continue  # new query since the baseline — never fails
+        if sec > THRESHOLD * ref and sec > FLOOR_SEC:
+            regressions.append(f"{name}: {sec:.2f}s vs {ref:.2f}s baseline")
+    if run["value"] > THRESHOLD * base["value"]:
+        regressions.append(
+            f"TOTAL: {run['value']:.2f}s vs {base['value']:.2f}s baseline"
+        )
+    assert not regressions, "bench regression >2x: " + "; ".join(regressions)
