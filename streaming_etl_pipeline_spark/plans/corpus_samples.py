@@ -1,9 +1,10 @@
-"""Sampling-operator query corpus (local differential gate).
+"""Sampling-operator query corpus.
 
 Registered into the full QUERIES registry so ``scripts/check_oracle.py``
-hash-verifies them against DuckDB; NOT in the driver's 50-entry
-DRIVER_SET (which is at capacity) — ``LOCAL_ONLY`` records that status
-for the contract test.
+hash-verifies each granular query against DuckDB; the driver gate carries
+their values through the merged ``sampling_suite`` entry
+(``corpus_merged.COVERED_BY``). ``LOCAL_ONLY`` is kept (empty) for the
+contract test's three-way membership check.
 """
 
 from __future__ import annotations
@@ -17,11 +18,9 @@ from streaming_etl_pipeline_spark.plans.corpus import register
 from streaming_etl_pipeline_spark.sources import read_table
 
 #: Queries gated locally but not exported to the (full) driver set.
-LOCAL_ONLY: set[str] = {
-    "sample_docs_hash",
-    "reservoir_events_per_type",
-    "char_budget_by_lang",
-}
+#: Empty since round 3: the sampling trio is driver-gated via the merged
+#: ``sampling_suite`` entry.
+LOCAL_ONLY: set[str] = set()
 
 
 @register(
