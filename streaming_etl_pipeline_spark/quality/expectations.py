@@ -46,10 +46,60 @@ class Expectation:
         return f"{self.kind}({target})"
 
 
+#: Great-Expectations ``expectation_type`` → engine expectation kind
+#: (the subset the reference's suites use,
+#: ``great_expectations/expectations/sensor_bronze.json:4-86`` /
+#: ``sensor_silver.json:4-73``).
+_GE_KINDS = {
+    "expect_column_to_exist": "exists",
+    "expect_column_values_to_not_be_null": "not_null",
+    "expect_column_values_to_be_in_set": "in_set",
+    "expect_column_values_to_be_between": "between",
+    "expect_column_values_to_match_regex": "regex",
+    "expect_compound_columns_to_be_unique": "compound_unique",
+    "expect_table_row_count_to_be_between": "row_count_between",
+}
+
+
 @dataclass(frozen=True)
 class Suite:
     name: str
     expectations: tuple[Expectation, ...] = field(default_factory=tuple)
+
+    @classmethod
+    def from_ge_json(cls, path: str) -> "Suite":
+        """Load a Great-Expectations suite file into the engine's DSL.
+
+        Parses the reference's expectation-file format (suite name +
+        ``expectations: [{expectation_type, kwargs, meta}]``) so the
+        JSON files ARE the declaration — no Python re-statement needed.
+        Unknown expectation types raise (a silently-skipped check is a
+        check that never fails).
+        """
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        exps: list[Expectation] = []
+        for entry in doc.get("expectations", []):
+            etype = entry["expectation_type"]
+            kind = _GE_KINDS.get(etype)
+            if kind is None:
+                raise ValueError(f"unsupported GE expectation type: {etype}")
+            kw = entry.get("kwargs", {})
+            exps.append(
+                Expectation(
+                    kind,
+                    column=kw.get("column"),
+                    columns=tuple(kw.get("column_list", ())),
+                    value_set=tuple(kw.get("value_set", ())),
+                    min_value=kw.get("min_value"),
+                    max_value=kw.get("max_value"),
+                    regex=kw.get("regex"),
+                    mostly=float(kw.get("mostly", 1.0)),
+                )
+            )
+        return cls(doc.get("expectation_suite_name", path), tuple(exps))
 
 
 def _observed_expr(e: Expectation, df: DataFrame) -> Column:
@@ -63,23 +113,35 @@ def _observed_expr(e: Expectation, df: DataFrame) -> Column:
         # fraction non-null; empty input passes (vacuous truth)
         return F.coalesce(F.avg(c.isNotNull().cast("double")), F.lit(1.0))
     if e.kind == "in_set":
-        bad = F.sum((~c.isin(list(e.value_set)) & c.isNotNull()).cast("long"))
-        return bad.cast("double")
+        bad = ~c.isin(list(e.value_set)) & c.isNotNull()
+        return _violation_metric(bad, c, e)
     if e.kind == "between":
         cond = F.lit(False)
         if e.min_value is not None:
             cond = cond | (c < F.lit(e.min_value))
         if e.max_value is not None:
             cond = cond | (c > F.lit(e.max_value))
-        return F.sum(cond.cast("long")).cast("double")
+        return _violation_metric(cond, c, e)
     if e.kind == "regex":
-        bad = F.sum((~c.rlike(e.regex) & c.isNotNull()).cast("long"))
-        return bad.cast("double")
+        bad = ~c.rlike(e.regex) & c.isNotNull()
+        return _violation_metric(bad, c, e)
     if e.kind == "non_empty":
         return total.cast("double")
     if e.kind == "row_count_between":
         return total.cast("double")
     raise ValueError(f"unknown expectation kind: {e.kind}")
+
+
+def _violation_metric(bad: Column, c: Column, e: Expectation) -> Column:
+    """Value-level checks report a bad-row COUNT at mostly=1.0 (the
+    engine's historical shape) and a conforming FRACTION of non-null
+    values when a GE ``mostly`` tolerance is declared — GE semantics:
+    pass when that fraction ≥ mostly (vacuously 1.0 with no non-nulls)."""
+    if e.mostly >= 1.0:
+        return F.sum(bad.cast("long")).cast("double")
+    good = F.sum((c.isNotNull() & ~bad).cast("long"))
+    nonnull = F.sum(c.isNotNull().cast("long"))
+    return F.coalesce(good / nonnull, F.lit(1.0))
 
 
 def _passed(e: Expectation, observed: float) -> bool:
@@ -88,7 +150,7 @@ def _passed(e: Expectation, observed: float) -> bool:
     if e.kind == "not_null":
         return observed >= e.mostly
     if e.kind in ("in_set", "between", "regex"):
-        return observed == 0.0
+        return observed == 0.0 if e.mostly >= 1.0 else observed >= e.mostly
     if e.kind == "non_empty":
         return observed > 0
     if e.kind == "row_count_between":
@@ -236,6 +298,7 @@ def silver_suite() -> Suite:
     """sensor_silver.json:4-73 — bronze guarantees + is_anomaly domain +
     compound uniqueness of (sensor_id, event_time)."""
     exps = list(bronze_suite().expectations)
+    exps.append(Expectation("exists", column="ingestion_timestamp"))
     exps.append(Expectation("exists", column="is_anomaly"))
     exps.append(Expectation("not_null", column="is_anomaly"))
     exps.append(

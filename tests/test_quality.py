@@ -162,3 +162,100 @@ def test_check_freshness(spark):
 
     empty = check_freshness(df.filter("ts IS NULL"), "ts")
     assert not empty["fresh"] and empty["latest"] is None
+
+
+# ---------------------------------------------------------------------------
+# GE-JSON suite loader (reference great_expectations/expectations/*.json)
+# ---------------------------------------------------------------------------
+
+REF_GE_DIR = "/root/reference/great_expectations/expectations"
+
+
+def _ref_bronze_frame(spark, mutate=None):
+    # Reference wire schema: the JSON suite checks the RAW event shape
+    # (string ISO timestamp column named "timestamp").
+    rows = [
+        (f"sensor-{i:03d}", "temperature", "2024-06-15T10:00:00", 22.0 + i,
+         "celsius", "floor-1")
+        for i in range(10)
+    ]
+    if mutate:
+        rows = mutate(rows)
+    return spark.createDataFrame(
+        rows,
+        "sensor_id string, sensor_type string, timestamp string, "
+        "value double, unit string, location string",
+    )
+
+
+def test_ge_json_loader_parses_reference_bronze():
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(REF_GE_DIR):
+        _pytest.skip("reference checkout not present")
+    suite = quality.Suite.from_ge_json(f"{REF_GE_DIR}/sensor_bronze.json")
+    assert suite.name == "sensor_bronze"
+    kinds = [(e.kind, e.column or ",".join(e.columns)) for e in suite.expectations]
+    assert ("exists", "sensor_id") in kinds
+    assert ("in_set", "sensor_type") in kinds
+    assert ("between", "value") in kinds
+    assert ("regex", "sensor_id") in kinds
+    mostly = {e.column: e.mostly for e in suite.expectations if e.mostly < 1.0}
+    assert mostly == {"value": 0.99, "location": 0.99}
+
+
+def test_ge_json_bronze_suite_validates_conforming_frame(spark):
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(REF_GE_DIR):
+        _pytest.skip("reference checkout not present")
+    suite = quality.Suite.from_ge_json(f"{REF_GE_DIR}/sensor_bronze.json")
+    report = quality.validate(_ref_bronze_frame(spark), suite)
+    assert all(r["passed"] for r in report), _report_dict(report)
+
+
+def test_ge_json_silver_suite_equivalent_to_python_declaration(spark):
+    """The loaded silver suite and the Python silver_suite() agree on
+    every overlapping check kind for the same violation."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.isdir(REF_GE_DIR):
+        _pytest.skip("reference checkout not present")
+    suite = quality.Suite.from_ge_json(f"{REF_GE_DIR}/sensor_silver.json")
+    kinds = {(e.kind, e.column or ",".join(e.columns)) for e in suite.expectations}
+    assert ("compound_unique", "sensor_id,event_time") in kinds
+    assert ("in_set", "is_anomaly") in kinds
+    py_kinds = {
+        (e.kind, e.column or ",".join(e.columns))
+        for e in quality.silver_suite().expectations
+    }
+    # every JSON-declared check exists in the Python suite (the Python
+    # suite adds engine extras like non_empty on top)
+    assert kinds <= py_kinds
+
+
+def test_ge_mostly_on_value_checks(spark):
+    """GE `mostly` semantics on a value-level check: 1 bad row in 10 with
+    mostly=0.85 passes; with the default mostly=1.0 it fails."""
+
+    def mutate(rows):
+        rows[0] = ("sensor-000", "temperature", "2024-06-15T10:00:00",
+                   2000.0, "celsius", "floor-1")
+        return rows
+
+    df = _ref_bronze_frame(spark, mutate)
+    tolerant = quality.Expectation(
+        "between", column="value", min_value=-50.0, max_value=1100.0, mostly=0.85
+    )
+    strict = quality.Expectation(
+        "between", column="value", min_value=-50.0, max_value=1100.0
+    )
+    report = quality.validate(df, quality.Suite("m", (tolerant, strict)))
+    assert report[0]["passed"] and report[0]["observed"] == 0.9
+    assert not report[1]["passed"] and report[1]["observed"] == 1.0
