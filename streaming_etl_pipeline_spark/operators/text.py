@@ -156,3 +156,189 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
         F.array_max(sh_hashes).alias("max_shingle_hash"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: chunk-level boilerplate removal + Gopher-style filter
+# ---------------------------------------------------------------------------
+
+#: Words per chunk for boilerplate segmentation. The test corpus is
+#: single-line word soup, so the segmenter is fixed-width word windows;
+#: a web corpus would segment on '\n' (C4) or sentences instead — the
+#: pipeline downstream of the segmenter is identical.
+CHUNK_WORDS = 10
+
+
+def doc_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode each document into ordered fixed-width word chunks:
+    ``(doc_id, pos, chunk)``. Pure projection + explode — no shuffle."""
+    words = F.split(norm_text(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+    return df.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+
+
+def doc_chunks_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`doc_chunks` (lockstep multi-unnest)."""
+    words = f"string_split({norm_text_sql(text_col)}, ' ')"
+    return f"""
+    SELECT doc_id,
+           unnest(range(CAST(ceil(len({words}) / {CHUNK_WORDS}.0) AS INT))) AS pos,
+           unnest(list_transform(
+             range(CAST(ceil(len({words}) / {CHUNK_WORDS}.0) AS INT)),
+             i -> array_to_string(list_slice({words},
+                    i * {CHUNK_WORDS} + 1, i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')
+           )) AS chunk
+    FROM {table}
+    """
+
+
+def remove_boilerplate(
+    df: DataFrame, min_doc_freq: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal, chunk granularity.
+
+    A chunk appearing in ≥ ``min_doc_freq`` DISTINCT documents is
+    boilerplate (navigation, footers, licence blocks — here, the
+    synthetic twin texts); every occurrence is dropped and each doc is
+    reassembled from its surviving chunks in order.
+
+    Shape at scale: one shuffle to compute chunk document-frequency
+    (map-side combine on the chunk hash), one shuffle to rebuild docs —
+    both keyed on uniform hashes, skew-free. The corpus text crosses the
+    wire as chunks, not whole docs.
+
+    Output: ``doc_id, n_chunks, n_kept, n_removed, clean_md5`` — the
+    rebuilt text is hashed rather than carried so the result stays
+    driver-canonicalizable at any document size.
+    """
+    chunks = doc_chunks(df, text_col)
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("chunk_df")
+    )
+    flagged = chunks.join(freq, "chunk")
+    rebuilt = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("chunk_df") < min_doc_freq).cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("chunk_df") < min_doc_freq,
+                                    F.struct("pos", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .withColumn("n_removed", F.col("n_chunks") - F.col("n_kept"))
+        .select("doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5")
+    )
+    return rebuilt
+
+
+def remove_boilerplate_sql(
+    table: str = "documents",
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB oracle twin of :func:`remove_boilerplate`. ``extra_ctes``
+    (e.g. ``"docs AS (...), "``) lets callers prepend the CTE that
+    defines ``table``."""
+    return f"""
+    WITH {extra_ctes}chunks AS ({doc_chunks_sql(table, text_col)}),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS chunk_df FROM chunks GROUP BY chunk
+    ),
+    flagged AS (SELECT c.*, f.chunk_df FROM chunks c JOIN freq f USING (chunk))
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN chunk_df < {min_doc_freq} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           count(*) - CAST(sum(CASE WHEN chunk_df < {min_doc_freq} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN chunk_df < {min_doc_freq} THEN chunk END,
+                                   ' ' ORDER BY pos), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
+#: Gopher-style quality rules (Rae et al. 2021, table A1 — thresholds
+#: adapted to the synthetic corpus' word statistics).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 4.2
+GOPHER_MAX_MEAN_WORD_LEN = 4.8
+GOPHER_STOPWORDS = ("the", "a", "value", "table", "data")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality filter: word-count window, mean
+    word length window, minimum distinct-stopword presence. Pure
+    projection (0 shuffles); each rule is surfaced as its own flag so a
+    pipeline can log WHY a document was dropped."""
+    norm = norm_text(text_col)
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    nonspace = F.length(F.regexp_replace(norm, " ", ""))
+    mean_wl = F.round(nonspace / n_words, 6)
+    stop_hits = sum(
+        (
+            F.concat(F.lit(" "), norm, F.lit(" ")).contains(f" {w} ")
+        ).cast("int")
+        for w in GOPHER_STOPWORDS
+    )
+    pass_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    pass_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.cast("int").alias("stop_hits"),
+        pass_words.alias("pass_word_count"),
+        pass_wl.alias("pass_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_words & pass_wl & pass_stop).alias("keep"),
+    )
+
+
+def gopher_filter_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`gopher_filter`."""
+    norm = norm_text_sql(text_col)
+    stop_sum = " + ".join(
+        f"CASE WHEN ' ' || {norm} || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             len(string_split({norm}, ' ')) AS n_words,
+             round(length(replace({norm}, ' ', ''))
+                   * 1.0 / len(string_split({norm}, ' ')), 6) AS mean_word_len,
+             CAST(({stop_sum}) AS INT) AS stop_hits
+      FROM {table}
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS pass_word_count,
+           mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN} AS pass_word_len,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+             AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+    FROM g
+    """

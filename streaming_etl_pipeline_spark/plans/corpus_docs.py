@@ -664,3 +664,46 @@ from streaming_etl_pipeline_spark.plans.corpus import QUERIES as _Q  # noqa: E40
 _Q["language_id"] = type(_Q["language_id"])(
     fn=_Q["language_id"].fn, sql=_language_id_sql(), bench=_Q["language_id"].bench
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation extensions (round 3): connected-component cluster
+# canonicalization, chunk-level boilerplate removal, Gopher-style filter
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import components as CC  # noqa: E402
+
+
+@register(
+    "dedup_clusters",
+    CC.connected_components_sql(_minhash_lsh_sql()),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash/LSH near-dup pairs: every paired
+    document mapped to its cluster's canonical (min) doc_id — the step
+    that turns pair output into an actionable delete list. Distributed
+    min-label propagation; the oracle is a recursive-CTE fixpoint."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return CC.dedup_clusters(pairs)
+
+
+@register(
+    "boilerplate_chunks",
+    TX.remove_boilerplate_sql(
+        "docs", min_doc_freq=2, extra_ctes=f"docs AS ({_DOCS_WITH_DUPS_SQL}), "
+    ),
+)
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal at word-chunk
+    granularity over the twin-augmented corpus: chunk doc-frequency →
+    drop df≥2 chunks → reassemble docs in order (kept/removed counts +
+    md5 of the rebuilt text)."""
+    return TX.remove_boilerplate(_docs_with_dups(spark, sf_dir), min_doc_freq=2)
+
+
+@register("gopher_quality", TX.gopher_filter_sql("documents"))
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (word-count window, mean-word-length
+    window, stopword presence) with per-rule flags — the documented
+    drop-reason shape a curation pipeline logs."""
+    return TX.gopher_filter(read_table(spark, sf_dir, "documents"))

@@ -369,6 +369,89 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# order_rank_profile = top_orders_by_year ∪ order_price_quartiles
+# (labelled common shape — both windowed-ranking ops in one slot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_rank_profile",
+    f"""
+    SELECT 'top_orders' AS rank_op, order_year,
+           o_orderkey AS item, CAST(o_totalprice AS DOUBLE) AS m1,
+           CAST(price_rank AS DOUBLE) AS m2, CAST(price_dense_rank AS DOUBLE) AS m3
+    FROM ({_sql("top_orders_by_year")})
+    UNION ALL
+    SELECT 'quartiles' AS rank_op, order_year,
+           CAST(price_quartile AS BIGINT) AS item, CAST(n_orders AS DOUBLE) AS m1,
+           min_price AS m2, max_price AS m3
+    FROM ({_sql("order_price_quartiles")})
+    """,
+)
+def q_order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per-group top-k + ntile quartile profile in one
+    labelled result — the full windowed-ranking surface in one driver
+    row."""
+    top = _run("top_orders_by_year", spark, sf_dir).select(
+        F.lit("top_orders").alias("rank_op"),
+        "order_year",
+        F.col("o_orderkey").alias("item"),
+        F.col("o_totalprice").cast("double").alias("m1"),
+        F.col("price_rank").cast("double").alias("m2"),
+        F.col("price_dense_rank").cast("double").alias("m3"),
+    )
+    quart = _run("order_price_quartiles", spark, sf_dir).select(
+        F.lit("quartiles").alias("rank_op"),
+        "order_year",
+        F.col("price_quartile").cast("long").alias("item"),
+        F.col("n_orders").cast("double").alias("m1"),
+        F.col("min_price").alias("m2"),
+        F.col("max_price").alias("m3"),
+    )
+    return top.unionByName(quart)
+
+
+# ---------------------------------------------------------------------------
+# corpus_curation = boilerplate_chunks ⟕ gopher_quality ⟕ dedup_clusters
+# (doc grain over the twin-augmented corpus — round-3 curation ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curation",
+    f"""
+    WITH b AS ({_sql("boilerplate_chunks")}),
+         g AS ({_sql("gopher_quality")}),
+         c AS ({_sql("dedup_clusters")})
+    SELECT b.doc_id, b.n_chunks, b.n_kept, b.n_removed, b.clean_md5,
+           g.n_words, g.mean_word_len, g.stop_hits, g.keep,
+           c.canonical_id, c.cluster_size
+    FROM b LEFT JOIN g ON b.doc_id = g.doc_id
+           LEFT JOIN c ON b.doc_id = c.doc_id
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation surface in one doc-grain result: boilerplate
+    removal counts + Gopher quality flags + near-dup cluster canonical
+    ids. LEFT joins: synthetic twins have no gopher row (plain-corpus
+    scope), unpaired docs no cluster row."""
+    b = _run("boilerplate_chunks", spark, sf_dir)
+    g = _run("gopher_quality", spark, sf_dir).select(
+        "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
+    )
+    c = _run("dedup_clusters", spark, sf_dir)
+    return (
+        b.join(g, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .select(
+            "doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5",
+            "n_words", "mean_word_len", "stop_hits", "keep",
+            "canonical_id", "cluster_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -401,6 +484,11 @@ COVERED_BY: dict[str, str] = {
     "sample_docs_hash": "sampling_suite",
     "reservoir_events_per_type": "sampling_suite",
     "char_budget_by_lang": "sampling_suite",
+    "top_orders_by_year": "order_rank_profile",
+    "order_price_quartiles": "order_rank_profile",
+    "dedup_clusters": "corpus_curation",
+    "boilerplate_chunks": "corpus_curation",
+    "gopher_quality": "corpus_curation",
 }
 
 DRIVER_SET: list[str] = [
@@ -443,8 +531,8 @@ DRIVER_SET: list[str] = [
     "histogram_totalprice",
     "latest_order_per_customer",
     "top_customers",
-    "top_orders_by_year",
-    "order_price_quartiles",
+    "order_rank_profile",
+    "corpus_curation",
     # TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",

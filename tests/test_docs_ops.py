@@ -584,3 +584,79 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs):
         for r in DD.ngram_jaccard_pairs(docs, k=3, threshold=1e-9).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-3 curation operators: connected components, boilerplate, gopher
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A 5-node chain (diameter 4 — exercises multiple propagation
+    rounds), a triangle, and an isolated pair must resolve to min-id
+    components."""
+    from streaming_etl_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # pair
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_sizes(spark):
+    from streaming_etl_pipeline_spark.operators.components import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert rows[3]["canonical_id"] == 1 and rows[3]["cluster_size"] == 3
+    assert rows[8]["canonical_id"] == 7 and rows[8]["cluster_size"] == 2
+    # deletion candidates = non-canonical members
+    drops = [d for d, r in rows.items() if r["canonical_id"] != d]
+    assert sorted(drops) == [2, 3, 8]
+
+
+def test_remove_boilerplate_drops_shared_chunks(spark):
+    from streaming_etl_pipeline_spark.operators.text import remove_boilerplate
+
+    shared = " ".join(f"w{i}" for i in range(10))       # one full chunk
+    docs = spark.createDataFrame(
+        [(1, shared + " unique one text here"),
+         (2, shared + " different tail words now"),
+         (3, "entirely original content with no repeats")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(docs, min_doc_freq=2).collect()}
+    # the shared 10-word chunk is removed from docs 1 and 2
+    assert out[1]["n_removed"] == 1 and out[1]["n_kept"] == out[1]["n_chunks"] - 1
+    assert out[2]["n_removed"] == 1
+    assert out[3]["n_removed"] == 0
+    import hashlib
+
+    assert out[3]["clean_md5"] == hashlib.md5(
+        b"entirely original content with no repeats"
+    ).hexdigest()
+
+
+def test_gopher_filter_flags(spark):
+    from streaming_etl_pipeline_spark.operators import text as TX
+
+    good = "the " + " ".join(["table"] * 40) + " a value"   # 43 words, stopwords
+    short = "the a value table"                              # too few words
+    docs = spark.createDataFrame(
+        [(1, good), (2, short)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TX.gopher_filter(docs).collect()}
+    assert out[1]["pass_word_count"] and out[1]["pass_stopwords"]
+    assert not out[2]["pass_word_count"] and not out[2]["keep"]
