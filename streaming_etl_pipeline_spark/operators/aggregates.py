@@ -287,3 +287,24 @@ def top_k_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def skew_safe_count_distinct(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Exact per-key distinct count that survives key skew.
+
+    ``countDistinct`` builds each key's full distinct set on one reducer;
+    a hot key (one bot user, one null-ish default) concentrates there.
+    The two-job formulation shuffles on ``(keys, value)`` — a strictly
+    finer, near-uniform key — for the dedup, then counts the already
+    -distinct rows per key; partial counts merge map-side, so the hot
+    key's second shuffle carries counts, not values. Same result set,
+    bounded reducer memory at any skew.
+    """
+    return (
+        df.select(*keys, value_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(f"distinct_{value_col}"))
+    )

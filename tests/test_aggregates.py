@@ -220,3 +220,21 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     ).collect()[0]
     assert row["exact"] > 0
     assert abs(row["approx"] - row["exact"]) <= max(4 * 0.02 * row["exact"], 2)
+
+
+def test_skew_safe_count_distinct_exact(spark):
+    from streaming_etl_pipeline_spark.operators.aggregates import (
+        skew_safe_count_distinct,
+    )
+
+    df = (
+        spark.range(3000)
+        .select(F.lit("hot").alias("k"), (F.col("id") % 700).alias("v"))
+        .union(spark.range(5).select(F.lit("cold").alias("k"), F.col("id").alias("v")))
+    )
+    got = {r["k"]: r["distinct_v"] for r in skew_safe_count_distinct(df, ["k"], "v").collect()}
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {"hot": 700, "cold": 5}
