@@ -370,7 +370,8 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # order_rank_profile = top_orders_by_year ∪ order_price_quartiles
-# (labelled common shape — both windowed-ranking ops in one slot)
+#                      ∪ top_customers
+# (labelled common shape — windowed ranking + global top-k in one slot)
 # ---------------------------------------------------------------------------
 
 
@@ -386,12 +387,17 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(price_quartile AS BIGINT) AS item, CAST(n_orders AS DOUBLE) AS m1,
            min_price AS m2, max_price AS m3
     FROM ({_sql("order_price_quartiles")})
+    UNION ALL
+    SELECT 'top_customers' AS rank_op, 0 AS order_year,
+           c_custkey AS item, total_spend AS m1,
+           CAST(order_count AS DOUBLE) AS m2, CAST(0 AS DOUBLE) AS m3
+    FROM ({_sql("top_customers")})
     """,
 )
 def q_order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank/dense_rank per-group top-k + ntile quartile profile in one
-    labelled result — the full windowed-ranking surface in one driver
-    row."""
+    """rank/dense_rank per-group top-k + ntile quartile profile + global
+    top-k customers in one labelled result — the full ranking/top-k
+    surface (§2.5-2.6) in one driver row."""
     top = _run("top_orders_by_year", spark, sf_dir).select(
         F.lit("top_orders").alias("rank_op"),
         "order_year",
@@ -408,7 +414,92 @@ def q_order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").alias("m2"),
         F.col("max_price").alias("m3"),
     )
-    return top.unionByName(quart)
+    topc = _run("top_customers", spark, sf_dir).select(
+        F.lit("top_customers").alias("rank_op"),
+        F.lit(0).alias("order_year"),
+        F.col("c_custkey").alias("item"),
+        F.col("total_spend").alias("m1"),
+        F.col("order_count").cast("double").alias("m2"),
+        F.lit(0.0).alias("m3"),
+    )
+    return top.unionByName(quart).unionByName(topc)
+
+
+# ---------------------------------------------------------------------------
+# tpch_subquery_suite = Q2 ∪ Q9 ∪ Q11 ∪ Q16 ∪ Q20 shapes
+# (labelled common shape — the partsupp-adapted subquery family,
+#  plans/corpus_supplier.py, in one driver slot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_subquery_suite",
+    f"""
+    SELECT 'q2_min_cost' AS q_label,
+           CAST(p_partkey AS VARCHAR) AS k1,
+           p_brand || '/' || s_name AS k2,
+           s_acctbal AS m1
+    FROM ({_sql("q2_min_cost_supplier")})
+    UNION ALL
+    SELECT 'q9_profit' AS q_label, nation AS k1,
+           CAST(o_year AS VARCHAR) AS k2, sum_profit AS m1
+    FROM ({_sql("q9_profit_by_nation")})
+    UNION ALL
+    SELECT 'q11_important' AS q_label,
+           CAST(p_partkey AS VARCHAR) AS k1, '' AS k2, value AS m1
+    FROM ({_sql("q11_important_parts")})
+    UNION ALL
+    SELECT 'q16_variety' AS q_label,
+           p_brand || '/' || p_type AS k1,
+           CAST(p_size AS VARCHAR) AS k2,
+           CAST(supplier_cnt AS DOUBLE) AS m1
+    FROM ({_sql("q16_supplier_variety")})
+    UNION ALL
+    SELECT 'q20_dominant' AS q_label,
+           CAST(s_suppkey AS VARCHAR) AS k1, s_name AS k2,
+           CAST(n_dominant AS DOUBLE) AS m1
+    FROM ({_sql("q20_dominant_suppliers")})
+    """,
+)
+def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five partsupp-adapted TPC-H subquery shapes (Q2 correlated MIN,
+    Q9 star profit rollup, Q11 fraction-of-total, Q16 null-aware NOT IN,
+    Q20 aggregate-over-aggregate HAVING) value-verified in one labelled
+    driver row — see plans/corpus_supplier.py for the per-query plans."""
+    q2 = _run("q2_min_cost_supplier", spark, sf_dir).select(
+        F.lit("q2_min_cost").alias("q_label"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.concat_ws("/", "p_brand", "s_name").alias("k2"),
+        F.col("s_acctbal").alias("m1"),
+    )
+    q9 = _run("q9_profit_by_nation", spark, sf_dir).select(
+        F.lit("q9_profit").alias("q_label"),
+        F.col("nation").alias("k1"),
+        F.col("o_year").cast("string").alias("k2"),
+        F.col("sum_profit").alias("m1"),
+    )
+    q11 = _run("q11_important_parts", spark, sf_dir).select(
+        F.lit("q11_important").alias("q_label"),
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("value").alias("m1"),
+    )
+    q16 = _run("q16_supplier_variety", spark, sf_dir).select(
+        F.lit("q16_variety").alias("q_label"),
+        F.concat_ws("/", "p_brand", "p_type").alias("k1"),
+        F.col("p_size").cast("string").alias("k2"),
+        F.col("supplier_cnt").cast("double").alias("m1"),
+    )
+    q20 = _run("q20_dominant_suppliers", spark, sf_dir).select(
+        F.lit("q20_dominant").alias("q_label"),
+        F.col("s_suppkey").cast("string").alias("k1"),
+        F.col("s_name").alias("k2"),
+        F.col("n_dominant").cast("double").alias("m1"),
+    )
+    out = q2
+    for p in (q9, q11, q16, q20):
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -486,6 +577,12 @@ COVERED_BY: dict[str, str] = {
     "char_budget_by_lang": "sampling_suite",
     "top_orders_by_year": "order_rank_profile",
     "order_price_quartiles": "order_rank_profile",
+    "top_customers": "order_rank_profile",
+    "q2_min_cost_supplier": "tpch_subquery_suite",
+    "q9_profit_by_nation": "tpch_subquery_suite",
+    "q11_important_parts": "tpch_subquery_suite",
+    "q16_supplier_variety": "tpch_subquery_suite",
+    "q20_dominant_suppliers": "tpch_subquery_suite",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
@@ -530,8 +627,8 @@ DRIVER_SET: list[str] = [
     "pivot_status_by_year",
     "histogram_totalprice",
     "latest_order_per_customer",
-    "top_customers",
     "order_rank_profile",
+    "tpch_subquery_suite",
     "corpus_curation",
     # TPC-H shapes
     "q1_pricing_summary",
