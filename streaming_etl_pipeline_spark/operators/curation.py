@@ -1,0 +1,297 @@
+"""Training-set assembly operators: context-window chunking, deterministic
+split assignment, PII redaction, and benchmark decontamination.
+
+The last mile of a 100 TB corpus pipeline (SURVEY.md §2.12): after dedup
+and quality filtering, documents must be (1) chunked to the model's
+context window, (2) assigned to train/val/test reproducibly, (3) scrubbed
+of personal identifiers, and (4) checked for eval-benchmark contamination.
+All four are built-in-function compositions (no UDFs, §2.10) with exact
+DuckDB twins, and none carries state:
+
+- chunking / split / redaction are per-row projections — 0 shuffles,
+  linear in input splits;
+- decontamination is an inverted-index semi-join on uniform shingle
+  hashes — the same scale shape as exact n-gram Jaccard
+  (operators/dedup.py), with the benchmark side dimension-sized and
+  broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.functions.core import md5_long, md5_long_sql, tokenize
+from streaming_etl_pipeline_spark.operators.dedup import shingles, shingles_sql
+from streaming_etl_pipeline_spark.operators.text import norm_text, norm_text_sql
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (overlapping token windows)
+# ---------------------------------------------------------------------------
+
+
+def context_chunks(
+    df: DataFrame,
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into overlapping context windows of at most
+    ``max_tokens`` whitespace tokens with ``overlap`` tokens carried over
+    between consecutive chunks — the standard packing step before
+    tokenizer + example assembly.
+
+    Window starts advance by ``stride = max_tokens - overlap``; the last
+    window starts at the greatest multiple of stride < n, so every token
+    lands in ≥1 chunk and no empty trailing window is emitted. Output:
+    ``(doc_id, chunk_id, n_tokens, chunk_md5)`` — the chunk text is
+    hashed, not carried, so the result stays canonicalizable while still
+    pinning content byte-for-byte.
+
+    Pure projection + explode: 0 shuffles at any scale.
+    """
+    stride = max_tokens - overlap
+    assert stride > 0, "overlap must be < max_tokens"
+    toks = tokenize(norm_text(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - overlap) / stride).cast("int"))
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    return df.select(
+        id_col,
+        F.posexplode(windows).alias("chunk_id", "_w"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size("_w").alias("n_tokens"),
+        F.md5(F.array_join("_w", " ")).alias("chunk_md5"),
+    )
+
+
+def context_chunks_sql(
+    table: str = "documents",
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`context_chunks` (lockstep double-unnest)."""
+    stride = max_tokens - overlap
+    toks = f"list_filter(string_split_regex({norm_text_sql(text_col)}, '\\s+'), t -> t <> '')"
+    n_chunks = (
+        f"greatest(1, CAST(ceil((len({toks}) - {overlap}) / {stride}.0) AS INT))"
+    )
+    win = f"({toks})[i * {stride} + 1 : i * {stride} + {max_tokens}]"
+    return f"""
+    SELECT {id_col},
+           unnest(range({n_chunks})) AS chunk_id,
+           unnest(list_transform(range({n_chunks}), i -> len({win}))) AS n_tokens,
+           unnest(list_transform(range({n_chunks}),
+                                 i -> md5(array_to_string({win}, ' ')))) AS chunk_md5
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+#: Hash-bucket modulus for split assignment; 1e6 buckets gives 1e-4 %
+#: granularity on the split fractions.
+_SPLIT_MOD = 1_000_000
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    seed: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'val' | 'test') by hashing the
+    stable key — the assignment is a pure function of (key, seed), so
+    re-runs, backfills, and incremental ingests route every document
+    identically with zero coordination state. Test fraction is the
+    remainder ``1 - train - val``.
+
+    Pure projection: 0 shuffles. Downstream writers partition by
+    ``split`` to land the three sets in separate directories.
+    """
+    bucket = md5_long(F.col(key_col), seed) % _SPLIT_MOD
+    t_hi = int(train * _SPLIT_MOD)
+    v_hi = t_hi + int(val * _SPLIT_MOD)
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_hi, "train").when(bucket < v_hi, "val").otherwise("test"),
+    )
+
+
+def assign_splits_sql(
+    key_sql: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    seed: str = "split",
+) -> str:
+    """DuckDB twin of :func:`assign_splits` (the split CASE expression)."""
+    t_hi = int(train * _SPLIT_MOD)
+    v_hi = t_hi + int(val * _SPLIT_MOD)
+    b = f"({md5_long_sql(key_sql, seed)} % {_SPLIT_MOD})"
+    return (
+        f"CASE WHEN {b} < {t_hi} THEN 'train' "
+        f"WHEN {b} < {v_hi} THEN 'val' ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) applied in order over normalized text.
+#: Patterns stay in the Java-regex ∩ RE2 common subset so the DuckDB twin
+#: is exact. Order matters only for overlapping classes (SSN before
+#: phone would matter if the phone pattern allowed 2-digit middles — it
+#: doesn't; the set below is mutually exclusive on any input).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ssn>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<phone>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<ip>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails / SSNs / phone numbers / IPv4 addresses from document
+    text, replacing each with a typed placeholder, and count what was
+    removed per class. Output: ``(doc_id, n_email, n_ssn, n_phone,
+    n_ipv4, clean_md5)`` — redacted text is hashed, not carried.
+
+    Pure projection (regex only): 0 shuffles; at 100 TB this pipelines
+    into the scan like any other row filter. Real deployments extend
+    PII_PATTERNS (names, addresses need NER models — that step would ride
+    the same mapInPandas seam as multimodal decode).
+    """
+    norm = norm_text(text_col)
+    counts = [
+        F.regexp_count(norm, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean: Column = norm
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(id_col, *counts, F.md5(clean).alias("clean_md5"))
+
+
+def redact_pii_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB oracle twin of :func:`redact_pii`."""
+    norm = norm_text_sql(text_col)
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all({norm}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = norm
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT {id_col},
+           {counts},
+           md5({clean}) AS clean_md5
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    flag_threshold: float = 0.10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlap with an evaluation benchmark: the fraction of
+    a document's word ``k``-gram shingles that also appear anywhere in
+    ``benchmark`` — the standard train-set decontamination check (an
+    exact-substring tier; fuzzy tiers reuse MinHash from
+    operators/dedup.py).
+
+    Output: ``(doc_id, n_shingles, n_contaminated, contamination_rate,
+    flagged)``.
+
+    Scale shape: benchmark shingle set is dimension-sized (eval suites
+    are MBs, not TBs) → distinct-hash build (one small shuffle), then a
+    **broadcast left-semi membership probe** per exploded corpus shingle
+    — the corpus side never shuffles, mirroring the df-cutoff
+    inverted-index design measured in SCALE.md. If the benchmark ever
+    outgrew broadcast, the same plan degrades gracefully to a shuffled
+    semi join on the uniform hash key.
+    """
+    doc_sh = df.select(
+        id_col, F.explode(shingles(text_col, k=k)).alias("sh")
+    ).select(id_col, md5_long("sh").alias("sh_hash"))
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, k=k)).alias("sh"))
+        .select(md5_long("sh").alias("sh_hash"))
+        .distinct()
+    )
+    hit = F.col("hit_hash").isNotNull()
+    per_doc = (
+        doc_sh.join(
+            F.broadcast(bench_sh.withColumnRenamed("sh_hash", "hit_hash")),
+            F.col("sh_hash") == F.col("hit_hash"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit.cast("long")).alias("n_contaminated"),
+        )
+    )
+    rate = F.round(F.col("n_contaminated") / F.col("n_shingles"), 6)
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        rate.alias("contamination_rate"),
+        (rate >= flag_threshold).alias("flagged"),
+    )
+
+
+def contamination_stats_sql(
+    table: str = "documents",
+    benchmark_cte: str = "benchmark",
+    k: int = 5,
+    flag_threshold: float = 0.10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`contamination_stats` (callers supply
+    a CTE named ``benchmark_cte`` with a ``text`` column)."""
+    return f"""
+    SELECT {id_col}, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 6) AS contamination_rate,
+           round(n_contaminated * 1.0 / n_shingles, 6) >= {flag_threshold} AS flagged
+    FROM (
+      SELECT d.{id_col},
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN b.sh_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated
+      FROM (SELECT {id_col}, {md5_long_sql("sh")} AS sh_hash
+            FROM (SELECT {id_col}, unnest({shingles_sql(text_col, k=k)}) AS sh
+                  FROM {table})) d
+      LEFT JOIN (SELECT DISTINCT {md5_long_sql("sh")} AS sh_hash
+                 FROM (SELECT unnest({shingles_sql(text_col, k=k)}) AS sh
+                       FROM {benchmark_cte})) b
+        USING (sh_hash)
+      GROUP BY d.{id_col})
+    """

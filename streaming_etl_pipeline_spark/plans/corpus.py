@@ -1754,6 +1754,7 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401
 from streaming_etl_pipeline_spark.plans import corpus_samples  # noqa: E402,F401
 from streaming_etl_pipeline_spark.plans import corpus_supplier  # noqa: E402,F401
+from streaming_etl_pipeline_spark.plans import corpus_training  # noqa: E402,F401
 
 # corpus_merged composes registered constituent SQL at import time, so it
 # must load AFTER every granular corpus (docs, samples).

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_etl_pipeline_spark.operators.curation import assign_splits_sql
 from streaming_etl_pipeline_spark.plans.corpus import QUERIES, register
 
 
@@ -543,6 +544,120 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# reshape_profile = pivot_status_by_year ∪ histogram_totalprice
+# (labelled common shape — both result-reshape aggs in one slot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reshape_profile",
+    f"""
+    SELECT 'pivot' AS reshape_op, CAST(order_year AS VARCHAR) AS k1,
+           F AS m1, O AS m2, P AS m3
+    FROM ({_sql("pivot_status_by_year")})
+    UNION ALL
+    SELECT 'histogram' AS reshape_op, bucket AS k1,
+           bucket_count AS m1, CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3
+    FROM ({_sql("histogram_totalprice")})
+    """,
+)
+def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/cross-tab (A12) + histogram binning (A13) in one labelled
+    driver row."""
+    piv = _run("pivot_status_by_year", spark, sf_dir).select(
+        F.lit("pivot").alias("reshape_op"),
+        F.col("order_year").cast("string").alias("k1"),
+        F.col("F").alias("m1"),
+        F.col("O").alias("m2"),
+        F.col("P").alias("m3"),
+    )
+    hist = _run("histogram_totalprice", spark, sf_dir).select(
+        F.lit("histogram").alias("reshape_op"),
+        F.col("bucket").alias("k1"),
+        F.col("bucket_count").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("long").alias("m3"),
+    )
+    return piv.unionByName(hist)
+
+
+# ---------------------------------------------------------------------------
+# training_assembly = context chunks (per-doc rollup) ⟕ split ⟕ PII
+#                     ⟕ decontamination (doc grain — round-3 curation ops,
+#                     plans/corpus_training.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_assembly",
+    f"""
+    WITH chunks AS ({_sql("context_chunk_stats")}),
+         ch AS (
+           SELECT doc_id, count(*) AS n_chunks,
+                  sum(n_tokens) AS chunk_tokens,
+                  md5(string_agg(chunk_md5, ' ' ORDER BY chunk_id)) AS chunks_md5
+           FROM chunks GROUP BY doc_id),
+         pii AS ({_sql("pii_redaction")}),
+         dc AS ({_sql("decontamination")})
+    SELECT d.doc_id,
+           {assign_splits_sql("d.doc_id")} AS split,
+           ch.n_chunks, ch.chunk_tokens, ch.chunks_md5,
+           pii.n_email, pii.n_ssn, pii.n_phone, pii.n_ipv4,
+           pii.clean_md5 AS pii_md5,
+           dc.n_shingles, dc.n_contaminated, dc.contamination_rate, dc.flagged
+    FROM documents d
+         JOIN ch USING (doc_id)
+         JOIN pii USING (doc_id)
+         LEFT JOIN dc USING (doc_id)
+    """,
+)
+def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-set assembly surface in one doc-grain driver row:
+    per-doc context-chunk rollup + hash split + PII scrub counts +
+    benchmark contamination (null for benchmark-partition docs, which the
+    decontamination query holds out)."""
+    from streaming_etl_pipeline_spark.operators import curation as CU
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    ch = (
+        _run("context_chunk_stats", spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "chunk_md5"))
+                        ),
+                        lambda s: s["chunk_md5"],
+                    ),
+                    " ",
+                )
+            ).alias("chunks_md5"),
+        )
+    )
+    pii = _run("pii_redaction", spark, sf_dir).withColumnRenamed(
+        "clean_md5", "pii_md5"
+    )
+    dc = _run("decontamination", spark, sf_dir)
+    docs = CU.assign_splits(
+        read_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return (
+        docs.join(ch, "doc_id")
+        .join(pii, "doc_id")
+        .join(dc, "doc_id", "left")
+        .select(
+            "doc_id", "split", "n_chunks", "chunk_tokens", "chunks_md5",
+            "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_md5",
+            "n_shingles", "n_contaminated", "contamination_rate", "flagged",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -583,6 +698,12 @@ COVERED_BY: dict[str, str] = {
     "q11_important_parts": "tpch_subquery_suite",
     "q16_supplier_variety": "tpch_subquery_suite",
     "q20_dominant_suppliers": "tpch_subquery_suite",
+    "pivot_status_by_year": "reshape_profile",
+    "histogram_totalprice": "reshape_profile",
+    "context_chunk_stats": "training_assembly",
+    "split_assignment": "training_assembly",
+    "pii_redaction": "training_assembly",
+    "decontamination": "training_assembly",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
@@ -624,8 +745,8 @@ DRIVER_SET: list[str] = [
     "sliding_10min_stats",
     "grouping_sets_profile",
     "sampling_suite",
-    "pivot_status_by_year",
-    "histogram_totalprice",
+    "reshape_profile",
+    "training_assembly",
     "latest_order_per_customer",
     "order_rank_profile",
     "tpch_subquery_suite",

@@ -1,0 +1,174 @@
+"""Training-set assembly query corpus: context-window chunking, split
+assignment, PII redaction, benchmark decontamination
+(operators/curation.py) — hash-gated with the same oracle discipline as
+corpus_docs.py.
+
+The synthetic corpus contains no PII and no benchmark overlap, so the
+redaction and decontamination queries *inject* deterministic probes
+(the corpus_docs twin-injection pattern) — both engines apply the same
+injection SQL/expressions, so the operators are exercised on real
+positive cases, not vacuously green on zeros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import curation as CU
+from streaming_etl_pipeline_spark.plans.corpus import register
+from streaming_etl_pipeline_spark.sources import read_table, spread
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+@register(
+    "context_chunk_stats",
+    CU.context_chunks_sql(
+        "documents", max_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    ),
+)
+def q_context_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows (32 tokens, 8 overlap) over every
+    document — one row per chunk with its token count and content hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    return CU.context_chunks(
+        docs, max_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_assignment",
+    f"""
+    SELECT split, lang,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM (SELECT {CU.assign_splits_sql("doc_id")} AS split, lang, n_chars
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 90/5/5 split, profiled per (split, lang) — the
+    aggregate pins every document's routing (a changed assignment moves a
+    doc between groups and breaks both counts and char sums)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        CU.assign_splits(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (probe-injected)
+# ---------------------------------------------------------------------------
+
+_PII_PROBE = (
+    " reach me at jane.doe@example.com or 555-123-4567"
+    " ssn 123-45-6789 host 10.0.0.1"
+)
+_PII_EXTRA = " second.contact@example.org"
+
+_PII_DOCS_SQL = f"""
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0 THEN '{_PII_PROBE}' ELSE '' END
+           || CASE WHEN doc_id % 21 = 0 THEN '{_PII_EXTRA}' ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, _PII_PROBE).otherwise(""),
+            F.when(F.col("doc_id") % 21 == 0, _PII_EXTRA).otherwise(""),
+        ).alias("text"),
+    )
+
+
+@register(
+    "pii_redaction",
+    f"WITH docs AS ({_PII_DOCS_SQL})\n{CU.redact_pii_sql('docs')}",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub over the probe-injected corpus: every 7th
+    document carries an email + phone + SSN + IPv4 probe (every 21st a
+    second email), so match counts and the redacted-text hash are
+    exercised on true positives in both engines."""
+    return CU.redact_pii(_pii_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (probe-injected)
+# ---------------------------------------------------------------------------
+
+_CONTAM_PROBE = (
+    " the quick brown fox jumps over the lazy dog benchmark contamination probe"
+)
+_DECONTAM_K = 5
+
+#: Corpus side: every doc NOT in the benchmark partition; every 9th doc
+#: gets the probe phrase appended (the contamination to catch).
+_CONTAM_CORPUS_SQL = f"""
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 9 = 0 THEN '{_CONTAM_PROBE}' ELSE '' END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+"""
+
+#: Benchmark side: the held-out partition plus one synthetic eval doc
+#: containing the probe phrase.
+_CONTAM_BENCH_SQL = f"""
+  SELECT text FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT '{_CONTAM_PROBE.strip()}' AS text
+"""
+
+
+@register(
+    "decontamination",
+    f"""
+    WITH corpus AS ({_CONTAM_CORPUS_SQL}),
+         benchmark AS ({_CONTAM_BENCH_SQL})
+    {CU.contamination_stats_sql("corpus", "benchmark", k=_DECONTAM_K)}
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 5-gram overlap of every corpus document against the benchmark
+    partition (doc_id % 13 = 0 plus a synthetic eval doc). Every 9th
+    corpus doc carries an injected probe phrase shared with the synthetic
+    eval doc, so the contamination path has true positives; rate ≥ 10%
+    flags the document."""
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0, _CONTAM_PROBE).otherwise(""),
+        ).alias("text"),
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .select("text")
+        .unionByName(
+            spark.range(1).select(F.lit(_CONTAM_PROBE.strip()).alias("text"))
+        )
+    )
+    return CU.contamination_stats(corpus, bench, k=_DECONTAM_K)

@@ -1,0 +1,155 @@
+"""Unit tests for operators/curation.py (training-set assembly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import curation as CU
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# context_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_context_chunks_window_arithmetic(spark):
+    # 50 tokens, window 32, overlap 8 → stride 24 → chunks at 0 and 24:
+    # [0:32] full, [24:50] = 26 tokens.
+    text = " ".join(f"w{i}" for i in range(50))
+    out = CU.context_chunks(
+        _docs(spark, [(1, text)]), max_tokens=32, overlap=8
+    ).orderBy("chunk_id")
+    rows = out.collect()
+    assert [r.chunk_id for r in rows] == [0, 1]
+    assert [r.n_tokens for r in rows] == [32, 26]
+
+
+def test_context_chunks_overlap_tokens_shared(spark):
+    # Consecutive windows share exactly `overlap` tokens: chunk 1 must
+    # start at token index stride (= 24), i.e. contain w24..w55.
+    text = " ".join(f"w{i}" for i in range(56))
+    out = CU.context_chunks(
+        _docs(spark, [(1, text)]), max_tokens=32, overlap=8
+    ).orderBy("chunk_id")
+    rows = out.collect()
+    assert [r.n_tokens for r in rows] == [32, 32]
+    # hash of w24..w55 pins the start offset
+    import hashlib
+
+    expect = hashlib.md5(
+        " ".join(f"w{i}" for i in range(24, 56)).encode()
+    ).hexdigest()
+    assert rows[1].chunk_md5 == expect
+
+
+def test_context_chunks_short_and_empty_docs(spark):
+    out = CU.context_chunks(
+        _docs(spark, [(1, "only three tokens"), (2, ""), (3, "x")]),
+        max_tokens=32,
+        overlap=8,
+    )
+    by_id = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert len(by_id) == 3  # one chunk each, even empty
+    assert by_id[(1, 0)].n_tokens == 3
+    assert by_id[(2, 0)].n_tokens == 0
+    assert by_id[(3, 0)].n_tokens == 1
+
+
+def test_context_chunks_rejects_bad_overlap(spark):
+    with pytest.raises(AssertionError):
+        CU.context_chunks(_docs(spark, [(1, "a b")]), max_tokens=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# assign_splits
+# ---------------------------------------------------------------------------
+
+
+def test_assign_splits_deterministic_and_complete(spark):
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = CU.assign_splits(docs, "doc_id").groupBy("split").count().collect()
+    b = CU.assign_splits(docs, "doc_id").groupBy("split").count().collect()
+    assert sorted((r.split, r["count"]) for r in a) == sorted(
+        (r.split, r["count"]) for r in b
+    )
+    counts = {r.split: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # 90/5/5 within generous binomial slack
+    assert 1700 <= counts["train"] <= 1900
+
+
+def test_assign_splits_seed_changes_routing(spark):
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = CU.assign_splits(docs, "doc_id", seed="s1")
+    b = CU.assign_splits(docs, "doc_id", seed="s2")
+    moved = (
+        a.alias("a")
+        .join(b.alias("b"), "doc_id")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert moved > 0
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_counts_and_hash(spark):
+    import hashlib
+
+    out = CU.redact_pii(
+        _docs(
+            spark,
+            [
+                (1, "Mail Bob.Smith@Corp.IO re 555-123-4567 and 999.888.7777"),
+                (2, "ssn 123-45-6789 from 10.0.0.255"),
+                (3, "nothing sensitive here"),
+            ],
+        )
+    ).collect()
+    r = {x.doc_id: x for x in out}
+    assert (r[1].n_email, r[1].n_phone, r[1].n_ssn, r[1].n_ipv4) == (1, 2, 0, 0)
+    assert (r[2].n_email, r[2].n_phone, r[2].n_ssn, r[2].n_ipv4) == (0, 0, 1, 1)
+    assert (r[3].n_email, r[3].n_phone, r[3].n_ssn, r[3].n_ipv4) == (0, 0, 0, 0)
+    assert r[1].clean_md5 == hashlib.md5(
+        b"mail <email> re <phone> and <phone>"
+    ).hexdigest()
+    assert r[2].clean_md5 == hashlib.md5(b"ssn <ssn> from <ip>").hexdigest()
+
+
+def test_redact_pii_ssn_not_eaten_by_phone(spark):
+    # SSN and phone share a digits-with-dashes shape; the 3-2-4 grouping
+    # must land in n_ssn only.
+    out = CU.redact_pii(_docs(spark, [(1, "123-45-6789 555-123-4567")])).collect()[0]
+    assert (out.n_ssn, out.n_phone) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# contamination_stats
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_overlapping_doc(spark):
+    probe = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = _docs(
+        spark,
+        [
+            (1, "clean words only none shared with benchmark at all here now"),
+            (2, f"prefix words here {probe} suffix words here"),
+        ],
+    )
+    bench = spark.createDataFrame([(probe,)], "text string")
+    out = {r.doc_id: r for r in CU.contamination_stats(corpus, bench, k=5).collect()}
+    assert out[1].n_contaminated == 0 and out[1].flagged is False
+    # probe contributes 4 internal 5-grams fully inside the benchmark text
+    assert out[2].n_contaminated == 4
+    assert out[2].flagged is True
+    assert abs(out[2].contamination_rate - 4 / out[2].n_shingles) < 1e-9
