@@ -36,6 +36,7 @@ def context_chunks(
     overlap: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Explode each document into overlapping context windows of at most
     ``max_tokens`` whitespace tokens with ``overlap`` tokens carried over
@@ -47,7 +48,8 @@ def context_chunks(
     lands in ≥1 chunk and no empty trailing window is emitted. Output:
     ``(doc_id, chunk_id, n_tokens, chunk_md5)`` — the chunk text is
     hashed, not carried, so the result stays canonicalizable while still
-    pinning content byte-for-byte.
+    pinning content byte-for-byte (``keep_text=True`` adds the
+    ``chunk_text`` column for pipelines that write training examples).
 
     Pure projection + explode: 0 shuffles at any scale.
     """
@@ -60,15 +62,19 @@ def context_chunks(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * stride + 1, max_tokens),
     )
-    return df.select(
+    out = df.select(
         id_col,
         F.posexplode(windows).alias("chunk_id", "_w"),
-    ).select(
-        id_col,
-        "chunk_id",
+    )
+    cols = [
+        F.col(id_col),
+        F.col("chunk_id"),
         F.size("_w").alias("n_tokens"),
         F.md5(F.array_join("_w", " ")).alias("chunk_md5"),
-    )
+    ]
+    if keep_text:
+        cols.append(F.array_join("_w", " ").alias("chunk_text"))
+    return out.select(*cols)
 
 
 def context_chunks_sql(
@@ -162,6 +168,16 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def redacted_text(text_col: str = "text") -> Column:
+    """The redacted (normalized) text expression — exposed separately so
+    pipelines can *carry* scrubbed text downstream, while the gated
+    :func:`redact_pii` query surfaces only its hash."""
+    clean: Column = norm_text(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return clean
+
+
 def redact_pii(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -180,10 +196,9 @@ def redact_pii(
         F.regexp_count(norm, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    clean: Column = norm
-    for _, pat, repl in PII_PATTERNS:
-        clean = F.regexp_replace(clean, pat, repl)
-    return df.select(id_col, *counts, F.md5(clean).alias("clean_md5"))
+    return df.select(
+        id_col, *counts, F.md5(redacted_text(text_col)).alias("clean_md5")
+    )
 
 
 def redact_pii_sql(

@@ -1,0 +1,130 @@
+"""End-to-end training-corpus curation pipeline: the LLM-domain analogue
+of the reference's medallion batch flow (``bronze_to_silver`` /
+``silver_to_gold``), composed entirely from the operator library.
+
+    raw documents
+      → quality filter (Gopher rules)            operators/text.py
+      → exact dedup (md5 keep-first)             operators/dedup.py
+      → near dedup (MinHash→LSH→components)      dedup.py + components.py
+      → benchmark decontamination (optional)     operators/curation.py
+      → PII redaction (carried text)             operators/curation.py
+      → train/val/test split                     operators/curation.py
+      → context-window chunking                  operators/curation.py
+      → parquet partitioned by split
+
+Like the medallion pipelines, audit counts ride as **observed metrics**
+on the single write action wherever the plan allows; only the near-dup
+stage (iterative components) and the survivor anti-joins force their own
+jobs — that is inherent to dedup, not an implementation artifact.
+
+Scale shape (100 TB): every per-row stage (filter/redact/split/chunk)
+pipelines into one scan; dedup cost is the signature pass (linear,
+0-shuffle) + LSH band join on md5-uniform keys; decontamination is a
+broadcast semi-probe. The final write shuffles once on `split` — three
+output directories, each internally splittable by
+``maxRecordsPerFile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import curation as CU
+from streaming_etl_pipeline_spark.operators import dedup as DD
+from streaming_etl_pipeline_spark.operators import text as TX
+from streaming_etl_pipeline_spark.operators.components import dedup_clusters
+from streaming_etl_pipeline_spark.pipelines.medallion import PipelineResult
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 32,
+    overlap: int = 8,
+    lsh_threshold: float = 0.6,
+    contamination_threshold: float = 0.10,
+) -> PipelineResult:
+    """Run the full curation flow and write chunked training examples to
+    ``out_path`` partitioned by ``split``. Returns per-stage audit
+    metrics (documents surviving each gate, chunks written).
+
+    ``docs`` needs (id_col, text_col); ``benchmark`` (optional) needs
+    ``text_col`` and enables the decontamination gate.
+    """
+    metrics: dict[str, float] = {"input_docs": float(docs.count())}
+
+    # 1. Quality gate — per-row flags, 0 shuffles.
+    quality = TX.gopher_filter(docs, text_col).filter("keep").select(id_col)
+    kept = docs.join(quality, id_col, "left_semi")
+    metrics["after_quality"] = float(kept.count())
+
+    # 2. Exact dedup — one hash shuffle; keep the min-id doc per content
+    #    group (exact_dedup_groups already computes the keeper).
+    keepers = DD.exact_dedup_groups(kept, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = kept.join(keepers, id_col, "left_semi")
+    metrics["after_exact_dedup"] = float(kept.count())
+
+    # 3. Near dedup — signatures (linear) → LSH band join → verified
+    #    pairs → connected components → drop non-canonical members.
+    sigs = DD.build_signatures(kept, id_col, text_col)
+    pairs = DD.near_dup_pairs_from_signatures(
+        sigs, id_col=id_col, threshold=lsh_threshold
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
+    kept = kept.join(losers, id_col, "left_anti")
+    metrics["after_near_dedup"] = float(kept.count())
+
+    # 4. Decontamination — broadcast benchmark shingle probe.
+    if benchmark is not None:
+        flagged = (
+            CU.contamination_stats(
+                kept,
+                benchmark,
+                flag_threshold=contamination_threshold,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            .filter("flagged")
+            .select(id_col)
+        )
+        kept = kept.join(flagged, id_col, "left_anti")
+        metrics["after_decontamination"] = float(kept.count())
+
+    # 5-7. Redact → split → chunk: one fused projection pass, audited by
+    #      observed metrics on the write action (no extra jobs).
+    redacted = kept.select(
+        id_col, CU.redacted_text(text_col).alias(text_col)
+    )
+    examples = CU.assign_splits(
+        CU.context_chunks(
+            redacted,
+            max_tokens=max_tokens,
+            overlap=overlap,
+            id_col=id_col,
+            text_col=text_col,
+            keep_text=True,
+        ),
+        id_col,
+    )
+
+    obs = Observation("training_out")
+    examples = examples.observe(
+        obs,
+        F.count(F.lit(1)).alias("chunks_written"),
+        # DISTINCT aggregates aren't allowed in observed metrics; every
+        # doc emits exactly one chunk_id=0 row, so count those instead.
+        F.sum((F.col("chunk_id") == 0).cast("long")).alias("final_docs"),
+        F.sum("n_tokens").alias("tokens_written"),
+    )
+    examples.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    # sum() observes as None over an empty write (every doc filtered)
+    metrics.update({k: float(v or 0) for k, v in obs.get.items()})
+    return PipelineResult(output_paths={"training": out_path}, metrics=metrics)

@@ -1,0 +1,79 @@
+"""End-to-end test of pipelines/training_data.curate_corpus: every gate
+(quality, exact dedup, near dedup, decontamination, redaction, split,
+chunking) exercised by a handcrafted corpus with one victim per gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.pipelines.training_data import curate_corpus
+
+_PROBE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _base_tokens(d: int) -> list[str]:
+    """40 tokens passing every Gopher rule: 2 stopword hits, mean word
+    length (3+4+19*4+19*5)/40 = 4.45 ∈ [4.2, 4.8]. The q-tokens carry
+    the doc index so distinct docs are far apart in Jaccard space."""
+    four = [f"w{i:03d}" for i in range(19)]
+    five = [f"q{d}{j:02d}x" for j in range(19)]
+    return ["the", "data"] + four + five
+
+
+def _corpus(spark):
+    base0 = " ".join(_base_tokens(0))
+    near0 = " ".join(_base_tokens(0)[:-1] + ["zzzzz"])
+    rows = [
+        (0, base0),                                      # canonical survivor
+        (1, base0),                                      # exact dup of 0
+        (2, near0),                                      # near dup of 0
+        (3, " ".join(_base_tokens(3)) + " contact bob@example.com"),  # PII
+        (4, " ".join(_base_tokens(4)) + " " + _PROBE),   # contaminated
+        (5, " ".join(_base_tokens(5))),                  # clean survivor
+        (6, "too few words here"),                       # fails quality
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_all_gates(spark, tmp_path):
+    out = str(tmp_path / "training")
+    bench = spark.createDataFrame([(_PROBE,)], "text string")
+    res = curate_corpus(spark, _corpus(spark), out, benchmark=bench)
+
+    m = res.metrics
+    assert m["input_docs"] == 7
+    assert m["after_quality"] == 6          # doc 6 dropped
+    assert m["after_exact_dedup"] == 5      # doc 1 dropped
+    assert m["after_near_dedup"] == 4       # doc 2 dropped
+    assert m["after_decontamination"] == 3  # doc 4 dropped
+    assert m["final_docs"] == 3             # docs 0, 3, 5
+    # 40-token docs → 2 chunks (32 + 16); the PII doc has 42 tokens
+    # post-redaction ("contact <email>") → 2 chunks (32 + 18)
+    assert m["chunks_written"] == 6
+    assert m["tokens_written"] == 48 + 48 + 50
+
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert set(r.doc_id for r in back.select("doc_id").distinct().collect()) == {
+        0, 3, 5,
+    }
+    # the PII never reaches the output; the placeholder does
+    pii_chunks = back.filter(F.col("chunk_text").contains("bob@example.com"))
+    assert pii_chunks.count() == 0
+    assert back.filter(F.col("chunk_text").contains("<email>")).count() == 1
+    # split column is materialized as a partition and deterministic
+    rerun = str(tmp_path / "training2")
+    curate_corpus(spark, _corpus(spark), rerun, benchmark=bench)
+    a = {(r.doc_id, r.chunk_id): r.split for r in back.collect()}
+    b = {
+        (r.doc_id, r.chunk_id): r.split
+        for r in spark.read.parquet(rerun).collect()
+    }
+    assert a == b
+
+
+def test_curate_corpus_no_benchmark_skips_gate(spark, tmp_path):
+    out = str(tmp_path / "training_nb")
+    res = curate_corpus(spark, _corpus(spark), out)
+    assert "after_decontamination" not in res.metrics
+    assert res.metrics["final_docs"] == 4  # contaminated doc 4 stays
