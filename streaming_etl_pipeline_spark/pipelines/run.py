@@ -17,6 +17,9 @@ silver→gold → quality):
     python -m streaming_etl_pipeline_spark.pipelines.run train-quantizer \\
         --input /data/embeddings --output /data/ivf_centroids \\
         [--k 256] [--iters 5]
+    python -m streaming_etl_pipeline_spark.pipelines.run curate \\
+        --docs /data/documents --output /data/training \\
+        [--benchmark /data/eval_docs] [--max-tokens 2048] [--overlap 128]
 
 Orchestration stays external (cron/Airflow/dbt invoke these commands);
 idempotency comes from dynamic partition overwrite, so re-running a task
@@ -86,6 +89,21 @@ def make_parser() -> argparse.ArgumentParser:
     tq.add_argument("--iters", type=int, default=5)
     tq.add_argument("--id-col", default="vec_id")
     tq.add_argument("--vec-col", default="embedding")
+
+    cr = sub.add_parser(
+        "curate",
+        help="full corpus curation: quality → dedup → decontaminate → "
+        "redact → split → chunk → partitioned training parquet",
+    )
+    cr.add_argument("--docs", required=True, help="parquet with doc_id,text")
+    cr.add_argument("--output", required=True)
+    cr.add_argument("--benchmark", default=None, help="eval-doc parquet (text)")
+    cr.add_argument("--max-tokens", type=int, default=2048)
+    cr.add_argument("--overlap", type=int, default=128)
+    cr.add_argument("--lsh-threshold", type=float, default=0.6)
+    cr.add_argument("--contamination-threshold", type=float, default=0.10)
+    cr.add_argument("--id-col", default="doc_id")
+    cr.add_argument("--text-col", default="text")
     return p
 
 
@@ -143,6 +161,26 @@ def main(argv: list[str] | None = None) -> int:
         cents.write.mode("overwrite").parquet(args.output)
         metrics["quantizer.k"] = args.k
         metrics["quantizer.centroids"] = spark.read.parquet(args.output).count()
+    if args.cmd == "curate":
+        from streaming_etl_pipeline_spark.pipelines.training_data import (
+            curate_corpus,
+        )
+
+        docs = spark.read.parquet(args.docs)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        res = curate_corpus(
+            spark,
+            docs,
+            args.output,
+            benchmark=bench,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            max_tokens=args.max_tokens,
+            overlap=args.overlap,
+            lsh_threshold=args.lsh_threshold,
+            contamination_threshold=args.contamination_threshold,
+        )
+        metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     print(json.dumps(metrics))
     return 0
 

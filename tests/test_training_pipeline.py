@@ -77,3 +77,31 @@ def test_curate_corpus_no_benchmark_skips_gate(spark, tmp_path):
     res = curate_corpus(spark, _corpus(spark), out)
     assert "after_decontamination" not in res.metrics
     assert res.metrics["final_docs"] == 4  # contaminated doc 4 stays
+
+
+def test_cli_curate_on_corpus_table(spark, tmp_path, capsys):
+    """Drive the curate subcommand end-to-end on the real sf0.001
+    documents table (chunk sizes scaled down to its short docs)."""
+    import json
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+
+    out = str(tmp_path / "training")
+    rc = main(
+        [
+            "curate",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--max-tokens", "32",
+            "--overlap", "8",
+        ]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["curate.input_docs"] > 0
+    assert 0 < metrics["curate.final_docs"] <= metrics["curate.input_docs"]
+    assert metrics["curate.chunks_written"] >= metrics["curate.final_docs"]
+    back = spark.read.parquet(out)
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test",
+    }
