@@ -284,11 +284,17 @@ GOPHER_STOPWORDS = ("the", "a", "value", "table", "data")
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", keep_cols: bool = False
+) -> DataFrame:
     """Gopher-style document quality filter: word-count window, mean
     word length window, minimum distinct-stopword presence. Pure
     projection (0 shuffles); each rule is surfaced as its own flag so a
-    pipeline can log WHY a document was dropped."""
+    pipeline can log WHY a document was dropped.
+
+    ``keep_cols=True`` carries every input column alongside the flags —
+    pipelines (and streams, where a re-join would be a stream-stream
+    join) filter on ``keep`` directly with no join."""
     norm = norm_text(text_col)
     words = F.split(norm, " ")
     n_words = F.size(words)
@@ -305,8 +311,9 @@ def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
     )
     pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    lead: list = [F.col("*")] if keep_cols else [F.col("doc_id")]
     return df.select(
-        "doc_id",
+        *lead,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         stop_hits.cast("int").alias("stop_hits"),

@@ -58,9 +58,13 @@ def curate_corpus(
     """
     metrics: dict[str, float] = {"input_docs": float(docs.count())}
 
-    # 1. Quality gate — per-row flags, 0 shuffles.
-    quality = TX.gopher_filter(docs, text_col).filter("keep").select(id_col)
-    kept = docs.join(quality, id_col, "left_semi")
+    # 1. Quality gate — per-row flags carried inline (keep_cols), so the
+    #    gate is a filter, not a join.
+    kept = (
+        TX.gopher_filter(docs, text_col, keep_cols=True)
+        .filter("keep")
+        .select(id_col, text_col)
+    )
     metrics["after_quality"] = float(kept.count())
 
     # 2. Exact dedup — one hash shuffle; keep the min-id doc per content

@@ -153,3 +153,46 @@ def test_contamination_flags_overlapping_doc(spark):
     assert out[2].n_contaminated == 4
     assert out[2].flagged is True
     assert abs(out[2].contamination_rate - 4 / out[2].n_shingles) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Streaming composition: quality filter + redaction are stateless
+# projections, so they lift onto readStream unchanged
+# ---------------------------------------------------------------------------
+
+
+def test_curation_projections_compose_with_streaming(spark, tmp_path):
+    from streaming_etl_pipeline_spark.operators.curation import redacted_text
+    from streaming_etl_pipeline_spark.operators.text import gopher_filter
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    good = " ".join(
+        ["the", "data"]
+        + [f"w{i:03d}" for i in range(19)]
+        + [f"q0{j:02d}x" for j in range(19)]
+    )
+    spark.createDataFrame(
+        [(1, good + " ping admin@example.com"), (2, "too short")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    docs = spark.readStream.schema("doc_id long, text string").parquet(src)
+    cleaned = (
+        gopher_filter(docs, keep_cols=True)
+        .filter("keep")
+        .select("doc_id", redacted_text("text").alias("text"))
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert "admin@example.com" not in rows[0].text
+    assert "<email>" in rows[0].text

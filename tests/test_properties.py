@@ -211,3 +211,94 @@ def test_wav_codec_roundtrip_property(n, rate, seed):
     out, got_rate = C.wav_decode(C.wav_encode(samples, rate))
     assert got_rate == rate
     assert (out == samples).all()
+
+
+# ---------------------------------------------------------------------------
+# Curation operator properties (round 3)
+# ---------------------------------------------------------------------------
+
+word_strategy = st.text(
+    alphabet="abcdefghij0123456789", min_size=1, max_size=8
+)
+
+
+@SETTINGS
+@given(
+    words=st.lists(word_strategy, min_size=0, max_size=120),
+    max_tokens=st.sampled_from([8, 32]),
+    overlap=st.sampled_from([0, 2, 4]),
+)
+def test_context_chunks_cover_every_token(words, max_tokens, overlap):
+    """Chunk windows tile the token list exactly: stride-spaced starts,
+    full-width interior windows, and total coverage — stitching
+    non-overlap heads back together yields the original token count."""
+    from streaming_etl_pipeline_spark.operators.curation import context_chunks
+
+    text = " ".join(words)
+    df = _spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        context_chunks(df, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    n = len([w for w in words if w])
+    stride = max_tokens - overlap
+    assert rows[0].chunk_id == 0
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    # every window except the last is full-width (when the doc is long
+    # enough); the last covers the tail exactly
+    for r in rows[:-1]:
+        assert r.n_tokens == max_tokens
+    last = rows[-1]
+    assert last.n_tokens == max(0, min(n - last.chunk_id * stride, max_tokens))
+    # coverage: last window must reach the end of the token list
+    assert last.chunk_id * stride + last.n_tokens == max(n, 0)
+
+
+@SETTINGS
+@given(keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True))
+def test_assign_splits_is_stable_partition(keys):
+    """Every key gets exactly one split, and the assignment is a pure
+    function of the key (stable across shuffled input order)."""
+    from streaming_etl_pipeline_spark.operators.curation import assign_splits
+
+    df = _spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    a = {r.doc_id: r.split for r in assign_splits(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_splits(
+            df.orderBy(F.rand(7)), "doc_id"
+        ).collect()
+    }
+    assert a == b
+    assert set(a) == set(keys)
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+@SETTINGS
+@given(
+    words=st.lists(word_strategy, min_size=1, max_size=40),
+    n_pii=st.integers(0, 3),
+)
+def test_redact_pii_idempotent_and_complete(words, n_pii):
+    """Redaction is idempotent (a second pass is a no-op) and complete
+    (no pattern matches the redacted text)."""
+    import hashlib
+
+    from streaming_etl_pipeline_spark.operators.curation import (
+        PII_PATTERNS,
+        redact_pii,
+        redacted_text,
+    )
+
+    text = " ".join(words) + " someone@example.net 10.1.2.3" * n_pii
+    df = _spark.createDataFrame([(1, text)], "doc_id long, text string")
+    first = redact_pii(df).collect()[0]
+    # second pass over the already-clean text
+    clean_df = df.select("doc_id", redacted_text("text").alias("text"))
+    second = redact_pii(clean_df).collect()[0]
+    assert (second.n_email, second.n_ssn, second.n_phone, second.n_ipv4) == (
+        0, 0, 0, 0,
+    )
+    clean = clean_df.collect()[0].text
+    assert second.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
+    assert first.n_email == n_pii and first.n_ipv4 == n_pii
