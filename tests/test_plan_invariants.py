@@ -1,0 +1,90 @@
+"""Physical-plan regression gates (SURVEY.md §4): the scale-design
+properties the engine promises — broadcast dimension joins, bounded
+shuffle counts, zero-shuffle projections, no accidental cartesian
+products — asserted on the real executed plans so a plan regression
+fails CI before it shows up in the bench.
+
+Counts use the same methodology as scripts/plan_audit.py: shuffles =
+Exchange minus BroadcastExchange occurrences in the executed-plan string.
+Upper bounds are intentionally loose (AQE may insert or elide exchanges)
+— the gates catch category regressions (a broadcast degrading to
+sort-merge, a projection growing a shuffle), not exact plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_counts(spark, name):
+    plan = QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
+        "bcast": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "plan": plan,
+    }
+
+
+# (query, max_shuffles, min_broadcast_joins, max_sort_merge_joins)
+PLAN_GATES = [
+    # star joins: every dimension must broadcast, fact shuffles only for agg
+    ("q3_shipping_priority", 3, 1, 0),
+    ("q5_local_volume", 3, 3, 0),
+    ("q9_profit_by_nation", 2, 4, 0),
+    ("q10_returned_items", 3, 2, 0),
+    # single-pass rollups: one shuffle for the groupBy (+1 AQE slack)
+    ("q1_pricing_summary", 2, 0, 0),
+    # daily_summary carries an exact COUNT(DISTINCT) → two-phase expand
+    ("daily_summary", 3, 0, 0),
+    # pure projections: must never grow a shuffle (spread() exempted by
+    # using queries that don't call it)
+    ("pii_redaction", 0, 0, 0),
+    ("context_chunk_stats", 0, 0, 0),
+    ("text_stats", 1, 0, 0),
+    # windowed gold: bucket agg is one shuffle (+spread's round-robin)
+    ("sensor_5min", 3, 0, 0),
+    ("location_hourly", 3, 0, 0),
+]
+
+
+@pytest.mark.parametrize("name,max_sh,min_bc,max_smj", PLAN_GATES)
+def test_plan_shape(spark, name, max_sh, min_bc, max_smj):
+    c = _plan_counts(spark, name)
+    assert c["shuffles"] <= max_sh, f"{name}: {c['shuffles']} shuffles\n{c['plan']}"
+    assert c["bcast"] >= min_bc, f"{name}: only {c['bcast']} broadcast joins"
+    assert c["smj"] <= max_smj, f"{name}: sort-merge join crept in"
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """The only nested-loop joins allowed in the corpus are 1-row
+    broadcast scalar shapes; a real CartesianProduct is always a bug."""
+    offenders = []
+    for name in QUERIES:
+        try:
+            c = _plan_counts(spark, name)
+        except Exception:
+            continue  # other gates cover analysis errors
+        if c["cartesian"]:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_scans_prune_columns(spark):
+    """Column pruning reaches the parquet scan: a narrow projection over
+    the wide lineitem table must not read every column."""
+    df = QUERIES["q1_pricing_summary"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        (ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln),
+        "",
+    )
+    assert scan, "no lineitem scan found"
+    assert "l_orderkey" not in scan.split("ReadSchema")[-1], (
+        "q1 reads no join keys; l_orderkey in ReadSchema means pruning broke"
+    )
