@@ -56,6 +56,8 @@ def curate_corpus(
     ``docs`` needs (id_col, text_col); ``benchmark`` (optional) needs
     ``text_col`` and enables the decontamination gate.
     """
+    from pyspark import StorageLevel
+
     metrics: dict[str, float] = {"input_docs": float(docs.count())}
 
     # 1. Quality gate — per-row flags carried inline (keep_cols), so the
@@ -68,11 +70,16 @@ def curate_corpus(
     metrics["after_quality"] = float(kept.count())
 
     # 2. Exact dedup — one hash shuffle; keep the min-id doc per content
-    #    group (exact_dedup_groups already computes the keeper).
+    #    group (exact_dedup_groups already computes the keeper). The
+    #    result feeds three consumers (signature build, the near-dup
+    #    anti join, the audit count) — persist so the scan + quality +
+    #    dedup chain runs once, not per consumer.
     keepers = DD.exact_dedup_groups(kept, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = kept.join(keepers, id_col, "left_semi")
+    kept = kept.join(keepers, id_col, "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     metrics["after_exact_dedup"] = float(kept.count())
 
     # 3. Near dedup — signatures (linear) → LSH band join → verified
@@ -83,7 +90,11 @@ def curate_corpus(
     )
     clusters = dedup_clusters(pairs)
     losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
-    kept = kept.join(losers, id_col, "left_anti")
+    survivors = kept.join(losers, id_col, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    kept.unpersist()
+    kept = survivors
     metrics["after_near_dedup"] = float(kept.count())
 
     # 4. Decontamination — broadcast benchmark shingle probe.
@@ -129,6 +140,7 @@ def curate_corpus(
         F.sum("n_tokens").alias("tokens_written"),
     )
     examples.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    kept.unpersist()
     # sum() observes as None over an empty write (every doc filtered)
     metrics.update({k: float(v or 0) for k, v in obs.get.items()})
     return PipelineResult(output_paths={"training": out_path}, metrics=metrics)
