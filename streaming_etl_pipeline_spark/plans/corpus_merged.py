@@ -604,7 +604,11 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            ch.n_chunks, ch.chunk_tokens, ch.chunks_md5,
            pii.n_email, pii.n_ssn, pii.n_phone, pii.n_ipv4,
            pii.clean_md5 AS pii_md5,
-           dc.n_shingles, dc.n_contaminated, dc.contamination_rate, dc.flagged
+           d.doc_id % 13 = 0 AS in_benchmark,
+           coalesce(dc.n_shingles, 0) AS n_shingles,
+           coalesce(dc.n_contaminated, 0) AS n_contaminated,
+           coalesce(dc.contamination_rate, 0.0) AS contamination_rate,
+           coalesce(dc.flagged, FALSE) AS flagged
     FROM documents d
          JOIN ch USING (doc_id)
          JOIN pii USING (doc_id)
@@ -614,8 +618,10 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-set assembly surface in one doc-grain driver row:
     per-doc context-chunk rollup + hash split + PII scrub counts +
-    benchmark contamination (null for benchmark-partition docs, which the
-    decontamination query holds out)."""
+    benchmark contamination. Benchmark-partition docs (held out of the
+    decontamination corpus) are marked `in_benchmark` with zeroed
+    contamination columns — the result carries no nullable cells, so any
+    driver-side canonicalizer sorts it without type coercion."""
     from streaming_etl_pipeline_spark.operators import curation as CU
     from streaming_etl_pipeline_spark.sources import read_table
 
@@ -652,7 +658,15 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "split", "n_chunks", "chunk_tokens", "chunks_md5",
             "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_md5",
-            "n_shingles", "n_contaminated", "contamination_rate", "flagged",
+            (F.col("doc_id") % 13 == 0).alias("in_benchmark"),
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.coalesce("contamination_rate", F.lit(0.0)).alias(
+                "contamination_rate"
+            ),
+            F.coalesce("flagged", F.lit(False)).alias("flagged"),
         )
     )
 
