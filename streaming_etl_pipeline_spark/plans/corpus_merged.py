@@ -672,6 +672,41 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# neardup_pairs = embedding_neardup ∪ fuzzy_name_pairs
+# (labelled common shape — near-duplicate pair detection across
+#  modalities: LSH-bucketed embedding cosine + symmetric-delete string
+#  edit distance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_pairs",
+    f"""
+    SELECT 'embedding_cosine' AS method, id_a, id_b, cosine_sim AS score
+    FROM ({_sql("embedding_neardup")})
+    UNION ALL
+    SELECT 'name_edit1' AS method, id_a, id_b, CAST(distance AS DOUBLE) AS score
+    FROM ({_sql("fuzzy_name_pairs")})
+    """,
+)
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair detection across modalities in one labelled
+    driver row: LSH-bucketed embedding cosine pairs + exact-recall
+    edit-distance-1 name pairs (operators/fuzzy.py)."""
+    emb = _run("embedding_neardup", spark, sf_dir).select(
+        F.lit("embedding_cosine").alias("method"),
+        "id_a", "id_b",
+        F.col("cosine_sim").alias("score"),
+    )
+    fz = _run("fuzzy_name_pairs", spark, sf_dir).select(
+        F.lit("name_edit1").alias("method"),
+        "id_a", "id_b",
+        F.col("distance").cast("double").alias("score"),
+    )
+    return emb.unionByName(fz)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -718,6 +753,8 @@ COVERED_BY: dict[str, str] = {
     "split_assignment": "training_assembly",
     "pii_redaction": "training_assembly",
     "decontamination": "training_assembly",
+    "embedding_neardup": "neardup_pairs",
+    "fuzzy_name_pairs": "neardup_pairs",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
@@ -732,7 +769,7 @@ DRIVER_SET: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_topk",
-    "embedding_neardup",
+    "neardup_pairs",
     "embedding_dim_stats",
     "distinct_users_kmv",
     "user_sessions",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streaming_etl_pipeline_spark.operators import curation as CU
+from streaming_etl_pipeline_spark.operators import fuzzy as FZ
 from streaming_etl_pipeline_spark.plans.corpus import register
 from streaming_etl_pipeline_spark.sources import read_table, spread
 
@@ -172,3 +173,49 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return CU.contamination_stats(corpus, bench, k=_DECONTAM_K)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution (typo-injected customer names)
+# ---------------------------------------------------------------------------
+
+#: Name corpus: every customer plus, for every 10th, a typo twin with the
+#: 5th character replaced ('Custxmer#...') — distance exactly 1.
+_FUZZY_NAMES_SQL = """
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000 AS id,
+         substr(c_name, 1, 4) || 'x' || substr(c_name, 6, 1000000) AS name
+  FROM customer WHERE c_custkey % 10 = 0
+"""
+
+
+def _fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    twins = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.concat(
+            F.substring("c_name", 1, 4),
+            F.lit("x"),
+            F.expr("substring(c_name, 6, 1000000)"),
+        ).alias("name"),
+    )
+    return base.unionByName(twins)
+
+
+@register(
+    "fuzzy_name_pairs",
+    FZ.edit1_pairs_sql(
+        "names", "id", "name", extra_ctes=f"names AS ({_FUZZY_NAMES_SQL}), "
+    ),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the typo-injected customer names: ALL pairs
+    within Levenshtein distance 1, found by exact-recall symmetric-delete
+    blocking (operators/fuzzy.py). Catches both the injected typo twins
+    and every naturally-adjacent name (IDs differing in one digit), so
+    the pair set is large enough to pin recall, not just precision."""
+    return FZ.edit1_pairs(_fuzzy_names(spark, sf_dir), "id", "name")
