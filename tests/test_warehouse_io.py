@@ -199,3 +199,56 @@ def test_write_jdbc_idempotent_window_load(spark, tmp_path):
     write_jdbc(w10, url, "fact_gold",
                delete_window=("2024-06-15 10:00:00", "2024-06-15 11:00:00"))
     assert spark.read.jdbc(url, "fact_gold").count() == 2
+
+
+def test_write_clustered_produces_prunable_zone_maps(spark, tmp_path):
+    """Clustered files must cover narrow, non-overlapping user_id ranges
+    (so parquet min/max stats prune scans); an unclustered write of the
+    same data leaves every file spanning ~the full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_etl_pipeline_spark.sources.io import read_table, write_clustered
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    lo, hi = events.agg(F.min("user_id"), F.max("user_id")).first()
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered(events, clustered, cluster_by=["user_id"], num_files=8)
+    plain = str(tmp_path / "plain")
+    events.repartition(8).write.parquet(plain)
+
+    def file_ranges(path):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "user_id"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            spans.append((min(mins), max(maxs)))
+        return sorted(spans)
+
+    cl = file_ranges(clustered)
+    pl = file_ranges(plain)
+    assert len(cl) == 8
+    # clustered: ranges are disjoint (range partitioner) and narrow
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(cl, cl[1:]):
+        assert a_hi <= b_lo, f"overlapping clustered ranges {cl}"
+    assert sum(h - l for l, h in cl) < (hi - lo) * 1.1
+    # unclustered: every file spans essentially the whole key range
+    assert all(h - l > (hi - lo) * 0.8 for l, h in pl)
+    # and Spark actually reads fewer files under a point predicate
+    probe = (lo + hi) // 2
+    scanned = (
+        spark.read.parquet(clustered)
+        .filter(F.col("user_id") == probe)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id," in scanned
