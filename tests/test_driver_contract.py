@@ -48,7 +48,11 @@ def test_merged_sql_composes_registered_constituents():
         if gsql is None or msql is None:
             continue
         if granular in ("simhash_docs", "customers_with_recent_orders",
-                        "customers_without_recent_orders"):
+                        "customers_without_recent_orders",
+                        # per-doc split in training_assembly shares the
+                        # assign_splits_sql expression, not the (split,
+                        # lang) rollup shape
+                        "split_assignment"):
             continue  # re-expressed rather than embedded (schema reshaped)
         assert gsql.strip() in msql, f"{merged} does not embed {granular}"
 
