@@ -196,3 +196,47 @@ def test_curation_projections_compose_with_streaming(spark, tmp_path):
     assert [r.doc_id for r in rows] == [1]
     assert "admin@example.com" not in rows[0].text
     assert "<email>" in rows[0].text
+
+
+def test_streaming_incremental_dedup_store(spark, tmp_path):
+    """Streaming ingest + the persisted dedup store: each micro-batch
+    checks its docs against everything ingested before it (foreachBatch →
+    incremental_near_dups), so a near-dup arriving in a LATER batch is
+    caught without ever rescanning earlier text."""
+    from streaming_etl_pipeline_spark.operators.dedup import incremental_near_dups
+
+    src = str(tmp_path / "stream_src")
+    store = str(tmp_path / "sig_store")
+    hits_path = str(tmp_path / "hits")
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+    # batch 1 lands before the stream starts; batch 2 arrives as a second
+    # file and contains a near-dup of a batch-1 doc
+    spark.createDataFrame(
+        [(1, base), (2, "completely different words live in this one here")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+
+    found = []
+
+    def check_batch(batch_df, batch_id):
+        pairs = incremental_near_dups(spark, batch_df, store, threshold=0.5)
+        rows = pairs.collect()
+        found.extend((r.id_a, r.id_b) for r in rows)
+        if rows:
+            pairs.write.mode("append").parquet(hits_path)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    ).writeStream.foreachBatch(check_batch).trigger(availableNow=True)
+    q = stream.option("checkpointLocation", str(tmp_path / "ck1")).start()
+    q.awaitTermination(120)
+    assert found == []  # nothing to collide with yet
+
+    spark.createDataFrame(
+        [(10, base + " kilo")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    q = stream.option("checkpointLocation", str(tmp_path / "ck1")).start()
+    q.awaitTermination(120)
+
+    assert any({a, b} == {1, 10} for a, b in found), found
