@@ -105,3 +105,68 @@ def token_budget_sample(
         .filter(F.col("_cum_tokens") <= budget)
         .drop("_cum_tokens")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    seed: str = "mixture",
+) -> DataFrame:
+    """Deterministic mixture targeting: sample so that group ``g``
+    contributes ~``weights[g] * total_rows`` rows — the pretraining
+    mixture-spec operator ("50% web, 30% code, 20% books") with the
+    same reproducibility contract as :func:`hash_sample`.
+
+    Per-group inclusion fraction = min(1, weight·total / |group|), so an
+    under-represented group is taken whole rather than upsampled (an
+    explicit, loggable shortfall — repetition policy belongs to the
+    trainer, not the sampler). Groups absent from ``weights`` are
+    dropped. Cost: one dimension-sized count agg broadcast back onto a
+    per-row filter — the corpus never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_grp_cnt"))
+    w = None
+    for g, wt in weights.items():
+        w = (
+            F.when(F.col(group_col) == g, F.lit(float(wt)))
+            if w is None
+            else w.when(F.col(group_col) == g, F.lit(float(wt)))
+        )
+    w = (w.otherwise(F.lit(0.0)) if w is not None else F.lit(0.0)).alias("_wt")
+    frac = F.least(F.lit(1.0), w * F.lit(float(total_rows)) / F.col("_grp_cnt"))
+    thresh = (frac * _SAMPLE_MOD).cast("long")
+    h = md5_long(key_col, seed) % _SAMPLE_MOD
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(h < thresh)
+        .drop("_grp_cnt")
+    )
+
+
+def mixture_sample_sql(
+    table: str,
+    key_sql: str,
+    group_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+    seed: str = "mixture",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (identical float arithmetic:
+    least(1.0, wt·total/cnt)·MOD truncated to BIGINT)."""
+    values = ", ".join(f"('{g}', {float(wt)!r})" for g, wt in weights.items())
+    return f"""
+    SELECT t.* EXCLUDE (_wt, _grp_cnt)
+    FROM (
+      SELECT d.*, w.wt AS _wt, c._grp_cnt
+      FROM {table} d
+      JOIN (SELECT {group_col}, count(*) AS _grp_cnt FROM {table} GROUP BY 1) c
+        USING ({group_col})
+      JOIN (SELECT * FROM (VALUES {values}) AS v({group_col}, wt))
+        w USING ({group_col})) t
+    WHERE ({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD})
+          < CAST(least(1.0, _wt * CAST({total_rows} AS DOUBLE) / _grp_cnt)
+                 * {_SAMPLE_MOD} AS BIGINT)
+    """

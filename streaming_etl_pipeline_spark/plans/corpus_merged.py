@@ -341,6 +341,10 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'char_budget' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
            lang AS grp, CAST(n_chars AS VARCHAR) AS val
     FROM ({_sql("char_budget_by_lang")})
+    UNION ALL
+    SELECT 'mixture' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
+           source AS grp, '' AS val
+    FROM ({_sql("mixture_by_source")})
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,7 +370,13 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("grp"),
         F.col("n_chars").cast("string").alias("val"),
     )
-    return hash_s.unionByName(res_s).unionByName(bud_s)
+    mix_s = _run("mixture_by_source", spark, sf_dir).select(
+        F.lit("mixture").alias("sample_op"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("source").alias("grp"),
+        F.lit("").alias("val"),
+    )
+    return hash_s.unionByName(res_s).unionByName(bud_s).unionByName(mix_s)
 
 
 # ---------------------------------------------------------------------------
@@ -739,6 +749,7 @@ COVERED_BY: dict[str, str] = {
     "sample_docs_hash": "sampling_suite",
     "reservoir_events_per_type": "sampling_suite",
     "char_budget_by_lang": "sampling_suite",
+    "mixture_by_source": "sampling_suite",
     "top_orders_by_year": "order_rank_profile",
     "order_price_quartiles": "order_rank_profile",
     "top_customers": "order_rank_profile",

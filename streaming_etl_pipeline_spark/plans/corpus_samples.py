@@ -81,3 +81,26 @@ def q_char_budget_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.token_budget_sample(
         docs, keys=["lang"], token_col="n_chars", budget=20000, key_col="doc_id"
     ).select("doc_id", "lang", "n_chars")
+
+
+_MIX_WEIGHTS = {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+_MIX_TOTAL = 120
+
+
+@register(
+    "mixture_by_source",
+    f"""
+    SELECT doc_id, source
+    FROM ({SP.mixture_sample_sql("documents", "doc_id", "source",
+                                 _MIX_WEIGHTS, _MIX_TOTAL)})
+    """,
+)
+def q_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture targeting over sources (50/30/20 across
+    src1-3, 120-row target): src1/src2 exceed their group size and are
+    taken whole (the explicit-shortfall branch); src3's 0.96 fraction
+    exercises the Bernoulli branch; every other source drops out."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SP.mixture_sample(
+        docs, "doc_id", "source", _MIX_WEIGHTS, _MIX_TOTAL
+    ).select("doc_id", "source")

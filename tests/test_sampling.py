@@ -77,3 +77,30 @@ def test_token_budget_sample_respects_budget_and_is_greedy(spark):
         want.add(r.doc_id)
     got = {r.doc_id for r in out.filter(F.col("lang") == lang).collect()}
     assert got == want
+
+
+def test_mixture_sample_targets_and_shortfall(spark):
+    from streaming_etl_pipeline_spark.operators.sampling import mixture_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"),
+    )  # 4 groups × 250 rows
+    out = mixture_sample(
+        df, "doc_id", "grp", {"g0": 0.6, "g1": 0.2, "g2": 0.2}, 500
+    )
+    counts = {r.grp: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert "g3" not in counts  # unweighted group dropped
+    assert counts["g0"] == 250  # target 300 > group size → whole group
+    assert 70 <= counts["g1"] <= 130  # target 100, Bernoulli slack
+    assert 70 <= counts["g2"] <= 130
+    # reproducible: same seed → same membership
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df.orderBy(F.rand(3)), "doc_id", "grp",
+            {"g0": 0.6, "g1": 0.2, "g2": 0.2}, 500,
+        ).collect()
+    )
+    assert a == b
