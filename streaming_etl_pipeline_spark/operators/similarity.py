@@ -333,3 +333,73 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|e| / 127``,
+    ``q_i = floor(e_i / scale + 0.5)`` — the standard storage/bandwidth
+    lever for large embedding tables (4× smaller than float32; cosine
+    ranking degrades by well under typical ANN error).
+
+    ``floor(x + 0.5)`` instead of ``round`` because engines disagree on
+    half-even vs half-up ties; floor is bit-identical everywhere. An
+    all-zero vector keeps scale 0 and quantizes to zeros.
+
+    Output: ``(id, scale, qvec, q_md5, mean_abs_err)`` where ``q_md5``
+    pins the exact int vector (canonicalizer-safe; ``qvec`` itself is
+    for pipeline use). Pure projection — 0 shuffles.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(e, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(e, lambda x: F.lit(0))).otherwise(
+        F.transform(e, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    dims = F.size(e)
+    recon_err = (
+        F.aggregate(
+            F.zip_with(e, q, lambda x, qi: F.abs(x - qi.cast("double") * scale)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / dims
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("qvec"),
+        F.md5(
+            F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
+        ).alias("q_md5"),
+        F.round(recon_err, 6).alias("mean_abs_err"),
+    )
+
+
+def quantize_embeddings_sql(
+    table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB oracle twin of :func:`quantize_embeddings` (without the
+    qvec payload column — the gate compares scale, q_md5 and error)."""
+    e = f"CAST({vec_col} AS DOUBLE[])"
+    return f"""
+    SELECT {id_col}, round(scale, 9) AS scale,
+           md5(array_to_string(q, ',')) AS q_md5,
+           round(list_sum(list_transform(range(1, len(q) + 1),
+                 i -> abs(e[i] - q[i] * scale))) / len(q), 6) AS mean_abs_err
+    FROM (
+      SELECT {id_col}, e, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT))
+             END AS q
+      FROM (SELECT {id_col}, {e} AS e,
+                   list_max(list_transform({e}, x -> abs(x))) / 127.0 AS scale
+            FROM {table}))
+    """

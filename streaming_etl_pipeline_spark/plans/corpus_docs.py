@@ -707,3 +707,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, stopword presence) with per-rule flags — the documented
     drop-reason shape a curation pipeline logs."""
     return TX.gopher_filter(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantization",
+    SIM.quantize_embeddings_sql("embeddings"),
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding table:
+    scale + exact quantized-vector hash + reconstruction error. The q_md5
+    pins every int8 value; the error column pins the dequantization
+    arithmetic (operators/similarity.py quantize_embeddings)."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return SIM.quantize_embeddings(emb).select(
+        "vec_id", "scale", "q_md5", "mean_abs_err"
+    )

@@ -717,6 +717,53 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding_profile = embedding_dim_stats ∪ embedding_quantization
+# (labelled common shape — the embedding-table maintenance passes:
+#  per-dimension column profile + per-vector int8 quantization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_profile",
+    f"""
+    SELECT 'dim_stats' AS emb_op, CAST(dim AS BIGINT) AS k1, '' AS k2,
+           min_val AS m1, max_val AS m2, avg_val AS m3,
+           CAST(n AS DOUBLE) AS m4
+    FROM ({_sql("embedding_dim_stats")})
+    UNION ALL
+    SELECT 'quantize' AS emb_op, vec_id AS k1, q_md5 AS k2,
+           scale AS m1, mean_abs_err AS m2,
+           CAST(0 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
+    FROM ({_sql("embedding_quantization")})
+    """,
+)
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table maintenance in one labelled driver row: the
+    per-dimension profile (posexplode + decimal-exact stats) and the
+    per-vector int8 quantization (scale, exact int-vector hash,
+    reconstruction error)."""
+    dims = _run("embedding_dim_stats", spark, sf_dir).select(
+        F.lit("dim_stats").alias("emb_op"),
+        F.col("dim").cast("long").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("min_val").alias("m1"),
+        F.col("max_val").alias("m2"),
+        F.col("avg_val").alias("m3"),
+        F.col("n").cast("double").alias("m4"),
+    )
+    quant = _run("embedding_quantization", spark, sf_dir).select(
+        F.lit("quantize").alias("emb_op"),
+        F.col("vec_id").alias("k1"),
+        F.col("q_md5").alias("k2"),
+        F.col("scale").alias("m1"),
+        F.col("mean_abs_err").alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
+    return dims.unionByName(quant)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -766,6 +813,8 @@ COVERED_BY: dict[str, str] = {
     "decontamination": "training_assembly",
     "embedding_neardup": "neardup_pairs",
     "fuzzy_name_pairs": "neardup_pairs",
+    "embedding_dim_stats": "embedding_profile",
+    "embedding_quantization": "embedding_profile",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
@@ -781,7 +830,7 @@ DRIVER_SET: list[str] = [
     "dedup_simhash",
     "ann_topk",
     "neardup_pairs",
-    "embedding_dim_stats",
+    "embedding_profile",
     "distinct_users_kmv",
     "user_sessions",
     "multimodal_features",

@@ -660,3 +660,45 @@ def test_gopher_filter_flags(spark):
     out = {r["doc_id"]: r for r in TX.gopher_filter(docs).collect()}
     assert out[1]["pass_word_count"] and out[1]["pass_stopwords"]
     assert not out[2]["pass_word_count"] and not out[2]["keep"]
+
+
+def test_quantize_embeddings_roundtrip_and_ranking(spark):
+    """int8 quantization bounds per-component error by scale/2 and
+    preserves cosine top-1 neighbors on well-separated vectors."""
+    import math
+    import random
+
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(20)]
+    vecs.append([0.0] * 16)  # all-zero edge case
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        r = out[i]
+        maxabs = max(abs(x) for x in v)
+        assert abs(r.scale - maxabs / 127.0) < 1e-9
+        if maxabs == 0:
+            assert r.mean_abs_err == 0 and all(q == 0 for q in r.qvec)
+            continue
+        assert all(abs(q) <= 127 for q in r.qvec)
+        # dequantization error ≤ scale/2 per component
+        assert r.mean_abs_err <= r.scale / 2 + 1e-9
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return num / den if den else 0.0
+
+    deq = {
+        i: [q * out[i].scale for q in out[i].qvec] for i in range(20)
+    }
+    for i in range(5):
+        exact = max((j for j in range(20) if j != i), key=lambda j: cos(vecs[i], vecs[j]))
+        approx = max((j for j in range(20) if j != i), key=lambda j: cos(deq[i], deq[j]))
+        assert exact == approx
