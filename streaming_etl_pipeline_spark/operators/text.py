@@ -282,6 +282,10 @@ GOPHER_MIN_MEAN_WORD_LEN = 4.2
 GOPHER_MAX_MEAN_WORD_LEN = 4.8
 GOPHER_STOPWORDS = ("the", "a", "value", "table", "data")
 GOPHER_MIN_STOP_HITS = 2
+#: Max fraction of duplicate word 2-grams (Gopher's repetition family —
+#: templated/spun text repeats phrases). Corpus p99 is ~0.10; 0.12 drops
+#: only the extreme tail.
+GOPHER_MAX_DUP_2GRAM = 0.12
 
 
 def gopher_filter(
@@ -306,21 +310,39 @@ def gopher_filter(
         ).cast("int")
         for w in GOPHER_STOPWORDS
     )
+    # length must be size(words): a constant INT_MAX length overflows
+    # start+length inside slice and silently yields an empty array
+    grams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(n_words, F.lit(1))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    n_grams = F.size(grams)
+    dup2 = F.when(
+        n_grams > 0,
+        F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
     pass_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
     pass_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
         mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
     )
     pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    pass_rep = dup2 <= GOPHER_MAX_DUP_2GRAM
     lead: list = [F.col("*")] if keep_cols else [F.col("doc_id")]
     return df.select(
         *lead,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         stop_hits.cast("int").alias("stop_hits"),
+        dup2.alias("dup_2gram_frac"),
         pass_words.alias("pass_word_count"),
         pass_wl.alias("pass_word_len"),
         pass_stop.alias("pass_stopwords"),
-        (pass_words & pass_wl & pass_stop).alias("keep"),
+        pass_rep.alias("pass_repetition"),
+        (pass_words & pass_wl & pass_stop & pass_rep).alias("keep"),
     )
 
 
@@ -331,21 +353,34 @@ def gopher_filter_sql(table: str = "documents", text_col: str = "text") -> str:
         f"CASE WHEN ' ' || {norm} || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
         for w in GOPHER_STOPWORDS
     )
+    toks = f"string_split({norm}, ' ')"
+    grams = (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> ({toks})[i] || ' ' || ({toks})[i + 1])"
+    )
+    dup2 = (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"round(1 - len(list_distinct({grams})) * 1.0 / len({grams}), 6) "
+        f"ELSE 0.0 END"
+    )
     return f"""
     WITH g AS (
       SELECT doc_id,
-             len(string_split({norm}, ' ')) AS n_words,
+             len({toks}) AS n_words,
              round(length(replace({norm}, ' ', ''))
-                   * 1.0 / len(string_split({norm}, ' ')), 6) AS mean_word_len,
-             CAST(({stop_sum}) AS INT) AS stop_hits
+                   * 1.0 / len({toks}), 6) AS mean_word_len,
+             CAST(({stop_sum}) AS INT) AS stop_hits,
+             {dup2} AS dup_2gram_frac
       FROM {table}
     )
-    SELECT doc_id, n_words, mean_word_len, stop_hits,
+    SELECT doc_id, n_words, mean_word_len, stop_hits, dup_2gram_frac,
            n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS pass_word_count,
            mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN} AS pass_word_len,
            stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_stopwords,
+           dup_2gram_frac <= {GOPHER_MAX_DUP_2GRAM} AS pass_repetition,
            (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
              AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
-             AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+             AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+             AND dup_2gram_frac <= {GOPHER_MAX_DUP_2GRAM} AS keep
     FROM g
     """

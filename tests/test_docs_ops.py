@@ -660,6 +660,9 @@ def test_gopher_filter_flags(spark):
     out = {r["doc_id"]: r for r in TX.gopher_filter(docs).collect()}
     assert out[1]["pass_word_count"] and out[1]["pass_stopwords"]
     assert not out[2]["pass_word_count"] and not out[2]["keep"]
+    # 40× repeated "table table" 2-grams → the repetition rule fires
+    assert out[1]["dup_2gram_frac"] > 0.8
+    assert not out[1]["pass_repetition"] and not out[1]["keep"]
 
 
 def test_quantize_embeddings_roundtrip_and_ranking(spark):
