@@ -233,15 +233,33 @@ def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "metrics_overview",
     f"""
-    SELECT g.*, q.*
-    FROM ({_sql("global_metrics")}) g, ({_sql("quality_metrics")}) q
+    SELECT g.*, q.*,
+           ds.psi AS psi_same, ds.drifted AS drifted_same,
+           dm.psi AS psi_shifted, dm.drifted AS drifted_shifted
+    FROM ({_sql("global_metrics")}) g, ({_sql("quality_metrics")}) q,
+         (SELECT psi, drifted FROM ({_sql("drift_psi")})
+          WHERE snapshot = 'same') ds,
+         (SELECT psi, drifted FROM ({_sql("drift_psi")})
+          WHERE snapshot = 'scaled_1_5x') dm
     """,
 )
 def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14 dashboard scalars + §2.11 expectation metrics in one wide
-    gated row (column names are disjoint by construction)."""
-    return _run("global_metrics", spark, sf_dir).crossJoin(
-        _run("quality_metrics", spark, sf_dir)
+    """A14 dashboard scalars + §2.11 expectation metrics + PSI drift
+    monitoring in one wide gated row (column names are disjoint by
+    construction; each drift snapshot contributes its 1-row PSI)."""
+    drift = _run("drift_psi", spark, sf_dir)
+    same = drift.filter(F.col("snapshot") == "same").select(
+        F.col("psi").alias("psi_same"), F.col("drifted").alias("drifted_same")
+    )
+    moved = drift.filter(F.col("snapshot") == "scaled_1_5x").select(
+        F.col("psi").alias("psi_shifted"),
+        F.col("drifted").alias("drifted_shifted"),
+    )
+    return (
+        _run("global_metrics", spark, sf_dir)
+        .crossJoin(_run("quality_metrics", spark, sf_dir))
+        .crossJoin(F.broadcast(same))
+        .crossJoin(F.broadcast(moved))
     )
 
 
@@ -787,6 +805,7 @@ COVERED_BY: dict[str, str] = {
     "rolling_zscore": "event_enrichment",
     "global_metrics": "metrics_overview",
     "quality_metrics": "metrics_overview",
+    "drift_psi": "metrics_overview",
     "ann_topk_bruteforce": "ann_topk",
     "ann_topk_lsh": "ann_topk",
     "ann_topk_ivf": "ann_topk",

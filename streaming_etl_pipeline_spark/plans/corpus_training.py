@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from streaming_etl_pipeline_spark.operators import curation as CU
 from streaming_etl_pipeline_spark.operators import fuzzy as FZ
+from streaming_etl_pipeline_spark.quality import drift as DR
 from streaming_etl_pipeline_spark.plans.corpus import register
 from streaming_etl_pipeline_spark.sources import read_table, spread
 
@@ -219,3 +220,42 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every naturally-adjacent name (IDs differing in one digit), so
     the pair set is large enough to pin recall, not just precision."""
     return FZ.edit1_pairs(_fuzzy_names(spark, sf_dir), "id", "name")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) between event snapshots
+# ---------------------------------------------------------------------------
+
+_PSI_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+_PSI_REF_SQL = "SELECT value FROM events WHERE event_id % 2 = 0"
+_PSI_CUR_SQL = "SELECT value FROM events WHERE event_id % 2 = 1"
+#: Injected drift: the odd half scaled 1.5× — mass moves up one bin.
+_PSI_SHIFT_SQL = "SELECT value * 1.5 AS value FROM events WHERE event_id % 2 = 1"
+
+
+@register(
+    "drift_psi",
+    f"""
+    SELECT 'same' AS snapshot, psi, n_ref, n_cur, drifted
+    FROM ({DR.psi_sql(_PSI_REF_SQL, _PSI_CUR_SQL, "value", _PSI_EDGES)})
+    UNION ALL
+    SELECT 'scaled_1_5x' AS snapshot, psi, n_ref, n_cur, drifted
+    FROM ({DR.psi_sql(_PSI_REF_SQL, _PSI_SHIFT_SQL, "value", _PSI_EDGES)})
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between event-value snapshots: the
+    even/odd halves of the same table are statistically identical (PSI ≈
+    0, not drifted); scaling the current half by 1.5× injects real drift
+    the metric must flag (quality/drift.py)."""
+    events = read_table(spark, sf_dir, "events")
+    ref = events.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = events.filter(F.col("event_id") % 2 == 1).select("value")
+    shifted = cur.select((F.col("value") * 1.5).alias("value"))
+    same = DR.psi(ref, cur, "value", _PSI_EDGES).select(
+        F.lit("same").alias("snapshot"), "psi", "n_ref", "n_cur", "drifted"
+    )
+    moved = DR.psi(ref, shifted, "value", _PSI_EDGES).select(
+        F.lit("scaled_1_5x").alias("snapshot"), "psi", "n_ref", "n_cur", "drifted"
+    )
+    return same.unionByName(moved)
