@@ -101,3 +101,15 @@ def entry_session():
     from streaming_etl_pipeline_spark.session import build_session
 
     return build_session(app_name="engine-tests", shuffle_partitions=8)
+
+
+def test_driver_results_are_pandas_canonicalizable(spark):
+    """Round-2 regression guard: the driver canonicalizes results via
+    pandas sort_values over ALL columns, which dies on unhashable cells
+    (the multimodal ndarray crash). Every exported result must survive
+    that exact code path."""
+    import __spark_entry__ as entry_mod
+
+    for name, fn in entry_mod.queries().items():
+        pdf = fn(spark, "/root/testdata/sf0.001").limit(50).toPandas()
+        pdf.sort_values(list(pdf.columns))  # raises on unsortable cells
