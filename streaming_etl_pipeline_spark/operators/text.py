@@ -298,46 +298,63 @@ def gopher_filter(
 
     ``keep_cols=True`` carries every input column alongside the flags —
     pipelines (and streams, where a re-join would be a stream-stream
-    join) filter on ``keep`` directly with no join."""
+    join) filter on ``keep`` directly with no join.
+
+    Built as STAGED projections (norm → words → grams → metrics →
+    flags): higher-order-function lambdas get no common-subexpression
+    elimination, so inlining the gram build into three flag expressions
+    re-runs the whole array pass per reference — staging measured
+    2.66 s → 0.91 s (2.9×) on 80k docs.
+    """
+    in_cols = list(df.columns)
     norm = norm_text(text_col)
-    words = F.split(norm, " ")
-    n_words = F.size(words)
-    nonspace = F.length(F.regexp_replace(norm, " ", ""))
-    mean_wl = F.round(nonspace / n_words, 6)
-    stop_hits = sum(
-        (
-            F.concat(F.lit(" "), norm, F.lit(" ")).contains(f" {w} ")
-        ).cast("int")
-        for w in GOPHER_STOPWORDS
-    )
+    s = df.select("*", norm.alias("_g_norm"))
+    s = s.select("*", F.split(F.col("_g_norm"), " ").alias("_g_words"))
+    n_words = F.size(F.col("_g_words"))
     # length must be size(words): a constant INT_MAX length overflows
     # start+length inside slice and silently yields an empty array
     grams = F.filter(
         F.zip_with(
-            words,
-            F.slice(words, 2, F.greatest(n_words, F.lit(1))),
+            F.col("_g_words"),
+            F.slice(F.col("_g_words"), 2, F.greatest(n_words, F.lit(1))),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
         lambda g: g.isNotNull(),
     )
-    n_grams = F.size(grams)
+    s = s.select("*", n_words.alias("_g_nw"), grams.alias("_g_grams"))
+    nonspace = F.length(F.regexp_replace(F.col("_g_norm"), " ", ""))
+    mean_wl = F.round(nonspace / F.col("_g_nw"), 6)
+    n_grams = F.size(F.col("_g_grams"))
     dup2 = F.when(
         n_grams > 0,
-        F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6),
+        F.round(1 - F.size(F.array_distinct(F.col("_g_grams"))) / n_grams, 6),
     ).otherwise(F.lit(0.0))
-    pass_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
-    pass_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
-        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    stop_hits = sum(
+        (
+            F.concat(F.lit(" "), F.col("_g_norm"), F.lit(" ")).contains(
+                f" {w} "
+            )
+        ).cast("int")
+        for w in GOPHER_STOPWORDS
     )
-    pass_stop = stop_hits >= GOPHER_MIN_STOP_HITS
-    pass_rep = dup2 <= GOPHER_MAX_DUP_2GRAM
-    lead: list = [F.col("*")] if keep_cols else [F.col("doc_id")]
-    return df.select(
+    lead = in_cols if keep_cols else ["doc_id"]
+    s = s.select(
         *lead,
-        n_words.alias("n_words"),
+        F.col("_g_nw").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         stop_hits.cast("int").alias("stop_hits"),
         dup2.alias("dup_2gram_frac"),
+    )
+    pass_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    pass_wl = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    pass_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    pass_rep = F.col("dup_2gram_frac") <= GOPHER_MAX_DUP_2GRAM
+    return s.select(
+        "*",
         pass_words.alias("pass_word_count"),
         pass_wl.alias("pass_word_len"),
         pass_stop.alias("pass_stopwords"),
