@@ -191,14 +191,18 @@ def redact_pii(
     PII_PATTERNS (names, addresses need NER models — that step would ride
     the same mapInPandas seam as multimodal decode).
     """
-    norm = norm_text(text_col)
+    # stage the normalized text once: every count and the replace chain
+    # reference it, and each inline reference would re-run the
+    # lower+regex normalization pass
+    staged = df.select(id_col, norm_text(text_col).alias("_p_norm"))
     counts = [
-        F.regexp_count(norm, F.lit(pat)).cast("long").alias(f"n_{name}")
+        F.regexp_count(F.col("_p_norm"), F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
-    return df.select(
-        id_col, *counts, F.md5(redacted_text(text_col)).alias("clean_md5")
-    )
+    clean: Column = F.col("_p_norm")
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return staged.select(id_col, *counts, F.md5(clean).alias("clean_md5"))
 
 
 def redact_pii_sql(

@@ -66,42 +66,64 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     length, punctuation & stopword & digit ratios, and a composite quality
     score in [0, 1]. The score formula is fixed and documented so the
     DuckDB oracle reproduces it exactly (see corpus_docs.q_text_stats).
+
+    Staged projections (tokenize → counts → ratios → score): the quality
+    score references ratios that reference tokenizations; without
+    staging, each reference re-runs the normalize+split+regex array
+    passes (no CSE for higher-order lambdas).
     """
-    toks = tokenize(norm_text(text_col))
-    bpe = bpe_tokens(text_col)
-    n_tok = F.size(toks)
-    n_bpe = F.size(bpe)
-    punct = F.size(F.filter(bpe, lambda t: t.rlike("^[^a-z0-9]$")))
-    digits = F.size(F.filter(bpe, lambda t: t.rlike("^[0-9]+$")))
-    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    tok_chars = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    s = df.select("doc_id", norm_text(text_col).alias("_t_norm"))
+    s = s.select(
+        "doc_id",
+        "_t_norm",
+        tokenize(F.col("_t_norm")).alias("_t_toks"),
+        F.regexp_extract_all(F.col("_t_norm"), F.lit(BPE_RE), 0).alias("_t_bpe"),
     )
-    n_chars = F.length(norm_text(text_col))
-    avg_tok_len = F.round(tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
-    punct_ratio = F.round(punct.cast("double") / F.greatest(n_bpe, F.lit(1)), 6)
-    digit_ratio = F.round(digits.cast("double") / F.greatest(n_bpe, F.lit(1)), 6)
-    stop_ratio = F.round(stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+    toks, bpe = F.col("_t_toks"), F.col("_t_bpe")
+    s = s.select(
+        "doc_id",
+        F.length("_t_norm").alias("n_chars_norm"),
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.filter(bpe, lambda t: t.rlike("^[^a-z0-9]$"))).alias("_punct"),
+        F.size(F.filter(bpe, lambda t: t.rlike("^[0-9]+$"))).alias("_digits"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("_stop"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias(
+            "_tok_chars"
+        ),
+    )
+    n_tok, n_bpe = F.col("n_tokens"), F.col("n_bpe_tokens")
+    s = s.select(
+        "doc_id",
+        "n_chars_norm",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.round(
+            F.col("_tok_chars").cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.col("_punct").cast("double") / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.col("_digits").cast("double") / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("digit_ratio"),
+        F.round(
+            F.col("_stop").cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
     # Quality heuristic: long enough, mostly alphabetic, tokens of sane
     # length. Mirrors C4/Gopher-style rule-based filters; weights fixed.
     quality = F.round(
-        F.least(n_tok.cast("double") / 50.0, F.lit(1.0)) * 0.4
-        + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
-        + (1.0 - F.least(digit_ratio * 4.0, F.lit(1.0))) * 0.1
-        + F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), 0.2).otherwise(0.0),
+        F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.3
+        + (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))) * 0.1
+        + F.when(
+            (F.col("avg_token_len") >= 3.0) & (F.col("avg_token_len") <= 10.0),
+            0.2,
+        ).otherwise(0.0),
         6,
     )
-    return df.select(
-        "doc_id",
-        n_chars.alias("n_chars_norm"),
-        n_tok.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        avg_tok_len.alias("avg_token_len"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality_score"),
-    )
+    return s.select("*", quality.alias("quality_score"))
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
