@@ -26,10 +26,7 @@ THRESHOLD = 2.0
 FLOOR_SEC = 2.0  # sf0.001 queries are sub-second-noisy; gate the big movers
 
 
-@pytest.mark.slow
-def test_bench_runs_and_stays_within_budget():
-    if not os.path.isdir(SMOKE_SF):
-        pytest.skip("driver testdata not present")
+def _run_bench_once():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SMOKE_SF)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -40,17 +37,31 @@ def test_bench_runs_and_stays_within_budget():
     assert lines, f"bench.py printed no JSON line:\n{proc.stdout[-2000:]}"
     run = json.loads(lines[-1])
     assert run["unit"] == "sec" and run["value"] > 0 and run["queries"]
+    return run
 
-    base = json.load(open(BASELINE))
-    regressions = []
+
+def _regressions(run, base):
+    out = []
     for name, sec in run["queries"].items():
         ref = base["queries"].get(name)
         if ref is None:
             continue  # new query since the baseline — never fails
         if sec > THRESHOLD * ref and sec > FLOOR_SEC:
-            regressions.append(f"{name}: {sec:.2f}s vs {ref:.2f}s baseline")
+            out.append(f"{name}: {sec:.2f}s vs {ref:.2f}s baseline")
     if run["value"] > THRESHOLD * base["value"]:
-        regressions.append(
-            f"TOTAL: {run['value']:.2f}s vs {base['value']:.2f}s baseline"
-        )
-    assert not regressions, "bench regression >2x: " + "; ".join(regressions)
+        out.append(f"TOTAL: {run['value']:.2f}s vs {base['value']:.2f}s baseline")
+    return out
+
+
+@pytest.mark.slow
+def test_bench_runs_and_stays_within_budget():
+    if not os.path.isdir(SMOKE_SF):
+        pytest.skip("driver testdata not present")
+    base = json.load(open(BASELINE))
+    regressions = _regressions(_run_bench_once(), base)
+    if regressions:
+        # The bench subprocess competes with other pytest Spark sessions for
+        # the same 32 cores, so a single slow query is usually scheduler
+        # contention, not a plan regression. Only fail if it reproduces.
+        regressions = _regressions(_run_bench_once(), base)
+    assert not regressions, "bench regression >2x (x2 runs): " + "; ".join(regressions)
