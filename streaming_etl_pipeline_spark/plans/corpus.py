@@ -1749,6 +1749,50 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (warehouse S9 extension: full history, not just
+# latest state — reference redshift_loader.py keeps only the merged row)
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark import warehouse as WH  # noqa: E402
+
+_SCD2_SOURCE_SQL = (
+    "SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM orders"
+)
+
+
+@register(
+    "scd2_customer_status",
+    WH.build_scd2_sql(
+        _SCD2_SOURCE_SQL,
+        key="o_custkey",
+        attr="o_orderstatus",
+        ts_col="o_orderdate",
+        order_cols=("o_orderdate", "o_orderkey"),
+    ),
+)
+def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each customer's order status: consecutive
+    same-status runs collapse to one version row with
+    effective_from/effective_to/version/is_current. One shuffle on the
+    customer key; both window passes reuse the same sort."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    out = WH.build_scd2(
+        orders,
+        key="o_custkey",
+        attrs=("o_orderstatus",),
+        ts_col="o_orderdate",
+        order_cols=("o_orderdate", "o_orderkey"),
+    )
+    return out.select(
+        "o_custkey", "o_orderstatus", "effective_from",
+        F.col("version").cast("long").alias("version"),
+        "effective_to", "is_current",
+    )
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

@@ -782,6 +782,95 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sketch_suite = distinct_users_kmv + HLL (bounded-approx + merge checks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_suite",
+    f"""
+    WITH kmv AS ({_sql("distinct_users_kmv")}),
+         ex AS (SELECT event_type,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1)
+    SELECT kmv.event_type, kmv.n_kept, kmv.kth_min, kmv.distinct_est,
+           ex.exact_distinct,
+           TRUE AS hll_ok, TRUE AS hll_merge_ok
+    FROM kmv JOIN ex ON kmv.event_type = ex.event_type
+    """,
+)
+def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketches per event_type in one gated row set: the
+    KMV sketch (deterministic — the oracle verifies its estimate
+    EXACTLY) plus the DataSketches HLL, gated as bounded-approximation
+    flags the oracle expects TRUE: ``hll_ok`` (one-shot estimate within
+    5% of the exact count — lg_k=12 gives ~1.6% typical error) and
+    ``hll_merge_ok`` (the union of per-day sketches also lands within
+    5% of exact — the 100 TB point: persist tiny per-partition sketches,
+    answer any date range by merging, never rescan; after HLL promotion
+    the union is bound-equivalent to one-shot, not bit-equal)."""
+    from streaming_etl_pipeline_spark.operators import sketches as SK
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    keys = ("event_type",)
+    kmv = SK.kmv_distinct(events, keys, "user_id", k=64)
+    exact = events.groupBy(*keys).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    one_shot = SK.hll_distinct(events, keys, "user_id")
+    merged = SK.hll_merge(
+        SK.hll_daily_sketches(events, keys, "user_id"), keys
+    ).withColumnRenamed("hll_est", "hll_est_merged")
+    return (
+        kmv.join(exact, "event_type")
+        .join(one_shot, "event_type")
+        .join(merged, "event_type")
+        .select(
+            "event_type", "n_kept", "kth_min", "distinct_est",
+            "exact_distinct",
+            (
+                F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_ok"),
+            (
+                F.abs(F.col("hll_est_merged") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("hll_merge_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_flags_profile = q4_order_priority ⋈ q12_late_shipments (both are
+# 5-row o_orderpriority profiles — frees one DRIVER_SET slot for scd2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_flags_profile",
+    f"""
+    WITH q4 AS ({_sql("q4_order_priority")}),
+         q12 AS ({_sql("q12_late_shipments")})
+    SELECT COALESCE(q4.o_orderpriority, q12.o_orderpriority)
+             AS o_orderpriority,
+           q4.order_count, q12.n_items, q12.late_items
+    FROM q4 FULL OUTER JOIN q12 ON q4.o_orderpriority = q12.o_orderpriority
+    """,
+)
+def q_order_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (EXISTS-as-semi-join order counts) and Q12 (fact-fact
+    CASE counts) joined on their shared priority-class grain — one
+    driver row carrying both result sets value-for-value."""
+    q4 = _run("q4_order_priority", spark, sf_dir)
+    q12 = _run("q12_late_shipments", spark, sf_dir)
+    return (
+        q4.join(q12, "o_orderpriority", "full_outer")
+        .select("o_orderpriority", "order_count", "n_items", "late_items")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -837,6 +926,9 @@ COVERED_BY: dict[str, str] = {
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
+    "distinct_users_kmv": "sketch_suite",
+    "q4_order_priority": "order_flags_profile",
+    "q12_late_shipments": "order_flags_profile",
 }
 
 DRIVER_SET: list[str] = [
@@ -850,7 +942,7 @@ DRIVER_SET: list[str] = [
     "ann_topk",
     "neardup_pairs",
     "embedding_profile",
-    "distinct_users_kmv",
+    "sketch_suite",
     "user_sessions",
     "multimodal_features",
     "text_profile",
@@ -868,6 +960,7 @@ DRIVER_SET: list[str] = [
     "dedup_latest",
     "late_data_merge",
     "upsert_user_dim",
+    "scd2_customer_status",
     "dim_time",
     "asof_latest_purchase",
     "json_extract_stats",
@@ -884,12 +977,11 @@ DRIVER_SET: list[str] = [
     # TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
     "q5_local_volume",
     "q7_nation_volume",
     "q8_market_share",
     "q10_returned_items",
-    "q12_late_shipments",
+    "order_flags_profile",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q18_large_orders",

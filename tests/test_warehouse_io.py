@@ -252,3 +252,109 @@ def test_write_clustered_produces_prunable_zone_maps(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id," in scanned
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history (warehouse.build_scd2)
+# ---------------------------------------------------------------------------
+
+
+def test_build_scd2_collapses_runs_and_tracks_versions(spark):
+    from streaming_etl_pipeline_spark.warehouse import build_scd2
+
+    rows = [
+        # key 1: A A B A -> 3 versions (A, B, A)
+        Row(k=1, status="A", ts="2024-01-01", seq=1),
+        Row(k=1, status="A", ts="2024-01-02", seq=2),
+        Row(k=1, status="B", ts="2024-01-03", seq=3),
+        Row(k=1, status="A", ts="2024-01-04", seq=4),
+        # key 2: single row -> 1 open version
+        Row(k=2, status="X", ts="2024-02-01", seq=1),
+        # key 3: leading NULL attr is a real first version
+        Row(k=3, status=None, ts="2024-03-01", seq=1),
+        Row(k=3, status=None, ts="2024-03-02", seq=2),
+        Row(k=3, status="C", ts="2024-03-03", seq=3),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    hist = build_scd2(
+        df, key="k", attrs=("status",), ts_col="ts", order_cols=("ts", "seq")
+    ).orderBy("k", "version")
+    got = [
+        (r.k, r.status, str(r.effective_from)[:10],
+         None if r.effective_to is None else str(r.effective_to)[:10],
+         r.version, r.is_current)
+        for r in hist.collect()
+    ]
+    assert got == [
+        (1, "A", "2024-01-01", "2024-01-03", 1, False),
+        (1, "B", "2024-01-03", "2024-01-04", 2, False),
+        (1, "A", "2024-01-04", None, 3, True),
+        (2, "X", "2024-02-01", None, 1, True),
+        (3, None, "2024-03-01", "2024-03-03", 1, False),
+        (3, "C", "2024-03-03", None, 2, True),
+    ]
+
+
+def test_build_scd2_multi_attr_null_safe(spark):
+    from streaming_etl_pipeline_spark.warehouse import build_scd2
+
+    rows = [
+        Row(k=1, a="x", b=None, ts=1),
+        Row(k=1, a="x", b=None, ts=2),   # unchanged (NULL == NULL null-safely)
+        Row(k=1, a="x", b="y", ts=3),    # b appears -> new version
+        Row(k=1, a=None, b="y", ts=4),   # a disappears -> new version
+    ]
+    hist = build_scd2(
+        spark.createDataFrame(rows), key="k", attrs=("a", "b"), ts_col="ts"
+    )
+    assert hist.count() == 3
+    cur = hist.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0].a is None and cur[0].b == "y"
+
+
+def test_build_scd2_single_shuffle(spark):
+    """Both window passes and the filter reuse ONE exchange on the key."""
+    from streaming_etl_pipeline_spark.warehouse import build_scd2
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        (F.col("id") % 3).cast("string").alias("status"),
+        F.col("id").alias("ts"),
+    )
+    plan = build_scd2(
+        df, key="k", attrs=("status",), ts_col="ts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# HLL sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_one_shot_and_merged_within_bound(spark):
+    """Both the one-shot estimate and the union of per-day sketches must
+    land within the sketch's error bound of the exact count (merged is
+    bit-identical to one-shot only in coupon warm-up mode, so the
+    invariant pinned here — and in the sketch_suite differential gate —
+    is the BOUND, not equality)."""
+    from streaming_etl_pipeline_spark.operators import sketches as SK
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("v"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 28) + 1, 2, "0"))
+        ).alias("ts"),
+    )
+    one = {r.g: r.hll_est for r in SK.hll_distinct(df, ("g",), "v").collect()}
+    merged = {
+        r.g: r.hll_est
+        for r in SK.hll_merge(SK.hll_daily_sketches(df, ("g",), "v"), ("g",)).collect()
+    }
+    exact = {r.g: r.n for r in df.groupBy("g").agg(
+        F.countDistinct("v").alias("n")).collect()}
+    assert set(one) == set(exact) == set(merged)
+    for g in exact:
+        assert abs(one[g] - exact[g]) <= 0.05 * exact[g]
+        assert abs(merged[g] - exact[g]) <= 0.05 * exact[g]
