@@ -239,3 +239,76 @@ def write_clustered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def zorder_column(
+    df: DataFrame, zorder_by: list[str], bits: int = 4
+) -> "Column":
+    """Z-order (Morton) key over ``zorder_by``: each column is bucketed
+    into 2^bits quantile buckets (equi-depth, so skewed distributions
+    still fill the curve evenly), then the bucket bits are interleaved.
+
+    The boundaries come from one driver-side ``approxQuantile`` probe —
+    a fixed-size sketch per column, never a data collect — and enter the
+    plan as literals, so the key itself is a pure 0-shuffle projection
+    in whole-stage codegen (2^bits−1 comparisons + bits shifted adds per
+    column).
+    """
+    from pyspark.sql import Column  # noqa: F401
+
+    n = len(zorder_by)
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(zorder_by):
+        cuts = df.approxQuantile(c, probs, 0.01)
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + F.when(
+                F.col(c) >= F.lit(cut), 1
+            ).otherwise(0)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+        for b in range(bits):
+            # bit b of this column lands at position b*n + i: bits of all
+            # columns interleave, so a contiguous z range bounds EVERY
+            # column's extent (~range/2^(bits/n... ) per dimension).
+            z = z + F.shiftleft(
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 4,
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimension data clustering: like :func:`write_clustered` but
+    each file covers a narrow range of EVERY ``zorder_by`` column, not
+    just the leading one.
+
+    Lexicographic clustering prunes only prefix predicates — cluster on
+    (user, ts) and a ts-only filter still touches every file. Range-
+    partitioning + sorting on the interleaved z key instead tiles the
+    space: with f files and d dimensions each file spans ~f^(-1/d) of
+    each dimension's range, so parquet min/max stats let a point/range
+    predicate on ANY clustered column skip most files. This is the
+    OPTIMIZE ZORDER BY layout pattern at 100 TB: one extra shuffle at
+    write time buys file-level pruning for every dimension of the
+    common filter set.
+    """
+    z = zorder_column(df, zorder_by, bits)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z", *zorder_by)
+        .drop("_z")
+    )
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

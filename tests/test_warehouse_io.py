@@ -358,3 +358,49 @@ def test_hll_one_shot_and_merged_within_bound(spark):
     for g in exact:
         assert abs(one[g] - exact[g]) <= 0.05 * exact[g]
         assert abs(merged[g] - exact[g]) <= 0.05 * exact[g]
+
+
+def test_write_zordered_prunes_on_every_dimension(spark, tmp_path):
+    """Z-ordered files must cover a narrow range of BOTH clustered
+    columns (so min/max stats prune either predicate), while
+    lexicographic clustering on (x, y) leaves y unpruned."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streaming_etl_pipeline_spark.sources.io import write_clustered, write_zordered
+
+    # 256x256 uniform grid: x and y independent
+    df = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        F.floor(F.col("id") / 256).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, zorder_by=["x", "y"], num_files=16)
+    lexpath = str(tmp_path / "lex")
+    write_clustered(df, lexpath, cluster_by=["x", "y"], num_files=16)
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append(max(maxs) - min(mins))
+        assert spans
+        return sum(spans) / len(spans) / 255.0  # fraction of full range
+
+    # 16 files over 2 dims → ~4x4 tiles → ~1/4 of each range per file
+    # (allow slack for quantile-boundary noise)
+    assert mean_span(zpath, "x") < 0.5
+    assert mean_span(zpath, "y") < 0.5
+    # lexicographic on (x, y): x narrow, y spans nearly everything
+    assert mean_span(lexpath, "x") < 0.2
+    assert mean_span(lexpath, "y") > 0.8
