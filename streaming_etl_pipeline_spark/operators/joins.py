@@ -206,3 +206,45 @@ def salted_join(
         salted_left.join(replicated_right, [*on, "_salt"], how)
         .drop("_salt")
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Apply a change-data-capture batch (insert / update / delete rows)
+    to a snapshot — the MERGE-with-deletes the plain upsert
+    (:func:`upsert_dimension`) cannot express.
+
+    ``changes`` rows carry the full after-image (``payload_cols``, the
+    Debezium-style ``after`` record) plus an ``op_col``; the LATEST
+    change per key wins (ordered by ``order_cols``, default
+    ``[ts_col]`` — pass a tie-breaker for same-timestamp batches):
+
+    - latest op == ``delete_op`` → key disappears from the result;
+    - any other op (insert/update) → the change's payload replaces the
+      snapshot row (or creates it);
+    - keys with no change pass through untouched.
+
+    Scale shape: one window shuffle over the CHANGE BATCH only (batches
+    are small relative to the snapshot), then one anti join on the key —
+    the snapshot is never windowed or sorted. Replaying the same batch
+    converges (idempotent), so a failed downstream write can re-run.
+    """
+    order_cols = list(order_cols or [ts_col])
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out_cols = [key, *payload_cols]
+    untouched = snapshot.join(latest.select(key), key, "left_anti").select(*out_cols)
+    upserts = latest.filter(F.col(op_col) != delete_op).select(*out_cols)
+    return untouched.unionByName(upserts)

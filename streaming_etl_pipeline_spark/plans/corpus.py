@@ -1793,6 +1793,73 @@ def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# CDC apply (J2 extension: MERGE with deletes — latest change per key wins)
+# ---------------------------------------------------------------------------
+
+_CDC_CHANGES_SQL = """
+    SELECT o_custkey AS c_custkey,
+           CASE WHEN o_orderstatus = 'P' THEN 'delete' ELSE 'upsert' END AS op,
+           'name#' || CAST(o_custkey AS VARCHAR) AS c_name,
+           'CDC-' || o_orderpriority AS c_mktsegment,
+           o_orderdate, o_orderkey
+    FROM orders
+"""
+
+
+@register(
+    "cdc_customer_apply",
+    f"""
+    WITH changes AS ({_CDC_CHANGES_SQL}),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS _rn
+        FROM changes
+      ) WHERE _rn = 1
+    ),
+    untouched AS (
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+    ),
+    ups AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM latest WHERE op <> 'delete'
+    )
+    SELECT * FROM untouched UNION ALL SELECT * FROM ups
+    """,
+)
+def q_cdc_customer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply over the customer dimension: each order acts as a
+    change event on its customer (pending orders as deletes, the rest as
+    full-after-image upserts); the latest change per customer wins,
+    untouched customers pass through. One window shuffle over the change
+    batch + one anti join — the snapshot is never sorted."""
+    from streaming_etl_pipeline_spark.operators.joins import apply_cdc
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    changes = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderstatus") == "P", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        F.concat(F.lit("name#"), F.col("o_custkey").cast("string")).alias("c_name"),
+        F.concat(F.lit("CDC-"), F.col("o_orderpriority")).alias("c_mktsegment"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return apply_cdc(
+        cust,
+        changes,
+        key="c_custkey",
+        ts_col="o_orderdate",
+        payload_cols=("c_name", "c_mktsegment"),
+        order_cols=("o_orderdate", "o_orderkey"),
+    )
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

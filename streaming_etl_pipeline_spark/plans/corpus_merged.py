@@ -871,6 +871,53 @@ def q_order_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dimension_suite = upsert_user_dim ∪ cdc_customer_apply (J2 + CDC deletes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dimension_suite",
+    f"""
+    WITH up AS ({_sql("upsert_user_dim")}),
+         cdc AS ({_sql("cdc_customer_apply")})
+    SELECT 'merge_upsert' AS dim_op, user_id AS key,
+           CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS segment,
+           first_seen AS ts1, last_seen AS ts2, event_count AS n
+    FROM up
+    UNION ALL
+    SELECT 'cdc_apply' AS dim_op, c_custkey AS key,
+           c_name AS name, c_mktsegment AS segment,
+           CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
+           CAST(NULL AS BIGINT) AS n
+    FROM cdc
+    """,
+)
+def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension maintenance in one labelled driver row set: the
+    MERGE-as-join upsert (J2) and the CDC batch apply with deletes —
+    both result sets value-verified."""
+    up = _run("upsert_user_dim", spark, sf_dir).select(
+        F.lit("merge_upsert").alias("dim_op"),
+        F.col("user_id").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.col("first_seen").alias("ts1"),
+        F.col("last_seen").alias("ts2"),
+        F.col("event_count").alias("n"),
+    )
+    cdc = _run("cdc_customer_apply", spark, sf_dir).select(
+        F.lit("cdc_apply").alias("dim_op"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(None).cast("timestamp").alias("ts1"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return up.unionByName(cdc)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -929,6 +976,8 @@ COVERED_BY: dict[str, str] = {
     "distinct_users_kmv": "sketch_suite",
     "q4_order_priority": "order_flags_profile",
     "q12_late_shipments": "order_flags_profile",
+    "upsert_user_dim": "dimension_suite",
+    "cdc_customer_apply": "dimension_suite",
 }
 
 DRIVER_SET: list[str] = [
@@ -959,7 +1008,7 @@ DRIVER_SET: list[str] = [
     "daily_summary",
     "dedup_latest",
     "late_data_merge",
-    "upsert_user_dim",
+    "dimension_suite",
     "scd2_customer_status",
     "dim_time",
     "asof_latest_purchase",

@@ -137,3 +137,36 @@ def test_salted_join_matches_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_apply_cdc_latest_wins_deletes_and_idempotent(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.joins import apply_cdc
+
+    snap = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, op="upsert", v="a1", ts=1, seq=1),
+            Row(k=1, op="delete", v=None, ts=2, seq=1),   # latest for k=1 -> gone
+            Row(k=2, op="upsert", v="b1", ts=1, seq=1),
+            Row(k=2, op="upsert", v="b2", ts=1, seq=2),   # tie broken by seq
+            Row(k=4, op="upsert", v="d", ts=1, seq=1),    # insert of a new key
+            Row(k=5, op="delete", v=None, ts=1, seq=1),   # delete of absent key: no-op
+        ]
+    )
+    out = apply_cdc(
+        snap, changes, key="k", ts_col="ts", payload_cols=("v",),
+        order_cols=("ts", "seq"),
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {2: "b2", 3: "c", 4: "d"}
+    # replaying the same batch over the result converges (delete of the
+    # now-absent k=1 and re-upsert of k=2/k=4 reproduce the same state)
+    again = apply_cdc(
+        out, changes, key="k", ts_col="ts", payload_cols=("v",),
+        order_cols=("ts", "seq"),
+    )
+    assert {r.k: r.v for r in again.collect()} == got
