@@ -248,3 +248,55 @@ def apply_cdc(
     untouched = snapshot.join(latest.select(key), key, "left_anti").select(*out_cols)
     upserts = latest.filter(F.col(op_col) != delete_op).select(*out_cols)
     return untouched.unionByName(upserts)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts < end``) without a range
+    nested-loop: explode each interval into the fixed time buckets it
+    spans, equi-join points on (keys…, bucket), then apply the exact
+    range predicate.
+
+    Each point lives in exactly ONE bucket, so every (point, interval)
+    match is produced exactly once — no post-join dedup. The join is a
+    plain hash equi-join Spark can shuffle or broadcast; the classic
+    range-join fallback (BroadcastNestedLoopJoin, O(points × intervals)
+    per key) never appears. Cost scales with interval_span /
+    bucket_seconds rows per interval — pick ``bucket_seconds`` near the
+    typical interval length (1 bucket ≈ 1-2 exploded rows each).
+
+    Payload columns other than ``keys`` must be disjoint between the
+    two inputs (select/rename before calling). Zero-length or inverted
+    intervals are dropped (the interval is empty under [start, end)).
+    """
+    usec = int(bucket_seconds) * 1_000_000
+    p = points.withColumn(
+        "_b", F.floor(F.unix_micros(F.col(point_ts)) / usec)
+    )
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start_col)) / usec),
+                    F.floor((F.unix_micros(F.col(end_col)) - 1) / usec),
+                )
+            ),
+        )
+    )
+    return (
+        p.join(iv, on=[*keys, "_b"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -791,6 +791,51 @@ def q_asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_purchase_id", "last_purchase_value")
 
 
+@register(
+    "interval_attribution",
+    """
+    SELECT a.event_id AS anchor_id, a.user_id, a.ts AS anchor_ts,
+           p.event_id AS match_id, p.value AS match_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') a
+    JOIN (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON a.user_id = p.user_id
+     AND p.ts >= a.ts AND p.ts < a.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval attribution: purchases within 1 hour after an
+    error by the same user. Bucketed interval join — the range predicate
+    becomes a hash equi-join on (user, hour-bucket), never a per-key
+    nested loop (the oracle uses the naive range join DuckDB optimizes
+    itself)."""
+    from streaming_etl_pipeline_spark.operators.joins import interval_join
+
+    events = read_table(spark, sf_dir, "events")
+    anchors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("anchor_ts"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("match_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("match_value"),
+    )
+    out = interval_join(
+        purchases, anchors,
+        point_ts="ts", start_col="w_start", end_col="w_end",
+        bucket_seconds=3600, keys=("user_id",),
+    )
+    return out.select(
+        "anchor_id", "user_id", "anchor_ts", "match_id", "match_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-quality checks as a query (SURVEY.md §2.11 — the expectation
 # compiler in quality/expectations.py computes these same metrics;

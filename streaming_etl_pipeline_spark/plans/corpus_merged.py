@@ -918,6 +918,47 @@ def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temporal_join_suite = asof_latest_purchase ∪ interval_attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_join_suite",
+    f"""
+    SELECT 'asof_latest' AS tj_op, event_id AS a_id, user_id,
+           ts AS a_ts, last_purchase_id AS match_id,
+           last_purchase_value AS match_value
+    FROM ({_sql("asof_latest_purchase")})
+    UNION ALL
+    SELECT 'interval_1h' AS tj_op, anchor_id AS a_id, user_id,
+           anchor_ts AS a_ts, match_id, match_value
+    FROM ({_sql("interval_attribution")})
+    """,
+)
+def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both temporal join flavors in one labelled driver row set: the
+    backward as-of join (union+window, J4) and the bucketed
+    point-in-interval join — every matched pair value-verified."""
+    asof = _run("asof_latest_purchase", spark, sf_dir).select(
+        F.lit("asof_latest").alias("tj_op"),
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.col("last_purchase_id").alias("match_id"),
+        F.col("last_purchase_value").alias("match_value"),
+    )
+    iv = _run("interval_attribution", spark, sf_dir).select(
+        F.lit("interval_1h").alias("tj_op"),
+        F.col("anchor_id").alias("a_id"),
+        "user_id",
+        F.col("anchor_ts").alias("a_ts"),
+        "match_id",
+        "match_value",
+    )
+    return asof.unionByName(iv)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -978,6 +1019,8 @@ COVERED_BY: dict[str, str] = {
     "q12_late_shipments": "order_flags_profile",
     "upsert_user_dim": "dimension_suite",
     "cdc_customer_apply": "dimension_suite",
+    "asof_latest_purchase": "temporal_join_suite",
+    "interval_attribution": "temporal_join_suite",
 }
 
 DRIVER_SET: list[str] = [
@@ -1011,7 +1054,7 @@ DRIVER_SET: list[str] = [
     "dimension_suite",
     "scd2_customer_status",
     "dim_time",
-    "asof_latest_purchase",
+    "temporal_join_suite",
     "json_extract_stats",
     "inter_arrival_stats",
     "sliding_10min_stats",

@@ -170,3 +170,41 @@ def test_apply_cdc_latest_wins_deletes_and_idempotent(spark):
         order_cols=("ts", "seq"),
     )
     assert {r.k: r.v for r in again.collect()} == got
+
+
+def test_interval_join_exact_once_and_no_nested_loop(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.joins import interval_join
+
+    def ts(s):
+        return F.to_timestamp(F.lit(s))
+
+    ivs = spark.createDataFrame(
+        [
+            Row(k=1, iv_id=10, s="2024-01-01 00:30:00", e="2024-01-01 03:30:00"),
+            Row(k=1, iv_id=11, s="2024-01-01 02:00:00", e="2024-01-01 02:00:00"),  # empty
+            Row(k=2, iv_id=20, s="2024-01-01 00:00:00", e="2024-01-01 01:00:00"),
+        ]
+    ).select("k", "iv_id", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    pts = spark.createDataFrame(
+        [
+            Row(k=1, p_id=1, t="2024-01-01 00:30:00"),  # == start: in
+            Row(k=1, p_id=2, t="2024-01-01 02:00:00"),  # mid, spans 3 buckets
+            Row(k=1, p_id=3, t="2024-01-01 03:30:00"),  # == end: out
+            Row(k=2, p_id=4, t="2024-01-01 00:59:59"),  # in for iv 20
+            Row(k=1, p_id=5, t="2024-01-01 00:59:59"),  # wrong key for iv 20
+        ]
+    ).select("k", "p_id", F.to_timestamp("t").alias("t"))
+
+    out = interval_join(
+        pts, ivs, point_ts="t", start_col="s", end_col="e",
+        bucket_seconds=3600, keys=("k",),
+    )
+    got = sorted((r.p_id, r.iv_id) for r in out.collect())
+    # exactly-once per (point, interval), [start, end) semantics,
+    # empty interval dropped, key respected
+    assert got == [(1, 10), (2, 10), (4, 20), (5, 10)]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
