@@ -1,0 +1,103 @@
+"""BPE trainer (operators/bpe.py) vs a pure-Python reference
+implementation of the classic algorithm (Sennrich et al. 2016)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streaming_etl_pipeline_spark.operators import bpe
+
+
+# --- reference implementation (driver-side, for the golden comparison) ---
+
+def _ref_word_types(texts):
+    c = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            c[w] += 1
+    return c
+
+
+def _ref_apply(symbols, a, b):
+    out, pend = [], None
+    for x in symbols:
+        if pend is not None and pend == a and x == b:
+            out.append(a + b)
+            pend = None
+        else:
+            if pend is not None:
+                out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def _ref_train(texts, num_merges, min_pair_count=2):
+    words = {w: (list(w), n) for w, n in _ref_word_types(texts).items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # same tie-break as the engine: count DESC, pair ASC
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        words = {w: (_ref_apply(s, a, b), n) for w, (s, n) in words.items()}
+    return merges
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+    "the cat sat on the mat the cat",
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    df = spark.createDataFrame([Row(text=t) for t in TEXTS])
+    got = bpe.train_bpe(df, "text", num_merges=12)
+    want = _ref_train(TEXTS, 12)
+    assert got == want
+    assert len(got) == 12  # corpus supports at least 12 merges
+
+
+def test_train_bpe_deterministic_and_early_stop(spark):
+    df = spark.createDataFrame([Row(text="ab ab cd")])
+    m1 = bpe.train_bpe(df, "text", num_merges=10)
+    m2 = bpe.train_bpe(df, "text", num_merges=10)
+    assert m1 == m2 == [("a", "b")]  # 'cd' pair count 1 < min_pair_count
+
+
+def test_bpe_encode_overlap_and_roundtrip(spark):
+    df = spark.createDataFrame([Row(text="aaa banana")])
+    merges = [("a", "a"), ("a", "n"), ("an", "an")]
+    out = bpe.bpe_encode(df, "text", merges).collect()[0].bpe
+    # 'aaa' under (a,a): non-overlapping left-to-right -> ['aa', 'a']
+    # 'banana' -> b an an a -> b anan a
+    assert out == ["aa", "a", "b", "anan", "a"]
+    # concatenation restores the normalized text's characters
+    assert "".join(out) == "aaabanana"
+
+
+def test_encode_with_trained_merges_compresses(spark):
+    df = spark.createDataFrame([Row(text=t) for t in TEXTS])
+    merges = bpe.train_bpe(df, "text", num_merges=12)
+    enc = bpe.bpe_encode(df, "text", merges)
+    stats = enc.select(
+        F.sum(F.size("bpe")).alias("n_tokens"),
+        F.sum(F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("n_chars"),
+    ).collect()[0]
+    assert stats.n_tokens < stats.n_chars  # merges actually compress
