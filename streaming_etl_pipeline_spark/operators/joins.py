@@ -300,3 +300,64 @@ def interval_join(
         )
         .drop("_b")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level reconciliation of two snapshots of the same table:
+    ``key, diff_op ('added'|'removed'|'changed'), changed_cols``.
+
+    One full-outer hash join on the key; every column compare is
+    null-safe and happens in the join projection (no second pass).
+    Unchanged rows are dropped, so the result is change-sized — at
+    100 TB the output of diffing two daily snapshots is the day's
+    churn, not the table. ``changed_cols`` lists the differing columns
+    for 'changed' rows (empty array for added/removed, where every
+    column trivially differs).
+
+    This is the validation half of CDC (:func:`apply_cdc`): diff(old,
+    apply_cdc(old, batch)) must reproduce the batch's net effect —
+    pinned in test_joins.py.
+    """
+    compare = list(compare_cols or [c for c in new.columns if c != key])
+    o = old.select(
+        key,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare],
+    )
+    n = new.select(
+        key,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare],
+    )
+    j = o.join(n, key, "full_outer")
+    changed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                )
+                for c in compare
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    op = (
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(F.size(changed) > 0, "changed")
+    )
+    return (
+        j.select(
+            key,
+            op.alias("diff_op"),
+            F.when(op == "changed", changed)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("diff_op").isNotNull())
+    )

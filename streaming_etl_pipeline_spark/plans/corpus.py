@@ -1905,6 +1905,68 @@ def q_cdc_customer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_DIFF_SQL_TEMPLATE = """
+    WITH newsnap AS ({new_sql}),
+    j AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             o.c_custkey IS NOT NULL AS in_old,
+             n.c_custkey IS NOT NULL AS in_new,
+             o.c_name AS o_name, o.c_mktsegment AS o_seg,
+             n.c_name AS n_name, n.c_mktsegment AS n_seg
+      FROM customer o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+    )
+    SELECT c_custkey, diff_op,
+           CASE WHEN diff_op = 'changed' THEN array_to_string(
+             list_filter([
+               CASE WHEN o_name IS DISTINCT FROM n_name THEN 'c_name' END,
+               CASE WHEN o_seg IS DISTINCT FROM n_seg THEN 'c_mktsegment' END
+             ], x -> x IS NOT NULL), ',')
+           ELSE '' END AS changed_cols
+    FROM (
+      SELECT *,
+             CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN (o_name IS DISTINCT FROM n_name)
+                    OR (o_seg IS DISTINCT FROM n_seg) THEN 'changed'
+             END AS diff_op
+      FROM j
+    ) WHERE diff_op IS NOT NULL
+"""
+
+
+def _snapshot_diff_sql() -> str:
+    return _SNAPSHOT_DIFF_SQL_TEMPLATE.format(
+        new_sql=QUERIES["cdc_customer_apply"].sql
+    )
+
+
+@register("snapshot_diff_customers", None)  # SQL attached after registration
+def q_snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the customer table against its
+    CDC-applied successor — the day's churn (removed = deleted pending
+    customers, changed = rewritten name/segment), never the full table.
+    Validates apply_cdc output row-for-row."""
+    from streaming_etl_pipeline_spark.operators.joins import snapshot_diff
+
+    old = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    new = QUERIES["cdc_customer_apply"].fn(spark, sf_dir)
+    out = snapshot_diff(old, new, key="c_custkey")
+    return out.select(
+        "c_custkey",
+        "diff_op",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+QUERIES["snapshot_diff_customers"] = QUERIES["snapshot_diff_customers"].__class__(
+    fn=QUERIES["snapshot_diff_customers"].fn,
+    sql=_snapshot_diff_sql(),
+    bench=False,
+)
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

@@ -879,7 +879,8 @@ def q_order_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dimension_suite",
     f"""
     WITH up AS ({_sql("upsert_user_dim")}),
-         cdc AS ({_sql("cdc_customer_apply")})
+         cdc AS ({_sql("cdc_customer_apply")}),
+         sd AS ({_sql("snapshot_diff_customers")})
     SELECT 'merge_upsert' AS dim_op, user_id AS key,
            CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS segment,
            first_seen AS ts1, last_seen AS ts2, event_count AS n
@@ -890,12 +891,18 @@ def q_order_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
            CAST(NULL AS BIGINT) AS n
     FROM cdc
+    UNION ALL
+    SELECT 'snapshot_diff' AS dim_op, c_custkey AS key,
+           diff_op AS name, changed_cols AS segment,
+           CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
+           CAST(NULL AS BIGINT) AS n
+    FROM sd
     """,
 )
 def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension maintenance in one labelled driver row set: the
-    MERGE-as-join upsert (J2) and the CDC batch apply with deletes —
-    both result sets value-verified."""
+    MERGE-as-join upsert (J2), the CDC batch apply with deletes, and
+    the snapshot diff validating that apply — all value-verified."""
     up = _run("upsert_user_dim", spark, sf_dir).select(
         F.lit("merge_upsert").alias("dim_op"),
         F.col("user_id").alias("key"),
@@ -914,7 +921,16 @@ def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts2"),
         F.lit(None).cast("long").alias("n"),
     )
-    return up.unionByName(cdc)
+    sd = _run("snapshot_diff_customers", spark, sf_dir).select(
+        F.lit("snapshot_diff").alias("dim_op"),
+        F.col("c_custkey").alias("key"),
+        F.col("diff_op").alias("name"),
+        F.col("changed_cols").alias("segment"),
+        F.lit(None).cast("timestamp").alias("ts1"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return up.unionByName(cdc).unionByName(sd)
 
 
 # ---------------------------------------------------------------------------
@@ -1019,6 +1035,7 @@ COVERED_BY: dict[str, str] = {
     "q12_late_shipments": "order_flags_profile",
     "upsert_user_dim": "dimension_suite",
     "cdc_customer_apply": "dimension_suite",
+    "snapshot_diff_customers": "dimension_suite",
     "asof_latest_purchase": "temporal_join_suite",
     "interval_attribution": "temporal_join_suite",
 }

@@ -208,3 +208,47 @@ def test_interval_join_exact_once_and_no_nested_loop(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_classifies_and_validates_cdc(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.joins import apply_cdc, snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b="p"),
+            Row(k=2, a="y", b=None),
+            Row(k=3, a="z", b="q"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b="p"),      # unchanged -> dropped
+            Row(k=2, a="y2", b=None),    # changed: a only (b NULL==NULL)
+            Row(k=4, a="w", b=None),     # added
+        ]
+    )
+    got = {
+        r.k: (r.diff_op, list(r.changed_cols))
+        for r in snapshot_diff(old, new, key="k").collect()
+    }
+    assert got == {
+        2: ("changed", ["a"]),
+        3: ("removed", []),
+        4: ("added", []),
+    }
+
+    # diff(old, apply_cdc(old, batch)) reproduces the batch's net effect
+    changes = spark.createDataFrame(
+        [
+            Row(k=3, op="delete", a=None, b=None, ts=1),
+            Row(k=2, op="upsert", a="y2", b=None, ts=1),
+            Row(k=5, op="upsert", a="v", b="r", ts=1),
+        ]
+    )
+    applied = apply_cdc(old, changes, key="k", ts_col="ts", payload_cols=("a", "b"))
+    d = {
+        r.k: r.diff_op for r in snapshot_diff(old, applied, key="k").collect()
+    }
+    assert d == {2: "changed", 3: "removed", 5: "added"}
