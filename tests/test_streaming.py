@@ -668,3 +668,64 @@ def test_read_kafka_stream_against_live_broker(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "bronze")).count() >= 0
+
+
+def test_streaming_cdc_maintains_snapshot(spark, tmp_path):
+    """CDC in the stream: each micro-batch of change rows is applied to
+    the current dimension snapshot with apply_cdc inside foreachBatch —
+    versioned snapshot writes, so a replayed batch converges instead of
+    corrupting the table (the S8 idempotency story applied to CDC)."""
+    import glob
+
+    from streaming_etl_pipeline_spark.operators.joins import apply_cdc
+
+    src = str(tmp_path / "changes")
+    snap_root = tmp_path / "snap"
+    snap_root.mkdir()
+
+    # initial snapshot: v0
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(str(snap_root / "v0"))
+
+    # first change batch lands before the stream starts
+    spark.createDataFrame(
+        [(1, "upsert", "a1", 1), (3, "delete", None, 1)],
+        "k long, op string, v string, ts long",
+    ).write.mode("append").parquet(src)
+
+    def latest_version():
+        vs = sorted(glob.glob(str(snap_root / "v*")))
+        return vs[-1]
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(latest_version())
+        out = apply_cdc(
+            cur, batch_df, key="k", ts_col="ts", payload_cols=("v",),
+            order_cols=("ts",),
+        )
+        # versioned write: never overwrite the snapshot being read
+        out.write.mode("overwrite").parquet(str(snap_root / f"v{batch_id + 1}"))
+
+    stream = (
+        spark.readStream.schema("k long, op string, v string, ts long")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+    )
+    q = stream.option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(latest_version()).collect()}
+    assert got == {1: "a1", 2: "b"}
+
+    # second batch: re-insert the deleted key, update another
+    spark.createDataFrame(
+        [(3, "upsert", "c2", 2), (2, "upsert", "b2", 2)],
+        "k long, op string, v string, ts long",
+    ).write.mode("append").parquet(src)
+    q = stream.option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(latest_version()).collect()}
+    assert got == {1: "a1", 2: "b2", 3: "c2"}
