@@ -20,6 +20,16 @@ state here is O(1) (three longs), so the state store grows with
 *distinct keys in flight*, not events. For key cardinality beyond state
 store comfort, expire idle keys with a timeout (GroupStateTimeout) —
 left NoTimeout here so test emissions are deterministic.
+
+API note: Spark 4.x also offers ``transformWithStateInPandas`` (the
+StatefulProcessor API with typed state handles, timers and RocksDB).
+Its Python state client imports ``google.protobuf``, which this
+container does not ship (verified: the TWS driver worker crashes in
+PRE_INIT on that import), so the engine standardizes on
+``applyInPandasWithState`` — same semantics, one state tuple per key,
+runs everywhere. Porting to a StatefulProcessor is mechanical: init →
+``getValueState(SESSION_STATE_SCHEMA)``, handleInputRows → the fold
+below, close → no-op.
 """
 
 from __future__ import annotations
