@@ -308,3 +308,88 @@ def skew_safe_count_distinct(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(f"distinct_{value_col}"))
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    scale: int = 6,
+    digits: int = 6,
+) -> DataFrame:
+    """Outlier-robust location stats per key: trimmed mean (drop values
+    outside the [lower, upper] quantiles), winsorized mean (clip to
+    them), and MAD (median absolute deviation from the median).
+
+    Two aggregation passes: pass 1 computes the three quantile cutoffs
+    per key (exact ``F.percentile`` — swap for ``percentile_approx`` at
+    100 TB, same shape); the cutoff table is key-cardinality-sized, so
+    it broadcasts back onto the data and pass 2 is one ordinary
+    map-side-combined aggregation. No self-join of the fact table, no
+    global sort. Means accumulate in DECIMAL (order-independent, exact
+    cross-engine parity — see functions/core.py exact_* helpers).
+    """
+    v = F.col(value_col)
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(v, lower).alias("_q_lo"),
+        F.percentile(v, upper).alias("_q_hi"),
+        F.percentile(v, 0.5).alias("_med"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), list(keys))
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    dec = f"decimal(18,{scale})"
+    in_range = v.between(F.col("_q_lo"), F.col("_q_hi"))
+    clipped = F.least(F.greatest(v, F.col("_q_lo")), F.col("_q_hi"))
+    return joined.groupBy(*keys).agg(
+        F.round(
+            F.sum(F.when(in_range, v.cast(dec))).cast("double")
+            / F.count(F.when(in_range, F.lit(1))),
+            digits,
+        ).alias("trimmed_mean"),
+        F.round(
+            F.sum(clipped.cast(dec)).cast("double") / F.count(v), digits
+        ).alias("winsorized_mean"),
+        F.round(F.percentile(F.abs(v - F.col("_med")), 0.5), 4).alias("mad"),
+        F.count(v).alias("n_values"),
+    )
+
+
+def robust_stats_sql(
+    table: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+    scale: int = 6,
+    digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`robust_stats`."""
+    keys_sql = ", ".join(keys)
+    key_sel = f"{keys_sql}, " if keys else ""
+    join = f"JOIN b USING ({keys_sql})" if keys else "CROSS JOIN b"
+    dec = f"DECIMAL(18,{scale})"
+    v = value_col
+    return f"""
+    WITH b AS (
+      SELECT {key_sel}quantile_cont({v}, {lower}) AS _q_lo,
+             quantile_cont({v}, {upper}) AS _q_hi,
+             quantile_cont({v}, 0.5) AS _med
+      FROM {table}{' GROUP BY ' + keys_sql if keys else ''}
+    )
+    SELECT {key_sel}
+           round(CAST(sum(CASE WHEN {v} BETWEEN _q_lo AND _q_hi
+                          THEN CAST({v} AS {dec}) END) AS DOUBLE)
+                 / count(CASE WHEN {v} BETWEEN _q_lo AND _q_hi THEN 1 END),
+                 {digits}) AS trimmed_mean,
+           round(CAST(sum(CAST(least(greatest({v}, _q_lo), _q_hi) AS {dec}))
+                      AS DOUBLE) / count({v}), {digits}) AS winsorized_mean,
+           round(quantile_cont(abs({v} - _med), 0.5), 4) AS mad,
+           count({v}) AS n_values
+    FROM {table} {join}
+    {'GROUP BY ' + keys_sql if keys else ''}
+    """

@@ -1967,6 +1967,18 @@ QUERIES["snapshot_diff_customers"] = QUERIES["snapshot_diff_customers"].__class_
 )
 
 
+@register(
+    "robust_value_stats",
+    aggregates.robust_stats_sql("events", "value", keys=("event_type",)),
+)
+def q_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-type value profile: 5/95 trimmed and
+    winsorized means + MAD. Quantile cutoffs broadcast back onto the
+    fact table — two agg passes, no self-join."""
+    events = read_table(spark, sf_dir, "events")
+    return aggregates.robust_stats(events, "value", keys=("event_type",))
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

@@ -792,11 +792,14 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH kmv AS ({_sql("distinct_users_kmv")}),
          ex AS (SELECT event_type,
                        count(DISTINCT user_id) AS exact_distinct
-                FROM events GROUP BY 1)
+                FROM events GROUP BY 1),
+         rs AS ({_sql("robust_value_stats")})
     SELECT kmv.event_type, kmv.n_kept, kmv.kth_min, kmv.distinct_est,
            ex.exact_distinct,
-           TRUE AS hll_ok, TRUE AS hll_merge_ok
+           TRUE AS hll_ok, TRUE AS hll_merge_ok,
+           rs.trimmed_mean, rs.winsorized_mean, rs.mad, rs.n_values
     FROM kmv JOIN ex ON kmv.event_type = ex.event_type
+    JOIN rs ON kmv.event_type = rs.event_type
     """,
 )
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,6 +841,7 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05 * F.col("exact_distinct")
             ).alias("hll_merge_ok"),
         )
+        .join(_run("robust_value_stats", spark, sf_dir), "event_type")
     )
 
 
@@ -1031,6 +1035,7 @@ COVERED_BY: dict[str, str] = {
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
     "distinct_users_kmv": "sketch_suite",
+    "robust_value_stats": "sketch_suite",
     "q4_order_priority": "order_flags_profile",
     "q12_late_shipments": "order_flags_profile",
     "upsert_user_dim": "dimension_suite",

@@ -238,3 +238,36 @@ def test_skew_safe_count_distinct_exact(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert got == want == {"hot": 700, "cold": 5}
+
+
+def test_robust_stats_hand_computed(spark):
+    """0..9 plus an outlier 1000 per key, 10/90 trim: the outlier moves
+    the plain mean but neither robust estimate."""
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.aggregates import robust_stats
+
+    vals = list(range(10)) + [1000]
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x)) for x in vals]
+        + [Row(g="b", v=float(x)) for x in range(10)]
+    )
+    out = {
+        r.g: r for r in robust_stats(
+            df, "v", keys=("g",), lower=0.1, upper=0.9
+        ).collect()
+    }
+    # group a: q10 = 1.0, q90 = 9.0 (quantile_cont over 11 values),
+    # trimmed keeps 1..9 -> mean 5.0; winsorized clips 0->1, 1000->9
+    # -> (1 + 1+2+...+9 + 9) / 11; median 5, MAD = median of the sorted
+    # deviations [0,1,1,2,2,3,3,4,4,5,995] = 3
+    assert out["a"].trimmed_mean == 5.0
+    assert abs(out["a"].winsorized_mean - (1 + 45 + 9) / 11) < 1e-9
+    assert out["a"].mad == 3.0
+    assert out["a"].n_values == 11
+    # group b (no outlier): 0..9, q10=0.9, q90=8.1 -> trimmed keeps 1..8
+    assert out["b"].trimmed_mean == 4.5
+    assert out["b"].mad == 2.5
+    # plain mean of group a is pulled to ~95 — the robust ones were not
+    plain = df.filter("g = 'a'").agg(F.avg("v")).collect()[0][0]
+    assert plain > 90
