@@ -1968,6 +1968,54 @@ QUERIES["snapshot_diff_customers"] = QUERIES["snapshot_diff_customers"].__class_
 
 
 @register(
+    "top_ngrams",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {{shingles}} AS sh FROM documents
+    )
+    SELECT gram, count(*) AS df
+    FROM (SELECT doc_id, unnest(sh) AS gram FROM sh)
+    GROUP BY gram
+    ORDER BY df DESC, gram ASC
+    LIMIT 50
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top word-2-grams by document frequency — the n-gram
+    profile an LM-data pipeline uses for boilerplate and stop-shingle
+    discovery. Per-doc distinct shingling is a 0-shuffle projection;
+    one count shuffle on the (uniformly distributed) gram key; the
+    top-50 is a TakeOrderedAndProject with a strict (df DESC, gram ASC)
+    total order, so the result set is deterministic."""
+    from streaming_etl_pipeline_spark.operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(DD.shingles("text", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(50)
+    )
+
+
+# the shingles_sql twin is injected after dedup import (kept next to the
+# registration for readability)
+def _patch_top_ngrams_sql() -> None:
+    from streaming_etl_pipeline_spark.operators import dedup as DD
+
+    spec = QUERIES["top_ngrams"]
+    QUERIES["top_ngrams"] = spec.__class__(
+        fn=spec.fn,
+        sql=spec.sql.replace("{shingles}", DD.shingles_sql("text", 2)),
+        bench=spec.bench,
+    )
+
+
+_patch_top_ngrams_sql()
+
+
+@register(
     "robust_value_stats",
     aggregates.robust_stats_sql("events", "value", keys=("event_type",)),
 )

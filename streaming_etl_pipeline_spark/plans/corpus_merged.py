@@ -979,6 +979,49 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# parse_profile = json_extract_stats ∪ source_parse_stats (labelled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parse_profile",
+    f"""
+    SELECT 'json_props' AS parse_op, event_type AS key,
+           k_sum AS m1, CAST(k_min AS BIGINT) AS m2,
+           CAST(k_max AS BIGINT) AS m3, k_avg AS m4, n
+    FROM ({_sql("json_extract_stats")})
+    UNION ALL
+    SELECT 'regex_source' AS parse_op, CAST(source_num AS VARCHAR) AS key,
+           n_docs AS m1, well_formed AS m2, total_chars AS m3,
+           0.0 AS m4, n_docs AS n
+    FROM ({_sql("source_parse_stats")})
+    """,
+)
+def q_parse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parsing in one labelled driver row set: JSON
+    props extraction (P8/F5) and regex capture-group parsing (F4)."""
+    js = _run("json_extract_stats", spark, sf_dir).select(
+        F.lit("json_props").alias("parse_op"),
+        F.col("event_type").alias("key"),
+        F.col("k_sum").alias("m1"),
+        F.col("k_min").cast("long").alias("m2"),
+        F.col("k_max").cast("long").alias("m3"),
+        F.col("k_avg").alias("m4"),
+        "n",
+    )
+    src = _run("source_parse_stats", spark, sf_dir).select(
+        F.lit("regex_source").alias("parse_op"),
+        F.col("source_num").cast("string").alias("key"),
+        F.col("n_docs").alias("m1"),
+        F.col("well_formed").alias("m2"),
+        F.col("total_chars").alias("m3"),
+        F.lit(0.0).alias("m4"),
+        F.col("n_docs").alias("n"),
+    )
+    return js.unionByName(src)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -1036,6 +1079,8 @@ COVERED_BY: dict[str, str] = {
     "gopher_quality": "corpus_curation",
     "distinct_users_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
+    "json_extract_stats": "parse_profile",
+    "source_parse_stats": "parse_profile",
     "q4_order_priority": "order_flags_profile",
     "q12_late_shipments": "order_flags_profile",
     "upsert_user_dim": "dimension_suite",
@@ -1061,7 +1106,7 @@ DRIVER_SET: list[str] = [
     "multimodal_features",
     "text_profile",
     "corpus_quality_by_lang",
-    "source_parse_stats",
+    "top_ngrams",
     # merged core groups
     "user_set_ops",
     "customer_recency",
@@ -1077,7 +1122,7 @@ DRIVER_SET: list[str] = [
     "scd2_customer_status",
     "dim_time",
     "temporal_join_suite",
-    "json_extract_stats",
+    "parse_profile",
     "inter_arrival_stats",
     "sliding_10min_stats",
     "grouping_sets_profile",
