@@ -314,3 +314,37 @@ def contamination_stats_sql(
         USING (sh_hash)
       GROUP BY d.{id_col})
     """
+
+
+def cluster_safe_splits(
+    df: DataFrame,
+    cluster_map: DataFrame,
+    key_col: str = "doc_id",
+    canonical_col: str = "canonical_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id
+    (canonical id from ``components.dedup_clusters``), not the document
+    id, so two near-duplicate documents can never straddle a split —
+    the classic train/test contamination vector :func:`assign_splits`
+    alone cannot prevent.
+
+    Documents absent from ``cluster_map`` are singleton clusters (their
+    own id). Adds ``_split_key`` (the effective cluster key, kept for
+    auditing) and ``split``. One hash join against the change-sized
+    cluster map + the 0-shuffle split projection; the assignment stays
+    a pure function of (cluster, seed), so incremental ingests route
+    new members of an existing cluster to the same split with zero
+    coordination.
+    """
+    cl = cluster_map.select(
+        F.col(key_col), F.col(canonical_col).alias("_canon")
+    )
+    out = (
+        df.join(cl, key_col, "left")
+        .withColumn("_split_key", F.coalesce(F.col("_canon"), F.col(key_col)))
+        .drop("_canon")
+    )
+    return assign_splits(out, key_col="_split_key", train=train, val=val, seed=seed)

@@ -722,3 +722,62 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantize_embeddings(emb).select(
         "vec_id", "scale", "q_md5", "mean_abs_err"
     )
+
+
+from streaming_etl_pipeline_spark.operators.curation import (  # noqa: E402
+    assign_splits_sql as _splits_sql,
+)
+
+
+@register(
+    "leakage_safe_splits",
+    f"""
+    WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+    cl AS ({CC.connected_components_sql(_minhash_lsh_sql())}),
+    eff AS (
+      SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS eff_key
+      FROM docs d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    ),
+    sp AS (SELECT doc_id, eff_key, {_splits_sql("eff_key")} AS split FROM eff)
+    SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           count(DISTINCT CASE WHEN split = 'train' THEN eff_key END) AS c_train,
+           count(DISTINCT CASE WHEN split = 'val' THEN eff_key END) AS c_val,
+           count(DISTINCT CASE WHEN split = 'test' THEN eff_key END) AS c_test,
+           count(DISTINCT eff_key) AS n_clusters,
+           count(DISTINCT (eff_key, split)) = count(DISTINCT eff_key)
+             AS straddle_free
+    FROM sp
+    """,
+)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting audited in one row: docs split by their
+    near-dup CLUSTER id (so twins never straddle train/test), per-split
+    doc and cluster counts, and the straddle-free invariant computed —
+    not assumed — in both engines."""
+    from streaming_etl_pipeline_spark.operators.curation import cluster_safe_splits
+
+    docs = _docs_with_dups(spark, sf_dir)
+    clusters = CC.dedup_clusters(q_dedup_minhash_lsh(spark, sf_dir))
+    sp = cluster_safe_splits(docs, clusters)
+
+    def _cnt(split):
+        return F.sum(F.when(F.col("split") == split, 1).otherwise(0)).cast(
+            "long"
+        ).alias(f"n_{split}")
+
+    def _cl(split):
+        return F.countDistinct(
+            F.when(F.col("split") == split, F.col("_split_key"))
+        ).alias(f"c_{split}")
+
+    return sp.agg(
+        _cnt("train"), _cnt("val"), _cnt("test"),
+        _cl("train"), _cl("val"), _cl("test"),
+        F.countDistinct("_split_key").alias("n_clusters"),
+        (
+            F.countDistinct(F.struct("_split_key", "split"))
+            == F.countDistinct("_split_key")
+        ).alias("straddle_free"),
+    )

@@ -235,18 +235,20 @@ def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT g.*, q.*,
            ds.psi AS psi_same, ds.drifted AS drifted_same,
-           dm.psi AS psi_shifted, dm.drifted AS drifted_shifted
+           dm.psi AS psi_shifted, dm.drifted AS drifted_shifted,
+           ls.*
     FROM ({_sql("global_metrics")}) g, ({_sql("quality_metrics")}) q,
          (SELECT psi, drifted FROM ({_sql("drift_psi")})
           WHERE snapshot = 'same') ds,
          (SELECT psi, drifted FROM ({_sql("drift_psi")})
-          WHERE snapshot = 'scaled_1_5x') dm
+          WHERE snapshot = 'scaled_1_5x') dm,
+         ({_sql("leakage_safe_splits")}) ls
     """,
 )
 def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 dashboard scalars + §2.11 expectation metrics + PSI drift
-    monitoring in one wide gated row (column names are disjoint by
-    construction; each drift snapshot contributes its 1-row PSI)."""
+    monitoring + the leakage-safe-split audit in one wide gated row
+    (column names are disjoint by construction)."""
     drift = _run("drift_psi", spark, sf_dir)
     same = drift.filter(F.col("snapshot") == "same").select(
         F.col("psi").alias("psi_same"), F.col("drifted").alias("drifted_same")
@@ -260,6 +262,7 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(_run("quality_metrics", spark, sf_dir))
         .crossJoin(F.broadcast(same))
         .crossJoin(F.broadcast(moved))
+        .crossJoin(F.broadcast(_run("leakage_safe_splits", spark, sf_dir)))
     )
 
 
@@ -1046,6 +1049,7 @@ COVERED_BY: dict[str, str] = {
     "global_metrics": "metrics_overview",
     "quality_metrics": "metrics_overview",
     "drift_psi": "metrics_overview",
+    "leakage_safe_splits": "metrics_overview",
     "ann_topk_bruteforce": "ann_topk",
     "ann_topk_lsh": "ann_topk",
     "ann_topk_ivf": "ann_topk",

@@ -240,3 +240,34 @@ def test_streaming_incremental_dedup_store(spark, tmp_path):
     q.awaitTermination(120)
 
     assert any({a, b} == {1, 10} for a, b in found), found
+
+
+def test_cluster_safe_splits_keeps_neardups_together(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.curation import (
+        assign_splits,
+        cluster_safe_splits,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    # pair up docs (2k, 2k+1) as near-dup clusters with canonical 2k
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, canonical_id=(i // 2) * 2) for i in range(200)]
+    )
+    sp = cluster_safe_splits(docs, clusters).collect()
+    by_doc = {r.doc_id: r.split for r in sp}
+    for i in range(0, 200, 2):
+        assert by_doc[i] == by_doc[i + 1], f"cluster {i} straddles splits"
+    assert len({r.split for r in sp}) >= 2  # small n: multiple splits seen
+
+    # plain per-doc splitting DOES straddle some pair (the leakage this
+    # operator exists to prevent)
+    plain = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    assert any(plain[i] != plain[i + 1] for i in range(0, 200, 2))
+
+    # docs absent from the cluster map fall back to their own id
+    loners = cluster_safe_splits(
+        spark.createDataFrame([Row(doc_id=10_001)]), clusters
+    ).collect()
+    assert loners[0]._split_key == 10_001
