@@ -170,3 +170,39 @@ def mixture_sample_sql(
           < CAST(least(1.0, _wt * CAST({total_rows} AS DOUBLE) / _grp_cnt)
                  * {_SAMPLE_MOD} AS BIGINT)
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    key_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic per-row weighted Bernoulli sample: keep a row iff
+    its keyed hash fraction is below the row's own inclusion weight
+    (0..1) — e.g. a quality score, so high-quality documents are
+    upsampled and junk downsampled, the standard quality-weighted
+    selection step of an LLM data mix.
+
+    Same determinism contract as :func:`hash_sample`: the decision is a
+    pure function of (key, seed, weight), independent of partitioning;
+    raising a row's weight can only ADD it to the sample (monotone), so
+    re-weighting never churns the kept set arbitrarily. 0-shuffle
+    projection+filter. DuckDB twin: :func:`weighted_sample_sql`.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = md5_long(key_col, seed) % _SAMPLE_MOD
+    return df.filter(
+        h.cast("double") < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+        * _SAMPLE_MOD
+    )
+
+
+def weighted_sample_sql(
+    key_sql: str, weight_sql: str, seed: str = "wsample"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s predicate."""
+    return (
+        f"CAST(({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD}) AS DOUBLE)"
+        f" < least(greatest({weight_sql}, 0.0), 1.0) * {_SAMPLE_MOD}"
+    )

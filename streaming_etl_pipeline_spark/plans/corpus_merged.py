@@ -366,6 +366,10 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'mixture' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
            source AS grp, '' AS val
     FROM ({_sql("mixture_by_source")})
+    UNION ALL
+    SELECT 'weighted' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
+           lang AS grp, CAST(weight AS VARCHAR) AS val
+    FROM ({_sql("weighted_quality_sample")})
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +401,16 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("grp"),
         F.lit("").alias("val"),
     )
-    return hash_s.unionByName(res_s).unionByName(bud_s).unionByName(mix_s)
+    wt_s = _run("weighted_quality_sample", spark, sf_dir).select(
+        F.lit("weighted").alias("sample_op"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("lang").alias("grp"),
+        F.col("weight").cast("string").alias("val"),
+    )
+    return (
+        hash_s.unionByName(res_s).unionByName(bud_s)
+        .unionByName(mix_s).unionByName(wt_s)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1060,6 +1073,7 @@ COVERED_BY: dict[str, str] = {
     "reservoir_events_per_type": "sampling_suite",
     "char_budget_by_lang": "sampling_suite",
     "mixture_by_source": "sampling_suite",
+    "weighted_quality_sample": "sampling_suite",
     "top_orders_by_year": "order_rank_profile",
     "order_price_quartiles": "order_rank_profile",
     "top_customers": "order_rank_profile",

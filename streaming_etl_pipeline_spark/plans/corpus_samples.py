@@ -104,3 +104,26 @@ def q_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.mixture_sample(
         docs, "doc_id", "source", _MIX_WEIGHTS, _MIX_TOTAL
     ).select("doc_id", "source")
+
+
+@register(
+    "weighted_quality_sample",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           round(least(n_chars / 1500.0, 1.0), 6) AS weight
+    FROM documents
+    WHERE {SP.weighted_sample_sql("doc_id", "least(n_chars / 1500.0, 1.0)")}
+    """,
+)
+def q_weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document's keep
+    probability is its own quality proxy (here length-based,
+    min(n_chars/1500, 1)), so long/high-quality docs are kept at a
+    higher rate — the per-row weighted selection step of an LLM data
+    mix, as a 0-shuffle filter that is a pure function of (doc_id,
+    seed, weight)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / 1500.0, F.lit(1.0))
+    return SP.weighted_sample(docs, w, key_col="doc_id").select(
+        "doc_id", "lang", "n_chars", F.round(w, 6).alias("weight")
+    )

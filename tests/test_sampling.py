@@ -104,3 +104,35 @@ def test_mixture_sample_targets_and_shortfall(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_weighted_sample_rate_tracks_weight_and_is_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.operators.sampling import weighted_sample
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("high"),
+    ).withColumn("w", F.when(F.col("high"), 0.8).otherwise(0.2))
+
+    kept = weighted_sample(df, "w", key_col="doc_id").collect()
+    hi = sum(1 for r in kept if r.high) / (n / 2)
+    lo = sum(1 for r in kept if not r.high) / (n / 2)
+    assert abs(hi - 0.8) < 0.03 and abs(lo - 0.2) < 0.03
+
+    # monotone: raising every weight only ADDS rows (same seed)
+    more = weighted_sample(
+        df.withColumn("w", F.col("w") + 0.1), "w", key_col="doc_id"
+    ).collect()
+    assert {r.doc_id for r in kept} <= {r.doc_id for r in more}
+
+    # weights outside [0, 1] clamp instead of misbehaving
+    all_in = weighted_sample(
+        df.withColumn("w", F.lit(5.0)), "w", key_col="doc_id"
+    ).count()
+    none_in = weighted_sample(
+        df.withColumn("w", F.lit(-1.0)), "w", key_col="doc_id"
+    ).count()
+    assert all_in == n and none_in == 0
