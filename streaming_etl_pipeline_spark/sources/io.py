@@ -312,3 +312,33 @@ def write_zordered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 1_000_000,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with bloom filters on ``bloom_cols``.
+
+    Zone maps (min/max) only prune when the data is clustered on the
+    predicate column (:func:`write_clustered` / :func:`write_zordered`).
+    For point lookups on a high-cardinality column the data is NOT
+    sorted by — user ids in a time-partitioned event lake — a bloom
+    filter answers "definitely not in this row group" regardless of
+    layout: at 100 TB a needle-in-haystack id probe skips row groups
+    whose filter rejects the value, paying ~1 bit/row of storage.
+    Complements, not replaces, clustering: sort the lead column, bloom
+    the rest.
+    """
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{c}", "true"
+        ).option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

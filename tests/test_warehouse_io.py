@@ -404,3 +404,32 @@ def test_write_zordered_prunes_on_every_dimension(spark, tmp_path):
     # lexicographic on (x, y): x narrow, y spans nearly everything
     assert mean_span(lexpath, "x") < 0.2
     assert mean_span(lexpath, "y") > 0.8
+
+
+def test_write_bloom_indexed_adds_filters_and_reads_back(spark, tmp_path):
+    """Bloom-filter write: the filter bytes actually land in the file
+    (~1.3 bits/row size delta at ndv=rows) and the data reads back
+    identically. (pyarrow in this env can't expose bloom offsets, so
+    the size delta is the presence check.)"""
+    import glob
+    import os
+
+    from streaming_etl_pipeline_spark.sources.io import write_bloom_indexed
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("x")
+    ).coalesce(1)
+    bloomed = str(tmp_path / "bloomed")
+    plain = str(tmp_path / "plain")
+    write_bloom_indexed(df, bloomed, ["user_id"], expected_ndv=100_000)
+    df.write.parquet(plain)
+
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+    )
+    assert size(bloomed) > size(plain) + 50_000  # filter bytes present
+
+    back = spark.read.parquet(bloomed)
+    assert back.count() == 100_000
+    assert back.filter(F.col("user_id") == 54_321).count() == 1
+    assert back.filter(F.col("user_id") == -5).count() == 0
