@@ -31,6 +31,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.sql import functions as F
+
 from streaming_etl_pipeline_spark.pipelines.medallion import (
     bronze_to_silver,
     silver_to_gold,
@@ -104,6 +106,45 @@ def make_parser() -> argparse.ArgumentParser:
     cr.add_argument("--contamination-threshold", type=float, default=0.10)
     cr.add_argument("--id-col", default="doc_id")
     cr.add_argument("--text-col", default="text")
+
+    sc = sub.add_parser(
+        "scd2", help="build a type-2 history table from a change log"
+    )
+    sc.add_argument("--input", required=True, help="change-log parquet")
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--key", required=True)
+    sc.add_argument("--attrs", required=True, help="comma-separated tracked columns")
+    sc.add_argument("--ts-col", required=True)
+    sc.add_argument("--order-cols", default=None,
+                    help="comma-separated tie-break order (default: ts-col)")
+
+    cd = sub.add_parser(
+        "cdc-apply", help="apply an insert/update/delete batch to a snapshot"
+    )
+    cd.add_argument("--snapshot", required=True)
+    cd.add_argument("--changes", required=True)
+    cd.add_argument("--output", required=True)
+    cd.add_argument("--key", required=True)
+    cd.add_argument("--ts-col", required=True)
+    cd.add_argument("--payload-cols", required=True, help="comma-separated")
+    cd.add_argument("--op-col", default="op")
+    cd.add_argument("--order-cols", default=None)
+
+    df_ = sub.add_parser(
+        "diff", help="row-level diff of two snapshots (added/removed/changed)"
+    )
+    df_.add_argument("--old", required=True)
+    df_.add_argument("--new", required=True)
+    df_.add_argument("--output", required=True)
+    df_.add_argument("--key", required=True)
+
+    zo = sub.add_parser(
+        "zorder", help="rewrite a table z-ordered on the given columns"
+    )
+    zo.add_argument("--input", required=True)
+    zo.add_argument("--output", required=True)
+    zo.add_argument("--by", required=True, help="comma-separated cluster columns")
+    zo.add_argument("--files", type=int, default=None)
     return p
 
 
@@ -181,6 +222,61 @@ def main(argv: list[str] | None = None) -> int:
             contamination_threshold=args.contamination_threshold,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
+    if args.cmd == "scd2":
+        from streaming_etl_pipeline_spark.warehouse import build_scd2
+
+        changes = spark.read.parquet(args.input)
+        hist = build_scd2(
+            changes,
+            key=args.key,
+            attrs=args.attrs.split(","),
+            ts_col=args.ts_col,
+            order_cols=args.order_cols.split(",") if args.order_cols else None,
+        )
+        hist.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        metrics["scd2.versions"] = out.count()
+        metrics["scd2.current"] = out.filter("is_current").count()
+    if args.cmd == "cdc-apply":
+        from streaming_etl_pipeline_spark.operators.joins import apply_cdc
+
+        snap = spark.read.parquet(args.snapshot)
+        changes = spark.read.parquet(args.changes)
+        out = apply_cdc(
+            snap,
+            changes,
+            key=args.key,
+            ts_col=args.ts_col,
+            payload_cols=args.payload_cols.split(","),
+            op_col=args.op_col,
+            order_cols=args.order_cols.split(",") if args.order_cols else None,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        metrics["cdc.snapshot_rows"] = snap.count()
+        metrics["cdc.change_rows"] = changes.count()
+        metrics["cdc.output_rows"] = spark.read.parquet(args.output).count()
+    if args.cmd == "diff":
+        from streaming_etl_pipeline_spark.operators.joins import snapshot_diff
+
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        d = snapshot_diff(old, new, key=args.key)
+        d.write.mode("overwrite").parquet(args.output)
+        by_op = {
+            r.diff_op: r.n
+            for r in spark.read.parquet(args.output)
+            .groupBy("diff_op").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for op in ("added", "removed", "changed"):
+            metrics[f"diff.{op}"] = by_op.get(op, 0)
+    if args.cmd == "zorder":
+        from streaming_etl_pipeline_spark.sources.io import write_zordered
+
+        df = spark.read.parquet(args.input)
+        write_zordered(
+            df, args.output, zorder_by=args.by.split(","), num_files=args.files
+        )
+        metrics["zorder.rows"] = spark.read.parquet(args.output).count()
     print(json.dumps(metrics))
     return 0
 

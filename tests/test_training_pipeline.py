@@ -105,3 +105,50 @@ def test_cli_curate_on_corpus_table(spark, tmp_path, capsys):
     assert set(back.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test",
     }
+
+
+def test_cli_scd2_cdc_diff_zorder_roundtrip(spark, tmp_path, capsys):
+    """Drive the four round-3 maintenance subcommands end-to-end:
+    scd2 history from a change log, cdc-apply of a batch, diff of the
+    before/after snapshots, and a z-ordered rewrite."""
+    import json
+
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+
+    def run(args):
+        rc = main(args)
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    chg = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [
+            Row(k=1, status="A", ts=1, op="upsert"),
+            Row(k=1, status="B", ts=2, op="upsert"),
+            Row(k=2, status="A", ts=1, op="upsert"),
+            Row(k=2, status="A", ts=2, op="upsert"),  # no-op for SCD2
+            Row(k=2, status=None, ts=3, op="delete"),
+        ]
+    ).write.parquet(chg)
+
+    m = run(["scd2", "--input", chg, "--output", str(tmp_path / "hist"),
+             "--key", "k", "--attrs", "status", "--ts-col", "ts"])
+    assert m["scd2.versions"] == 4 and m["scd2.current"] == 2
+
+    snap = str(tmp_path / "snap")
+    spark.createDataFrame([Row(k=1, status="old"), Row(k=3, status="x")]).write.parquet(snap)
+    m = run(["cdc-apply", "--snapshot", snap, "--changes", chg,
+             "--output", str(tmp_path / "applied"), "--key", "k",
+             "--ts-col", "ts", "--payload-cols", "status"])
+    # k=1 -> B (latest upsert), k=2 -> deleted (never lands), k=3 untouched
+    assert m["cdc.output_rows"] == 2
+
+    m = run(["diff", "--old", snap, "--new", str(tmp_path / "applied"),
+             "--output", str(tmp_path / "d"), "--key", "k"])
+    assert m["diff.changed"] == 1 and m["diff.added"] == 0 and m["diff.removed"] == 0
+
+    m = run(["zorder", "--input", chg, "--output", str(tmp_path / "z"),
+             "--by", "k,ts", "--files", "2"])
+    assert m["zorder.rows"] == 5
