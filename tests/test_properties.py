@@ -302,3 +302,85 @@ def test_redact_pii_idempotent_and_complete(words, n_pii):
     clean = clean_df.collect()[0].text
     assert second.clean_md5 == hashlib.md5(clean.encode()).hexdigest()
     assert first.n_email == n_pii and first.n_ipv4 == n_pii
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC invariants (round-3 operators)
+# ---------------------------------------------------------------------------
+
+change_log = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),          # key
+        st.sampled_from(["A", "B", "C", None]),         # attr
+        st.integers(min_value=1, max_value=40),         # ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(rows=change_log)
+def test_scd2_partitions_the_timeline(rows):
+    """For every key: version numbers are 1..n, exactly one open row,
+    each effective_to equals the next effective_from, and consecutive
+    versions differ in the tracked attr."""
+    from streaming_etl_pipeline_spark.warehouse import build_scd2
+
+    df = _spark.createDataFrame(
+        [Row(k=k, a=a, ts=t, seq=i) for i, (k, a, t) in enumerate(rows)]
+    )
+    hist = build_scd2(
+        df, key="k", attrs=("a",), ts_col="ts", order_cols=("ts", "seq")
+    ).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].effective_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.a != b.a  # null-safe: None != 'A' etc.
+
+
+@SETTINGS
+@given(rows=change_log)
+def test_apply_cdc_replay_converges(rows):
+    """Applying the same change batch twice gives the same state as
+    once, and the surviving keys are exactly (snapshot ∪ upserted) −
+    latest-deleted."""
+    from streaming_etl_pipeline_spark.operators.joins import apply_cdc
+
+    snap = _spark.createDataFrame(
+        [Row(k=k, a="base") for k in (1, 2)]
+    )
+    changes = _spark.createDataFrame(
+        [
+            Row(k=k, a=a, ts=t, seq=i, op="delete" if a is None else "upsert")
+            for i, (k, a, t) in enumerate(rows)
+        ]
+    )
+    once = apply_cdc(
+        snap, changes, key="k", ts_col="ts", payload_cols=("a",),
+        order_cols=("ts", "seq"),
+    )
+    twice = apply_cdc(
+        once, changes, key="k", ts_col="ts", payload_cols=("a",),
+        order_cols=("ts", "seq"),
+    )
+    got_once = {(r.k, r.a) for r in once.collect()}
+    assert got_once == {(r.k, r.a) for r in twice.collect()}
+
+    latest: dict[int, tuple] = {}
+    for i, (k, a, t) in enumerate(rows):
+        if k not in latest or (t, i) > latest[k][:2]:
+            latest[k] = (t, i, a)
+    want = {(1, "base"), (2, "base")}
+    for k, (_, _, a) in latest.items():
+        want = {kv for kv in want if kv[0] != k}
+        if a is not None:  # upsert; None means delete
+            want.add((k, a))
+    assert got_once == want

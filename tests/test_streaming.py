@@ -729,3 +729,57 @@ def test_streaming_cdc_maintains_snapshot(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.v for r in spark.read.parquet(latest_version()).collect()}
     assert got == {1: "a1", 2: "b2", 3: "c2"}
+
+
+def test_streaming_hll_sketch_table_answers_range_distinct(spark, tmp_path):
+    """The sketch-table loop in the stream: each micro-batch appends its
+    per-(key, day) HLL sketches; any later distinct-count question is
+    answered by MERGING persisted sketches — no rescan of the raw
+    events — and matches the exact batch answer at this cardinality."""
+    from streaming_etl_pipeline_spark.operators import sketches as SK
+
+    src = str(tmp_path / "events")
+    sketches = str(tmp_path / "sketches")
+
+    def emit(lo, hi):
+        spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") % 500).alias("user_id"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-01-"), F.lpad((F.col("id") % 3) + 1, 2, "0"))
+            ).alias("ts"),
+        ).write.mode("append").parquet(src)
+
+    emit(0, 3_000)
+
+    def add_sketches(batch_df, batch_id):
+        SK.hll_daily_sketches(batch_df, ("g",), "user_id").withColumn(
+            "batch", F.lit(batch_id)
+        ).write.mode("append").parquet(sketches)
+
+    stream = (
+        spark.readStream.schema("g string, user_id long, ts timestamp")
+        .parquet(src)
+        .writeStream.foreachBatch(add_sketches)
+        .trigger(availableNow=True)
+    )
+    q = stream.option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    emit(3_000, 6_000)  # second batch overlaps the same users
+    q = stream.option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+
+    merged = {
+        r.g: r.hll_est
+        for r in SK.hll_merge(
+            spark.read.parquet(sketches), ("g",)
+        ).collect()
+    }
+    exact = {
+        r.g: r.n
+        for r in spark.read.parquet(src)
+        .groupBy("g")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == exact  # 250 distinct/key: coupon mode, merge exact
