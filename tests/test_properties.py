@@ -328,7 +328,8 @@ def test_scd2_partitions_the_timeline(rows):
     from streaming_etl_pipeline_spark.warehouse import build_scd2
 
     df = _spark.createDataFrame(
-        [Row(k=k, a=a, ts=t, seq=i) for i, (k, a, t) in enumerate(rows)]
+        [(k, a, t, i) for i, (k, a, t) in enumerate(rows)],
+        "k long, a string, ts long, seq long",
     )
     hist = build_scd2(
         df, key="k", attrs=("a",), ts_col="ts", order_cols=("ts", "seq")
@@ -359,9 +360,10 @@ def test_apply_cdc_replay_converges(rows):
     )
     changes = _spark.createDataFrame(
         [
-            Row(k=k, a=a, ts=t, seq=i, op="delete" if a is None else "upsert")
+            (k, a, t, i, "delete" if a is None else "upsert")
             for i, (k, a, t) in enumerate(rows)
-        ]
+        ],
+        "k long, a string, ts long, seq long, op string",
     )
     once = apply_cdc(
         snap, changes, key="k", ts_col="ts", payload_cols=("a",),
