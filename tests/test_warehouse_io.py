@@ -433,3 +433,34 @@ def test_write_bloom_indexed_adds_filters_and_reads_back(spark, tmp_path):
     assert back.count() == 100_000
     assert back.filter(F.col("user_id") == 54_321).count() == 1
     assert back.filter(F.col("user_id") == -5).count() == 0
+
+
+def test_apply_scd2_incremental_equals_full_rebuild(spark):
+    """Appending a day's change batch incrementally must produce the
+    same history as rebuilding from the full log, and replaying the
+    batch must converge."""
+    from streaming_etl_pipeline_spark.warehouse import apply_scd2, build_scd2
+
+    def log(rows):
+        return spark.createDataFrame(rows, "k long, a string, ts long")
+
+    day1 = [(1, "A", 1), (1, "A", 2), (1, "B", 3),
+            (2, "X", 1), (3, "Z", 5)]
+    day2 = [(1, "B", 10), (1, "C", 11),      # no-op then change
+            (2, "Y", 12), (4, "N", 10)]      # update + brand-new key
+
+    hist1 = build_scd2(log(day1), key="k", attrs=("a",), ts_col="ts")
+    inc = apply_scd2(hist1, log(day2), key="k", attrs=("a",), ts_col="ts")
+    full = build_scd2(log(day1 + day2), key="k", attrs=("a",), ts_col="ts")
+
+    canon = lambda df: sorted(
+        (r.k, r.a, r.effective_from, r.version, r.effective_to, r.is_current)
+        for r in df.collect()
+    )
+    assert canon(inc) == canon(full)
+    # key 3 was untouched by day 2 and passed through
+    assert any(r[0] == 3 for r in canon(inc))
+
+    # replaying day 2 over the result converges
+    again = apply_scd2(inc, log(day2), key="k", attrs=("a",), ts_col="ts")
+    assert canon(again) == canon(inc)
