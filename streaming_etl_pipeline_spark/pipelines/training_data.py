@@ -48,6 +48,7 @@ def curate_corpus(
     overlap: int = 8,
     lsh_threshold: float = 0.6,
     contamination_threshold: float = 0.10,
+    split_safety_threshold: float | None = None,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -55,6 +56,14 @@ def curate_corpus(
 
     ``docs`` needs (id_col, text_col); ``benchmark`` (optional) needs
     ``text_col`` and enables the decontamination gate.
+
+    ``split_safety_threshold`` (optional, looser than ``lsh_threshold``)
+    guards the split against residual near-dup leakage: documents that
+    were too dissimilar to DEDUP (below ``lsh_threshold``) but similar
+    enough to leak eval signal (above this) are clustered at the looser
+    threshold and split by CLUSTER id (``curation.cluster_safe_splits``)
+    so they land in the same train/val/test partition. Reuses the
+    signatures already built for dedup — no extra shingle/minhash pass.
     """
     from pyspark import StorageLevel
 
@@ -84,7 +93,9 @@ def curate_corpus(
 
     # 3. Near dedup — signatures (linear) → LSH band join → verified
     #    pairs → connected components → drop non-canonical members.
-    sigs = DD.build_signatures(kept, id_col, text_col)
+    sigs = DD.build_signatures(kept, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = DD.near_dup_pairs_from_signatures(
         sigs, id_col=id_col, threshold=lsh_threshold
     )
@@ -118,17 +129,30 @@ def curate_corpus(
     redacted = kept.select(
         id_col, CU.redacted_text(text_col).alias(text_col)
     )
-    examples = CU.assign_splits(
-        CU.context_chunks(
-            redacted,
-            max_tokens=max_tokens,
-            overlap=overlap,
-            id_col=id_col,
-            text_col=text_col,
-            keep_text=True,
-        ),
-        id_col,
+    chunks = CU.context_chunks(
+        redacted,
+        max_tokens=max_tokens,
+        overlap=overlap,
+        id_col=id_col,
+        text_col=text_col,
+        keep_text=True,
     )
+    if split_safety_threshold is not None:
+        # cluster the SURVIVORS at the looser threshold (signatures are
+        # threshold-independent — reuse them) and split by cluster id
+        loose_pairs = DD.near_dup_pairs_from_signatures(
+            sigs.join(kept.select(id_col), id_col, "left_semi"),
+            id_col=id_col,
+            threshold=split_safety_threshold,
+        )
+        loose_clusters = dedup_clusters(loose_pairs).select(
+            F.col("doc_id").alias(id_col), "canonical_id"
+        )
+        examples = CU.cluster_safe_splits(
+            chunks, loose_clusters, key_col=id_col
+        ).drop("_split_key")
+    else:
+        examples = CU.assign_splits(chunks, id_col)
 
     obs = Observation("training_out")
     examples = examples.observe(
@@ -141,6 +165,7 @@ def curate_corpus(
     )
     examples.write.mode("overwrite").partitionBy("split").parquet(out_path)
     kept.unpersist()
+    sigs.unpersist()
     # sum() observes as None over an empty write (every doc filtered)
     metrics.update({k: float(v or 0) for k, v in obs.get.items()})
     return PipelineResult(output_paths={"training": out_path}, metrics=metrics)

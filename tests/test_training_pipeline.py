@@ -152,3 +152,46 @@ def test_cli_scd2_cdc_diff_zorder_roundtrip(spark, tmp_path, capsys):
     m = run(["zorder", "--input", chg, "--output", str(tmp_path / "z"),
              "--by", "k,ts", "--files", "2"])
     assert m["zorder.rows"] == 5
+
+
+def test_curate_corpus_split_safety_keeps_loose_neardups_together(spark, tmp_path):
+    """With split_safety_threshold set, docs too dissimilar to dedup but
+    similar enough to leak must land in the same split partition."""
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.pipelines.training_data import curate_corpus
+
+    # Per-doc vocabularies engineered for the Gopher gates (30-90 words,
+    # mean word length 4.2-4.8, >=2 stopword hits, no repeated 2-grams);
+    # different docs share only "the a", so cross-doc Jaccard ~ 0.
+    def body(c):
+        return (["the", "a"]
+                + [f"{c}{j:02d}k" for j in range(16)]     # 4-char words
+                + [f"{c}{j:02d}kz" for j in range(16)])   # 5-char words
+
+    rows = []
+    for i, c in enumerate("abcdefghij"):
+        rows.append(Row(
+            doc_id=i,
+            text=" ".join(body(c) + [f"{c}main{j}" for j in range(6)]),
+        ))
+    # loose partners for the first 3 docs: same body, different tail —
+    # too dissimilar to dedup at 0.9, similar enough to leak
+    for i, c in enumerate("abc"):
+        rows.append(Row(
+            doc_id=100 + i,
+            text=" ".join(body(c) + [f"{c}alt{j}q" for j in range(6)]),
+        ))
+    docs = spark.createDataFrame(rows)
+    out = str(tmp_path / "safe")
+    res = curate_corpus(
+        spark, docs, out, max_tokens=16, overlap=4,
+        lsh_threshold=0.9,            # nothing dedups...
+        split_safety_threshold=0.35,  # ...but loose pairs split together
+    )
+    assert res.metrics["after_near_dedup"] == 13  # nothing removed
+    got = spark.read.parquet(out).select("doc_id", "split").distinct().collect()
+    split_of = {r.doc_id: r.split for r in got}
+    for i in range(3):
+        assert split_of[i] == split_of[100 + i], (i, split_of)
+    assert len(set(split_of.values())) >= 2  # not all in one split
