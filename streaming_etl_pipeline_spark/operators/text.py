@@ -423,3 +423,54 @@ def gopher_filter_sql(table: str = "documents", text_col: str = "text") -> str:
              AND dup_2gram_frac <= {GOPHER_MAX_DUP_2GRAM} AS keep
     FROM g
     """
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: str = "feat",
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009 — public
+    algorithm): token → md5 bucket in [0, dim) → per-(doc, bucket)
+    count. The sparse bag-of-hashed-words every cheap classifier /
+    nearest-neighbor baseline wants, with no vocabulary table to build,
+    broadcast, or keep consistent across a 1000-executor cluster — the
+    hash IS the vocabulary. Explode + one uniform-key count shuffle.
+    """
+    from streaming_etl_pipeline_spark.functions.core import md5_long, tokenize
+
+    ex = df.select(
+        id_col, F.explode(tokenize(norm_text(text_col))).alias("_tok")
+    )
+    return (
+        ex.select(id_col, (md5_long("_tok", seed) % dim).alias("dim_idx"))
+        .groupBy(id_col, "dim_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_feature_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: str = "feat",
+) -> DataFrame:
+    """Doc-grain rollup of :func:`hashed_features`: dims used, L1/L2
+    mass, and an md5 over the ordered (dim:cnt) pairs that pins every
+    bucket count exactly for the differential gate."""
+    feats = hashed_features(df, text_col, id_col, dim, seed)
+    pairs = F.transform(
+        F.sort_array(F.collect_list(F.struct("dim_idx", "cnt"))),
+        lambda s: F.concat(
+            s.dim_idx.cast("string"), F.lit(":"), s.cnt.cast("string")
+        ),
+    )
+    return feats.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("cnt").alias("l1_tokens"),
+        F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 6).alias("l2_norm"),
+        F.md5(F.array_join(pairs, ",")).alias("feature_md5"),
+    )

@@ -781,3 +781,33 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.countDistinct("_split_key")
         ).alias("straddle_free"),
     )
+
+
+@register(
+    "hashed_features_profile",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({DD.TOKEN_SQL.format(norm=TX.norm_text_sql("text"))}) AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, ({md5_long_sql("t", "feat")} % 64) AS dim_idx,
+             count(*) AS cnt
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*) AS n_dims,
+           CAST(sum(cnt) AS BIGINT) AS l1_tokens,
+           round(sqrt(sum(cnt * cnt)), 6) AS l2_norm,
+           md5(string_agg(dim_idx || ':' || cnt, ',' ORDER BY dim_idx))
+             AS feature_md5
+    FROM f GROUP BY doc_id
+    """,
+)
+def q_hashed_features_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization profile: 64-dim hashed bag-of-words
+    per document, pinned exactly by an md5 over the ordered (dim:count)
+    pairs — no vocabulary table, the hash IS the vocabulary."""
+    docs = read_table(spark, sf_dir, "documents")
+    return TX.hashed_feature_profile(docs, dim=64)

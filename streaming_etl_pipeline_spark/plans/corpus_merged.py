@@ -54,12 +54,15 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH ts AS ({_sql("text_stats")}),
          li AS ({_sql("language_id")}),
-         fp AS ({_sql("doc_fingerprint")})
+         fp AS ({_sql("doc_fingerprint")}),
+         hf AS ({_sql("hashed_features_profile")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
-           fp.n_shingles
+           fp.n_shingles,
+           hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
+            JOIN hf USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +73,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run("text_stats", spark, sf_dir)
         .join(_run("language_id", spark, sf_dir), "doc_id")
         .join(_run("doc_fingerprint", spark, sf_dir), "doc_id")
+        .join(_run("hashed_features_profile", spark, sf_dir), "doc_id")
     )
 
 
@@ -1048,6 +1052,7 @@ COVERED_BY: dict[str, str] = {
     "text_stats": "text_profile",
     "language_id": "text_profile",
     "doc_fingerprint": "text_profile",
+    "hashed_features_profile": "text_profile",
     "users_lost_after_week1": "user_set_ops",
     "users_never_purchased": "user_set_ops",
     "users_active_both_ends": "user_set_ops",

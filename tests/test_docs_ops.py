@@ -705,3 +705,34 @@ def test_quantize_embeddings_roundtrip_and_ranking(spark):
         exact = max((j for j in range(20) if j != i), key=lambda j: cos(vecs[i], vecs[j]))
         approx = max((j for j in range(20) if j != i), key=lambda j: cos(deq[i], deq[j]))
         assert exact == approx
+
+
+def test_hashed_features_deterministic_and_consistent(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.text import (
+        hashed_feature_profile,
+        hashed_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="THE  cat sat   on the mat"),  # normalizes equal
+            Row(doc_id=3, text="completely different words here"),
+        ]
+    )
+    f = hashed_features(docs, dim=16)
+    rows = {(r.doc_id, r.dim_idx): r.cnt for r in f.collect()}
+    # doc 1: 6 tokens, 'the' twice -> its bucket has cnt 2
+    d1 = {k[1]: v for k, v in rows.items() if k[0] == 1}
+    assert sum(d1.values()) == 6 and max(d1.values()) == 2
+    # normalization-equal docs get identical feature vectors
+    d2 = {k[1]: v for k, v in rows.items() if k[0] == 2}
+    assert d1 == d2
+
+    prof = {r.doc_id: r for r in hashed_feature_profile(docs, dim=16).collect()}
+    assert prof[1].feature_md5 == prof[2].feature_md5
+    assert prof[1].feature_md5 != prof[3].feature_md5
+    assert prof[1].l1_tokens == 6
+    assert prof[1].n_dims == len(d1)
