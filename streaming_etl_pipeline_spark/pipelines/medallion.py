@@ -187,3 +187,64 @@ def silver_to_gold(
     write_partitioned(location_hourly, paths["location_hourly"], partition_by=["sensor_type"])
     write_partitioned(daily, paths["daily_summary"], partition_by=["sensor_type"])
     return PipelineResult(output_paths=paths, metrics={**obs.get})
+
+
+def backfill(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    gold_path: str,
+    start_date: str,
+    end_date: str,
+    validate: bool = True,
+    on_error: str = "continue",
+) -> PipelineResult:
+    """Historical backfill over a date range — the engine's flavor of the
+    reference's Airflow backfill DAG (``dags/batch_pipeline_dag.py``:
+    per-date ingest → validate → b2s → s2g with retries and a date-range
+    param), without the EMR/MWAA control plane: each date runs
+    bronze→silver→gold with date-partition pruning, stage validation
+    fail-fast (``validate=True`` runs the silver expectation suite per
+    date, the DAG's quality gate), and idempotent convergence — every
+    write is a dynamic partition overwrite, so re-running any date (the
+    DAG's ``retries: 2``) replaces that date's partitions instead of
+    duplicating.
+
+    ``on_error``: 'continue' records the failed date and proceeds (the
+    DAG's ``ActionOnFailure: CONTINUE``); 'fail' re-raises immediately.
+    Returns per-date metrics flattened as ``{date}.{stage}.{metric}``
+    plus ``dates_ok`` / ``dates_failed`` counts.
+    """
+    import datetime as _dt2
+
+    d0 = _dt2.date.fromisoformat(str(start_date))
+    d1 = _dt2.date.fromisoformat(str(end_date))
+    if d1 < d0:
+        raise ValueError(f"end_date {d1} before start_date {d0}")
+    metrics: dict[str, float] = {}
+    ok = failed = 0
+    day = d0
+    while day <= d1:
+        try:
+            b2s = bronze_to_silver(
+                spark, bronze_path, silver_path,
+                run_date=day, validate=validate,
+            )
+            s2g = silver_to_gold(spark, silver_path, gold_path, run_date=day)
+            for k, v in b2s.metrics.items():
+                metrics[f"{day}.b2s.{k}"] = float(v or 0)
+            for k, v in s2g.metrics.items():
+                metrics[f"{day}.s2g.{k}"] = float(v or 0)
+            ok += 1
+        except Exception:
+            if on_error == "fail":
+                raise
+            failed += 1
+            metrics[f"{day}.failed"] = 1.0
+        day += _dt2.timedelta(days=1)
+    metrics["dates_ok"] = float(ok)
+    metrics["dates_failed"] = float(failed)
+    return PipelineResult(
+        output_paths={"silver": silver_path, "gold": gold_path},
+        metrics=metrics,
+    )

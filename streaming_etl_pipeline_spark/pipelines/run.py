@@ -145,6 +145,20 @@ def make_parser() -> argparse.ArgumentParser:
     zo.add_argument("--output", required=True)
     zo.add_argument("--by", required=True, help="comma-separated cluster columns")
     zo.add_argument("--files", type=int, default=None)
+
+    bf = sub.add_parser(
+        "backfill",
+        help="historical date-range backfill: per-date b2s + s2g with "
+        "stage validation; idempotent via dynamic partition overwrite",
+    )
+    bf.add_argument("--bronze", required=True)
+    bf.add_argument("--silver", required=True)
+    bf.add_argument("--gold", required=True)
+    bf.add_argument("--start", required=True, help="YYYY-MM-DD")
+    bf.add_argument("--end", required=True, help="YYYY-MM-DD")
+    bf.add_argument("--validate", action="store_true")
+    bf.add_argument("--on-error", choices=("continue", "fail"),
+                    default="continue")
     return p
 
 
@@ -269,6 +283,15 @@ def main(argv: list[str] | None = None) -> int:
         }
         for op in ("added", "removed", "changed"):
             metrics[f"diff.{op}"] = by_op.get(op, 0)
+    if args.cmd == "backfill":
+        from streaming_etl_pipeline_spark.pipelines.medallion import backfill
+
+        res = backfill(
+            spark, args.bronze, args.silver, args.gold,
+            start_date=args.start, end_date=args.end,
+            validate=args.validate, on_error=args.on_error,
+        )
+        metrics.update({f"backfill.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "zorder":
         from streaming_etl_pipeline_spark.sources.io import write_zordered
 

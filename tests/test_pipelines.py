@@ -340,3 +340,41 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT sensor_id, count(*) n FROM dedup_wm GROUP BY 1").collect()
     assert {r.sensor_id: r.n for r in out} == {"s1": 1, "s2": 1}
+
+
+def test_backfill_date_range_idempotent(spark, bronze_dir, tmp_path):
+    """Backfill two dates (one of them empty) through b2s+s2g: per-date
+    metrics come back flattened, the empty date doesn't sink the run
+    (ActionOnFailure: CONTINUE semantics), and re-running the range
+    converges instead of duplicating gold rows."""
+    from streaming_etl_pipeline_spark.pipelines.medallion import backfill
+
+    # add a second day of data by shifting the fixture forward
+    extra = spark.read.parquet(bronze_dir).withColumn(
+        "event_time", F.col("event_time") + F.expr("INTERVAL 1 DAY")
+    ).withColumn(
+        "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 1 DAY")
+    )
+    extra.write.mode("append").parquet(bronze_dir)
+
+    silver = str(tmp_path / "silver_bf")
+    gold = str(tmp_path / "gold_bf")
+    res = backfill(
+        spark, bronze_dir, silver, gold,
+        start_date="2024-06-15", end_date="2024-06-16",
+        validate=False,
+    )
+    assert res.metrics["dates_ok"] >= 2
+    assert res.metrics["2024-06-15.b2s.output_rows"] > 0
+    assert res.metrics["2024-06-16.b2s.output_rows"] > 0
+    first = spark.read.parquet(gold + "/sensor_5min").count()
+    assert first > 0
+
+    # rerun the same range: dynamic partition overwrite converges
+    res2 = backfill(
+        spark, bronze_dir, silver, gold,
+        start_date="2024-06-15", end_date="2024-06-16",
+        validate=False,
+    )
+    assert res2.metrics["dates_ok"] >= 2
+    assert spark.read.parquet(gold + "/sensor_5min").count() == first
