@@ -17,9 +17,11 @@ stateful patterns a real stream pipeline needs:
 
 Scale: state is partitioned by the group key across executors; per-key
 state here is O(1) (three longs), so the state store grows with
-*distinct keys in flight*, not events. For key cardinality beyond state
-store comfort, expire idle keys with a timeout (GroupStateTimeout) —
-left NoTimeout here so test emissions are deterministic.
+*distinct keys in flight*, not events. ``close_on_watermark=True``
+bounds it further: idle keys' sessions close (and their state frees)
+via an EVENT-TIME timeout when the watermark passes last+gap — the
+production mode for churning key populations; the NoTimeout default
+keeps closed-by-next-event emissions deterministic for tests.
 
 API note: Spark 4.x also offers ``transformWithStateInPandas`` (the
 StatefulProcessor API with typed state handles, timers and RocksDB).
@@ -81,13 +83,26 @@ def streaming_sessionize(
     key_col: str = "sensor_id",
     ts_col: str = "event_time",
     gap_seconds: int = 300,
+    close_on_watermark: bool = False,
 ) -> DataFrame:
     """Gap-based sessions over a stream via ``applyInPandasWithState``.
 
-    Emits one row per *closed* session (closed = a newer event arrived
-    more than ``gap_seconds`` later). The open session per key stays in
-    the state store and is carried across micro-batches and restarts.
-    Output mode must be ``append``.
+    Default (``close_on_watermark=False``): emits one row per *closed*
+    session, closed = a newer event for the SAME key arrived more than
+    ``gap_seconds`` later; an idle key's open session stays in the state
+    store indefinitely.
+
+    ``close_on_watermark=True`` is the production mode: the operator
+    registers an EVENT-TIME timeout at ``last + gap`` for every open
+    session, so when the WATERMARK passes that point the session closes
+    and emits even if the key never speaks again — sessions complete
+    deterministically in event time, and state for idle keys is freed
+    (bounded state under key churn at 100 TB, where "every key
+    eventually sends another event" is false). Requires ``events`` to
+    carry a watermark on ``ts_col``.
+
+    The open session per key survives micro-batches and restarts via
+    the checkpoint. Output mode must be ``append``.
     """
     gap_us = gap_seconds * 1_000_000
 
@@ -101,11 +116,26 @@ def streaming_sessionize(
             start, last, n = state.get
         else:
             start, last, n = None, None, 0
+        closed = []
+        if close_on_watermark and state.hasTimedOut:
+            # watermark passed last+gap with no new events: close + free
+            if start is not None:
+                closed.append((sid, start, last, n))
+            state.remove()
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "sensor_id": [c[0] for c in closed],
+                        "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                        "last_event_time": [pd.Timestamp(c[2], unit="us") for c in closed],
+                        "n_events": [c[3] for c in closed],
+                    }
+                )
+            return
         ts: list[int] = []
         for pdf in pdfs:
             ts.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col]))
         ts.sort()
-        closed = []
         for t in ts:
             if start is None:
                 start, last, n = t, t, 1
@@ -115,6 +145,8 @@ def streaming_sessionize(
             else:
                 last, n = max(last, t), n + 1
         state.update((start, last, n))
+        if close_on_watermark:
+            state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
         if closed:
             yield pd.DataFrame(
                 {
@@ -133,6 +165,10 @@ def streaming_sessionize(
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if close_on_watermark
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

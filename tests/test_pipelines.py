@@ -378,3 +378,56 @@ def test_backfill_date_range_idempotent(spark, bronze_dir, tmp_path):
     )
     assert res2.metrics["dates_ok"] >= 2
     assert spark.read.parquet(gold + "/sensor_5min").count() == first
+
+
+def test_streaming_sessionize_closes_on_watermark(spark, tmp_path):
+    """close_on_watermark: an idle key's session must close when the
+    WATERMARK passes last+gap — driven by other keys' events — without
+    the idle key ever speaking again (event-time timeout; state freed)."""
+    from streaming_etl_pipeline_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sessions")
+
+    def emit(rows):
+        spark.createDataFrame(
+            rows, "sensor_id string, event_time string"
+        ).withColumn(
+            "event_time", F.to_timestamp("event_time")
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        events = (
+            spark.readStream.schema("sensor_id string, event_time timestamp")
+            .parquet(src)
+            .withWatermark("event_time", "10 seconds")
+        )
+        q = (
+            streaming_sessionize(
+                events, gap_seconds=300, close_on_watermark=True
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit([("A", "2024-06-15 10:00:00"), ("A", "2024-06-15 10:01:00")])
+    run_once()
+    emit([("B", "2024-06-15 11:00:00")])   # advances the watermark past A
+    run_once()
+    emit([("C", "2024-06-15 12:00:00")])   # advances it further
+    run_once()
+
+    got = {
+        r.sensor_id: r for r in spark.read.parquet(out).collect()
+    }
+    # A never spoke after 10:01 but closed via the event-time timeout
+    assert "A" in got and got["A"].n_events == 2
+    assert str(got["A"].session_start) == "2024-06-15 10:00:00"
+    assert str(got["A"].last_event_time) == "2024-06-15 10:01:00"
+    # C's timeout (12:05) is beyond any watermark seen -> still open
+    assert "C" not in got
