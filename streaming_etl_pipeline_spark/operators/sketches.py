@@ -144,3 +144,93 @@ def hll_merge(
     return daily.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("hll_est")
     )
+
+
+def count_min(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005 — public
+    algorithm) as a relational table: for each of ``depth`` seeded md5
+    hash rows, count items landing in each of ``width`` cells. Output
+    grain: keys + (seed, cell, cnt) — at most depth×width rows per key
+    regardless of item cardinality.
+
+    One map-side-combined shuffle builds it; cell-wise SUM merges
+    sketches across partitions/days (same contract as the HLL family).
+    Because the hash is md5 (not Spark-internal), the DuckDB oracle
+    reproduces the sketch BIT-FOR-BIT — the differential gate verifies
+    an approximate structure exactly. Estimates (:func:`cms_estimate`)
+    are upper bounds: est ≥ true count, over by ≤ ~2n/width w.h.p.
+    """
+    rows = df.select(
+        *keys,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("seed"),
+                    (md5_long(F.col(value_col), f"cms{d}") % width).alias("cell"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("_sc"),
+    )
+    return (
+        rows.select(*keys, "_sc.seed", "_sc.cell")
+        .groupBy(*keys, "seed", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_sql(
+    table: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> str:
+    """DuckDB oracle twin of :func:`count_min` (no keys flavor)."""
+    branches = "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS seed, "
+        f"({md5_long_sql(value_col, f'cms{d}')} % {width}) AS cell "
+        f"FROM {table}"
+        for d in range(depth)
+    )
+    return f"""
+    SELECT seed, cell, count(*) AS cnt
+    FROM ({branches})
+    GROUP BY seed, cell
+    """
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: estimate =
+    min over seeds of the item's cell count (0 if a cell is absent).
+    Broadcast join of the (small, fixed-size) sketch onto the probes.
+    ``depth``/``width`` must match the sketch's build parameters.
+    """
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("seed"),
+                    (md5_long(F.col(value_col), f"cms{d}") % width).alias("cell"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("_sc"),
+    ).select(value_col, "_sc.seed", "_sc.cell")
+    return (
+        probes.join(F.broadcast(cms), ["seed", "cell"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -2015,6 +2015,51 @@ def _patch_top_ngrams_sql() -> None:
 _patch_top_ngrams_sql()
 
 
+def _cms_heavy_hitters_sql(depth: int = 4, width: int = 256) -> str:
+    from streaming_etl_pipeline_spark.functions.core import md5_long_sql
+    from streaming_etl_pipeline_spark.operators.sketches import count_min_sql
+
+    probes = ",\n      ".join(
+        f"coalesce((SELECT cnt FROM cms WHERE seed = {d} AND "
+        f"cell = ({md5_long_sql('ex.user_id', f'cms{d}')} % {width})), 0)"
+        for d in range(depth)
+    )
+    return f"""
+    WITH cms AS ({count_min_sql("events", "user_id", depth, width)}),
+    ex AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id ASC LIMIT 5
+    )
+    SELECT ex.user_id, ex.exact_cnt,
+           least({probes}) AS cms_est
+    FROM ex
+    """
+
+
+@register("cms_heavy_hitters", _cms_heavy_hitters_sql())
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy-hitter probe: the 5 most frequent users'
+    exact counts next to their CMS point estimates. The sketch is
+    md5-seeded, so the oracle rebuilds it BIT-FOR-BIT — an approximate
+    structure verified exactly (est ≥ exact by construction; the hash
+    collisions that inflate it are identical in both engines)."""
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    cms = count_min(events, "user_id")
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(5)
+    )
+    est = cms_estimate(cms, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select("user_id", "exact_cnt", "cms_est")
+
+
 @register(
     "robust_value_stats",
     aggregates.robust_stats_sql("events", "value", keys=("event_type",)),

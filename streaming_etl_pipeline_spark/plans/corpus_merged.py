@@ -1042,6 +1042,45 @@ def q_parse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# nation_trade_profile = q7_nation_volume ∪ q8_market_share (labelled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_profile",
+    f"""
+    SELECT 'q7_volume' AS trade_op, supp_nation AS k1, cust_nation AS k2,
+           l_year AS year, revenue AS m1, CAST(n_items AS DOUBLE) AS m2
+    FROM ({_sql("q7_nation_volume")})
+    UNION ALL
+    SELECT 'q8_share' AS trade_op, '' AS k1, '' AS k2,
+           o_year AS year, mkt_share AS m1, 0.0 AS m2
+    FROM ({_sql("q8_market_share")})
+    """,
+)
+def q_nation_trade_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (cross-nation volume, same dim in two roles) and Q8
+    (market-share conditional ratio) as one labelled driver row set."""
+    q7 = _run("q7_nation_volume", spark, sf_dir).select(
+        F.lit("q7_volume").alias("trade_op"),
+        F.col("supp_nation").alias("k1"),
+        F.col("cust_nation").alias("k2"),
+        F.col("l_year").alias("year"),
+        F.col("revenue").alias("m1"),
+        F.col("n_items").cast("double").alias("m2"),
+    )
+    q8 = _run("q8_market_share", spark, sf_dir).select(
+        F.lit("q8_share").alias("trade_op"),
+        F.lit("").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("o_year").alias("year"),
+        F.col("mkt_share").alias("m1"),
+        F.lit(0.0).alias("m2"),
+    )
+    return q7.unionByName(q8)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -1104,6 +1143,8 @@ COVERED_BY: dict[str, str] = {
     "robust_value_stats": "sketch_suite",
     "json_extract_stats": "parse_profile",
     "source_parse_stats": "parse_profile",
+    "q7_nation_volume": "nation_trade_profile",
+    "q8_market_share": "nation_trade_profile",
     "q4_order_priority": "order_flags_profile",
     "q12_late_shipments": "order_flags_profile",
     "upsert_user_dim": "dimension_suite",
@@ -1125,6 +1166,7 @@ DRIVER_SET: list[str] = [
     "neardup_pairs",
     "embedding_profile",
     "sketch_suite",
+    "cms_heavy_hitters",
     "user_sessions",
     "multimodal_features",
     "text_profile",
@@ -1160,8 +1202,7 @@ DRIVER_SET: list[str] = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_volume",
-    "q7_nation_volume",
-    "q8_market_share",
+    "nation_trade_profile",
     "q10_returned_items",
     "order_flags_profile",
     "q13_customer_distribution",

@@ -736,3 +736,40 @@ def test_hashed_features_deterministic_and_consistent(spark):
     assert prof[1].feature_md5 != prof[3].feature_md5
     assert prof[1].l1_tokens == 6
     assert prof[1].n_dims == len(d1)
+
+
+def test_count_min_upper_bound_and_merge(spark):
+    from pyspark.sql import Row
+
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min,
+    )
+
+    # skewed counts: item i appears i+1 times, 0..99
+    rows = [Row(v=f"item{i}") for i in range(100) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows)
+    cms = count_min(df, "v", depth=4, width=64)
+    probes = spark.createDataFrame([Row(v=f"item{i}") for i in (0, 50, 99)])
+    est = {r.v: r.cms_est for r in cms_estimate(cms, probes, "v", width=64).collect()}
+    truth = {"item0": 1, "item50": 51, "item99": 100}
+    n = sum(range(1, 101))
+    for k, t in truth.items():
+        assert est[k] >= t                      # CMS never undercounts
+        assert est[k] <= t + 2 * n / 64 + 40    # and overcounts boundedly
+    # sketch is fixed-size: at most depth*width cells
+    assert cms.count() <= 4 * 64
+    # mergeability: cell-wise sum of two half-sketches == whole sketch
+    half1 = count_min(
+        spark.createDataFrame(rows[:2000]), "v", depth=4, width=64
+    )
+    half2 = count_min(
+        spark.createDataFrame(rows[2000:]), "v", depth=4, width=64
+    )
+    merged = (
+        half1.unionByName(half2)
+        .groupBy("seed", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.seed, r.cell): r.cnt for r in cms.collect()}
+    got = {(r.seed, r.cell): r.cnt for r in merged.collect()}
+    assert got == whole
