@@ -2015,6 +2015,67 @@ def _patch_top_ngrams_sql() -> None:
 _patch_top_ngrams_sql()
 
 
+@register(
+    "privacy_audit",
+    """
+    WITH ka AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id % 10 AS user_bucket,
+             count(*) AS group_size
+      FROM events GROUP BY 1, 2, 3
+    ),
+    ks AS (
+      SELECT count(*) AS n_groups,
+             CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS risky_groups,
+             CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+               AS BIGINT) AS risky_rows,
+             min(group_size) AS min_group_size
+      FROM ka
+    ),
+    ps AS (
+      SELECT count(DISTINCT user_id) AS n_users,
+             count(DISTINCT sha256('s3cret' || CAST(user_id AS VARCHAR)))
+               AS n_tokens,
+             min(sha256('s3cret' || CAST(user_id AS VARCHAR))) AS min_token
+      FROM events
+    )
+    SELECT ks.*, ps.n_users, ps.n_tokens,
+           ps.n_users = ps.n_tokens AS pseudo_bijective, ps.min_token
+    FROM ks, ps
+    """,
+)
+def q_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit in one row: k-anonymity over the (event_type, day,
+    user-bucket) quasi-identifier (risky group/row exposure below k=5)
+    plus keyed-pseudonymization integrity — tokens stay bijective with
+    the raw ids (joinability preserved) and the min token pins the HMAC
+    arithmetic in both engines."""
+    from streaming_etl_pipeline_spark.quality.privacy import (
+        k_anonymity_summary,
+        pseudonym,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    quasi = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 10).alias("user_bucket"),
+    )
+    ks = k_anonymity_summary(quasi, ("event_type", "day", "user_bucket"), k=5)
+    tok = pseudonym("user_id", "s3cret")
+    ps = events.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(tok).alias("n_tokens"),
+        F.min(tok).alias("min_token"),
+    )
+    return ks.crossJoin(F.broadcast(ps)).select(
+        "n_groups", "risky_groups", "risky_rows", "min_group_size",
+        "n_users", "n_tokens",
+        (F.col("n_users") == F.col("n_tokens")).alias("pseudo_bijective"),
+        "min_token",
+    )
+
+
 def _cms_heavy_hitters_sql(depth: int = 4, width: int = 256) -> str:
     from streaming_etl_pipeline_spark.functions.core import md5_long_sql
     from streaming_etl_pipeline_spark.operators.sketches import count_min_sql

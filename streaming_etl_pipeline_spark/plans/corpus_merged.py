@@ -240,13 +240,14 @@ def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.*, q.*,
            ds.psi AS psi_same, ds.drifted AS drifted_same,
            dm.psi AS psi_shifted, dm.drifted AS drifted_shifted,
-           ls.*
+           ls.*, pa.*
     FROM ({_sql("global_metrics")}) g, ({_sql("quality_metrics")}) q,
          (SELECT psi, drifted FROM ({_sql("drift_psi")})
           WHERE snapshot = 'same') ds,
          (SELECT psi, drifted FROM ({_sql("drift_psi")})
           WHERE snapshot = 'scaled_1_5x') dm,
-         ({_sql("leakage_safe_splits")}) ls
+         ({_sql("leakage_safe_splits")}) ls,
+         ({_sql("privacy_audit")}) pa
     """,
 )
 def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +268,7 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(same))
         .crossJoin(F.broadcast(moved))
         .crossJoin(F.broadcast(_run("leakage_safe_splits", spark, sf_dir)))
+        .crossJoin(F.broadcast(_run("privacy_audit", spark, sf_dir)))
     )
 
 
@@ -1107,6 +1109,7 @@ COVERED_BY: dict[str, str] = {
     "quality_metrics": "metrics_overview",
     "drift_psi": "metrics_overview",
     "leakage_safe_splits": "metrics_overview",
+    "privacy_audit": "metrics_overview",
     "ann_topk_bruteforce": "ann_topk",
     "ann_topk_lsh": "ann_topk",
     "ann_topk_ivf": "ann_topk",
