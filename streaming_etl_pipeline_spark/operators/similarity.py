@@ -425,3 +425,79 @@ def quantize_embeddings_sql(
                    list_max(list_transform({e}, x -> abs(x))) / 127.0 AS scale
             FROM {table}))
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Semantic deduplication in embedding space (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): partition the corpus with a
+    coarse k-means quantizer, search for cosine-near-duplicate pairs ONLY
+    inside each cell, resolve the pairs' transitive closure, and keep one
+    representative (the min id) per semantic-duplicate group.
+
+    This is the embedding-side sibling of the text near-dedup family
+    (MinHash/SimHash/Jaccard in ``operators/dedup.py``): it catches
+    paraphrases and re-encodings that share no n-grams but embed to
+    (nearly) the same point. The reference engine has no analogue; its
+    dedup is ranked keep-latest (``src/transformations/
+    bronze_to_silver.py:44-56``).
+
+    Returns one row PER INPUT VECTOR:
+    ``(id, centroid_id, canonical_id, cluster_size, keep)`` — rows with
+    ``keep = false`` are the deletion candidates.
+
+    Scale shape (the reason cells exist at all): the pair search is
+    all-pairs WITHIN a cell, never across the corpus —
+    O(Σ|cell|²) instead of O(n²). The quantizer's k is the knob that
+    bounds cell size (SemDeDup used 50k clusters for LAION-scale); train
+    it with ``operators/clustering.kmeans_fit`` on a sample. Assignment
+    itself is the shuffle-free literal-centroid projection
+    (:func:`ivf_assign`), the pair join shuffles once on cell id, and the
+    transitive closure runs over the (tiny) pair list only
+    (``operators/components.connected_components``) — the corpus is never
+    re-shuffled after pair generation.
+    """
+    from streaming_etl_pipeline_spark.operators.components import dedup_clusters
+
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()  # referenced 3× (both pair sides + final join)
+    sim = F.round(
+        cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 9
+    )
+    pairs = (
+        assigned.alias("l")
+        .join(
+            assigned.alias("r"),
+            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    clusters = dedup_clusters(pairs, max_iter=max_iter).withColumnRenamed(
+        "doc_id", id_col
+    )
+    canonical = F.coalesce("canonical_id", F.col(id_col))
+    return assigned.join(clusters, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        canonical.alias("canonical_id"),
+        F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
+        (canonical == F.col(id_col)).alias("keep"),
+    )

@@ -811,3 +811,88 @@ def q_hashed_features_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — no vocabulary table, the hash IS the vocabulary."""
     docs = read_table(spark, sf_dir, "documents")
     return TX.hashed_feature_profile(docs, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cell-scoped embedding near-dup closure)
+# ---------------------------------------------------------------------------
+
+_SD_PAIR_COS = (
+    "round(list_dot_product(l.e, r.e) / "
+    "(sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e))), 9)"
+)
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS MATERIALIZED (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(range(1, len(e) + 1),
+             i -> CASE WHEN i = 1 THEN e[i] + 0.001 ELSE e[i] END)
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    cent AS (SELECT vec_id AS centroid_id, e AS c FROM base WHERE vec_id < 16),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_COS} DESC, cent.centroid_id)
+                 AS rn
+        FROM v CROSS JOIN cent) WHERE rn = 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM assigned l JOIN assigned r
+        ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+      WHERE {_SD_PAIR_COS} >= 0.99
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS w FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lab FROM reach r JOIN edges e ON e.w = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+    ccs AS (SELECT node, comp,
+                   count(*) OVER (PARTITION BY comp) AS cluster_size
+            FROM cc)
+    SELECT a.vec_id, a.centroid_id,
+           COALESCE(ccs.comp, a.vec_id) AS canonical_id,
+           COALESCE(ccs.cluster_size, 1) AS cluster_size,
+           COALESCE(ccs.comp, a.vec_id) = a.vec_id AS keep
+    FROM assigned a LEFT JOIN ccs ON ccs.node = a.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table (operators/similarity.py
+    ``semantic_dedup``): 16 deterministic literal centroids partition the
+    space (same quantizer as ``ann_topk_ivf``); cosine ≥ 0.99 pairs are
+    searched cell-locally; the recursive-CTE oracle replays the
+    min-label transitive closure exactly. Injected perturbed twins
+    (every 10th vector, +0.001 on one component) are the ground-truth
+    semantic duplicates the synthetic corpus lacks."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("e")),
+            lambda i: F.when(i == 1, F.element_at(F.col("e"), i) + 0.001).otherwise(
+                F.element_at(F.col("e"), i)
+            ),
+        ).alias("e"),
+    )
+    centroids = base.filter(F.col("vec_id") < 16)
+    return SIM.semantic_dedup(
+        base.unionByName(twins), centroids, threshold=0.99, vec_col="e"
+    )

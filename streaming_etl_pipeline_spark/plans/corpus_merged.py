@@ -722,10 +722,11 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# neardup_pairs = embedding_neardup ∪ fuzzy_name_pairs
-# (labelled common shape — near-duplicate pair detection across
-#  modalities: LSH-bucketed embedding cosine + symmetric-delete string
-#  edit distance)
+# neardup_pairs = embedding_neardup ∪ fuzzy_name_pairs ∪ semantic_dedup
+# (labelled common shape — near-duplicate detection across modalities:
+#  LSH-bucketed embedding cosine + symmetric-delete string edit distance
+#  + SemDeDup cell-scoped closure; the semdedup arm maps every vector to
+#  its canonical representative, so (id_a == id_b) ⇔ keep)
 # ---------------------------------------------------------------------------
 
 
@@ -737,12 +738,17 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'name_edit1' AS method, id_a, id_b, CAST(distance AS DOUBLE) AS score
     FROM ({_sql("fuzzy_name_pairs")})
+    UNION ALL
+    SELECT 'semdedup' AS method, vec_id AS id_a, canonical_id AS id_b,
+           CAST(cluster_size AS DOUBLE) AS score
+    FROM ({_sql("semantic_dedup")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pair detection across modalities in one labelled
-    driver row: LSH-bucketed embedding cosine pairs + exact-recall
-    edit-distance-1 name pairs (operators/fuzzy.py)."""
+    """Near-duplicate detection across modalities in one labelled
+    driver row: LSH-bucketed embedding cosine pairs, exact-recall
+    edit-distance-1 name pairs (operators/fuzzy.py), and the SemDeDup
+    vector→canonical mapping (operators/similarity.semantic_dedup)."""
     emb = _run("embedding_neardup", spark, sf_dir).select(
         F.lit("embedding_cosine").alias("method"),
         "id_a", "id_b",
@@ -753,7 +759,13 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.col("distance").cast("double").alias("score"),
     )
-    return emb.unionByName(fz)
+    sd = _run("semantic_dedup", spark, sf_dir).select(
+        F.lit("semdedup").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.col("canonical_id").alias("id_b"),
+        F.col("cluster_size").cast("double").alias("score"),
+    )
+    return emb.unionByName(fz).unionByName(sd)
 
 
 # ---------------------------------------------------------------------------
@@ -1137,6 +1149,7 @@ COVERED_BY: dict[str, str] = {
     "decontamination": "training_assembly",
     "embedding_neardup": "neardup_pairs",
     "fuzzy_name_pairs": "neardup_pairs",
+    "semantic_dedup": "neardup_pairs",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "dedup_clusters": "corpus_curation",

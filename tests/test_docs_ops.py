@@ -341,6 +341,32 @@ def test_ivf_assign_nearest_centroid(spark):
     assert out[12] == 1
 
 
+def test_semantic_dedup_cell_scoped_closure(spark):
+    """SemDeDup: near-identical vectors collapse to the min-id canonical
+    via transitive closure; distinct vectors keep; every input row comes
+    back exactly once with a consistent cluster_size."""
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),    # centroid A == dup of 10
+            Row(vec_id=1, embedding=[0.0, 1.0]),    # centroid B == dup of 20
+            Row(vec_id=10, embedding=[1.0, 0.0]),
+            Row(vec_id=11, embedding=[1.0, 0.001]), # chain: ~10, ~12
+            Row(vec_id=12, embedding=[1.0, 0.002]),
+            Row(vec_id=20, embedding=[0.0, 1.0]),
+            Row(vec_id=30, embedding=[0.6, 0.8]),   # cell B, cos 0.8 → keep
+        ]
+    )
+    cents = vecs.filter("vec_id < 2")
+    out = {r.vec_id: r for r in SIM.semantic_dedup(vecs, cents).collect()}
+    assert len(out) == 7  # one row per input vector
+    for vid in (0, 10, 11, 12):
+        assert out[vid].canonical_id == 0 and out[vid].cluster_size == 4
+    for vid in (1, 20):
+        assert out[vid].canonical_id == 1 and out[vid].cluster_size == 2
+    assert out[30].canonical_id == 30 and out[30].cluster_size == 1
+    assert {v for v, r in out.items() if r.keep} == {0, 1, 30}
+
+
 def test_ivf_ann_probes_own_cell(spark, sf_dir):
     from streaming_etl_pipeline_spark.sources import read_table
 
