@@ -592,3 +592,88 @@ def hamming_close_pairs(
     return pairs.select(
         *cols, hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (chunk-fingerprint) dedup
+# ---------------------------------------------------------------------------
+
+
+def chunk_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Rolling fixed-width character chunks of the normalized text, each
+    fingerprinted with md5 → one row per (doc, position).
+
+    Distributed stand-in for suffix-array exact-substring dedup (the
+    "Deduplicating Training Data Makes Language Models Better" recipe):
+    a duplicated span of ≥ ``width + stride`` characters between two
+    documents is guaranteed to contain at least one *aligned* shared
+    chunk only when the span starts at the same phase, so overlapping
+    strides (``stride < width``) are used to make phase alignment
+    probable; exactness is at chunk granularity, not arbitrary-substring
+    granularity — the scale-correct trade.
+
+    Scale: chunk generation is a per-row explode (~len/stride rows per
+    doc, no shuffle) that pipelines into the scan; the fingerprint is
+    md5 so the downstream groupBy/window key is uniform — no skew.
+
+    Documents shorter than ``width`` normalized chars yield no chunks
+    (they are handled by whole-document exact dedup instead).
+    """
+    s = df.select(F.col(id_col), norm_text(text_col).alias("_n"))
+    s = s.filter(F.length("_n") >= width)
+    n_pos = ((F.length("_n") - width) / stride).cast("int")
+    return s.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_pos)).alias("pos"),
+        F.col("_n"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(
+            F.expr(f"substring(_n, pos * {stride} + 1, {width})")
+        ).alias("chunk_hash"),
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Per-document duplicated-span profile: of a doc's rolling chunks,
+    how many also occur in at least one *other* document.
+
+    A chunk instance is "shared" iff its fingerprint appears under more
+    than one distinct document — detected with min/max over a window
+    partitioned by the fingerprint (``min(doc) != max(doc)``), which
+    costs ONE shuffle on the md5-uniform hash and avoids the
+    groupBy-then-self-join double shuffle. The per-doc rollup is the
+    second (unavoidable) shuffle. No join, no skew.
+
+    Returns ``(id, n_chunks, shared_chunks, dup_frac)``.
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_fingerprints(df, id_col, text_col, width, stride)
+    w = Window.partitionBy("chunk_hash")
+    flagged = chunks.select(
+        id_col,
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_shared"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_shared").cast("int")).alias("shared_chunks"),
+    ).select(
+        id_col,
+        "n_chunks",
+        "shared_chunks",
+        F.round(F.col("shared_chunks") / F.col("n_chunks"), 6).alias("dup_frac"),
+    )

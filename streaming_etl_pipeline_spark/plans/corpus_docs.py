@@ -896,3 +896,54 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(
         base.unionByName(twins), centroids, threshold=0.99, vec_col="e"
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (chunk-fingerprint) dedup — Lee-et-al-style exact
+# duplicated-span detection at chunk granularity
+# ---------------------------------------------------------------------------
+
+_SUB_W, _SUB_S = 64, 32
+
+_SUB_NORM = TX.norm_text_sql("text")
+
+_SUBSTRING_DUPES_SQL = f"""
+    WITH src AS ({_DOCS_WITH_DUPS_SQL}),
+         nb AS (SELECT doc_id, {_SUB_NORM} AS n FROM src),
+         base AS (SELECT doc_id, n FROM nb WHERE length(n) >= {_SUB_W}),
+         pos AS (SELECT doc_id, n,
+                        unnest(range(0, ((length(n) - {_SUB_W}) // {_SUB_S}) + 1)) AS p
+                 FROM base),
+         chunks AS (SELECT doc_id,
+                           md5(substr(n, CAST(p * {_SUB_S} + 1 AS INT), {_SUB_W})) AS h
+                    FROM pos),
+         flagged AS (SELECT doc_id,
+                            (min(doc_id) OVER (PARTITION BY h)
+                             <> max(doc_id) OVER (PARTITION BY h)) AS shared
+                     FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+           round(sum(CASE WHEN shared THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+    FROM flagged GROUP BY doc_id
+"""
+
+
+@register("substring_dupes", _SUBSTRING_DUPES_SQL)
+def q_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile (operators/dedup.py
+    ``substring_dup_stats``): rolling 64-char chunks at stride 32 over
+    normalized text, md5-fingerprinted; a chunk instance counts as
+    shared iff its hash occurs under more than one document (min≠max
+    over the hash window — one shuffle, no self-join). The injected
+    every-10th-doc twins guarantee real cross-document spans.
+
+    This is the distributed stand-in for suffix-array substring dedup
+    ("Deduplicating Training Data Makes LMs Better"): chunk-granular
+    rather than arbitrary-offset, which is the trade that scales —
+    generation is a 0-shuffle explode, and both shuffles (hash window,
+    per-doc rollup) are on uniform keys.
+    """
+    return DD.substring_dup_stats(
+        _docs_with_dups(spark, sf_dir), width=_SUB_W, stride=_SUB_S
+    )

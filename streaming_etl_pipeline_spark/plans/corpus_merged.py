@@ -564,31 +564,44 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH b AS ({_sql("boilerplate_chunks")}),
          g AS ({_sql("gopher_quality")}),
-         c AS ({_sql("dedup_clusters")})
+         c AS ({_sql("dedup_clusters")}),
+         s AS ({_sql("substring_dupes")})
     SELECT b.doc_id, b.n_chunks, b.n_kept, b.n_removed, b.clean_md5,
            g.n_words, g.mean_word_len, g.stop_hits, g.keep,
-           c.canonical_id, c.cluster_size
+           c.canonical_id, c.cluster_size,
+           s.n_chunks AS sub_chunks, s.shared_chunks AS sub_shared,
+           s.dup_frac AS sub_dup_frac
     FROM b LEFT JOIN g ON b.doc_id = g.doc_id
            LEFT JOIN c ON b.doc_id = c.doc_id
+           LEFT JOIN s ON b.doc_id = s.doc_id
     """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-3 curation surface in one doc-grain result: boilerplate
     removal counts + Gopher quality flags + near-dup cluster canonical
-    ids. LEFT joins: synthetic twins have no gopher row (plain-corpus
-    scope), unpaired docs no cluster row."""
+    ids + substring-level duplicated-span profile. LEFT joins: synthetic
+    twins have no gopher row (plain-corpus scope), unpaired docs no
+    cluster row, sub-64-char docs no chunk row."""
     b = _run("boilerplate_chunks", spark, sf_dir)
     g = _run("gopher_quality", spark, sf_dir).select(
         "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
     )
     c = _run("dedup_clusters", spark, sf_dir)
+    s = _run("substring_dupes", spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chunks").alias("sub_chunks"),
+        F.col("shared_chunks").alias("sub_shared"),
+        F.col("dup_frac").alias("sub_dup_frac"),
+    )
     return (
         b.join(g, "doc_id", "left")
         .join(c, "doc_id", "left")
+        .join(s, "doc_id", "left")
         .select(
             "doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5",
             "n_words", "mean_word_len", "stop_hits", "keep",
             "canonical_id", "cluster_size",
+            "sub_chunks", "sub_shared", "sub_dup_frac",
         )
     )
 
@@ -1155,6 +1168,7 @@ COVERED_BY: dict[str, str] = {
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
+    "substring_dupes": "corpus_curation",
     "distinct_users_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
     "json_extract_stats": "parse_profile",

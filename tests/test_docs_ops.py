@@ -799,3 +799,34 @@ def test_count_min_upper_bound_and_merge(spark):
     whole = {(r.seed, r.cell): r.cnt for r in cms.collect()}
     got = {(r.seed, r.cell): r.cnt for r in merged.collect()}
     assert got == whole
+
+
+def test_substring_dup_stats_shared_spans(spark):
+    # A and B share a long identical prefix (> width+stride chars); C is
+    # unrelated; D is shorter than one chunk width and must be excluded.
+    span = "the shared boilerplate disclaimer text that appears verbatim " * 4
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span + "tail one unique to document number one"),
+            Row(doc_id=2, text=span + "completely different ending for two"),
+            Row(doc_id=3, text="standalone content with no duplicated spans "
+                               "anywhere in the corpus at all, long enough "
+                               "to produce several chunks of its own text"),
+            Row(doc_id=4, text="too short"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in DD.substring_dup_stats(df, width=64, stride=32).collect()
+    }
+    assert 4 not in out  # below one chunk width -> no rows
+    assert out[1]["shared_chunks"] > 0 and out[2]["shared_chunks"] > 0
+    assert out[3]["shared_chunks"] == 0 and out[3]["dup_frac"] == 0.0
+    # chunks are aligned to the same phase in both docs, so every chunk
+    # fully inside the shared prefix is flagged in each
+    assert out[1]["dup_frac"] > 0.5
+    # n_chunks = floor((len-64)/32)+1 over normalized text
+    import math as m
+
+    norm_len = len(" ".join(span.split()) + " tail one unique to document number one")
+    assert out[1]["n_chunks"] == m.floor((norm_len - 64) / 32) + 1
