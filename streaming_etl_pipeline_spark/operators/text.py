@@ -474,3 +474,107 @@ def hashed_feature_profile(
         F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt"))), 6).alias("l2_norm"),
         F.md5(F.array_join(pairs, ",")).alias("feature_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language-model quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def charlm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document LM typicality score from a char-trigram model trained
+    on the corpus itself — the zero-dependency analog of CCNet's KenLM
+    perplexity filter: documents whose character statistics diverge from
+    the corpus (mojibake, binary spill, boilerplate codes) score low.
+
+    Model: MLE trigram probability p(t) = count(t) / count(prefix2(t))
+    over normalized text. Score: count-weighted mean of p over the doc's
+    trigrams (higher = more corpus-typical). No log: probabilities are
+    kept as round(c3/c2, 9) DECIMAL(12,9) and summed in decimal so the
+    accumulation is order-independent and the DuckDB oracle reproduces
+    it bit-for-bit (IEEE division + a fixed round are engine-portable;
+    ``ln`` is not guaranteed correctly rounded everywhere).
+
+    Scale (100 TB): the trigram explode is map-side-combined into
+    per-(doc, trigram) counts before any network hop; the model tables
+    are vocabulary-bounded (≤ charset³ rows) so the scoring join is a
+    broadcast; the only data-sized shuffles are keyed by (doc, trigram)
+    and doc — uniform, no skew. The per-(doc,trigram) table is persisted
+    once and feeds model training AND scoring, so the text is exploded
+    exactly once.
+    """
+    from pyspark import StorageLevel
+
+    s = df.select(id_col, norm_text(text_col).alias("_n")).filter(
+        F.length("_n") >= 3
+    )
+    tri = s.select(
+        id_col,
+        F.explode(
+            F.expr("transform(sequence(1, length(_n) - 2), p -> substring(_n, p, 3))")
+        ).alias("t"),
+    )
+    doc_tri = (
+        tri.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    model3 = doc_tri.groupBy("t").agg(F.sum("c").alias("c3"))
+    model2 = doc_tri.groupBy(F.substring("t", 1, 2).alias("b")).agg(
+        F.sum("c").alias("c2")
+    )
+    probs = (
+        model3.join(model2, F.substring(model3["t"], 1, 2) == model2["b"])
+        .select(
+            "t",
+            F.round(F.col("c3") * 1.0 / F.col("c2"), 9)
+            .cast("decimal(12,9)")
+            .alias("p"),
+        )
+    )
+    scored = (
+        doc_tri.join(F.broadcast(probs), "t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.sum(F.col("c") * F.col("p")).alias("_sp"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_trigrams",
+        F.round(
+            F.col("_sp").cast("double") / F.col("n_trigrams").cast("double"), 6
+        ).alias("avg_tri_p"),
+    )
+
+
+def charlm_scores_sql(docs_sql: str, id_sql: str = "doc_id") -> str:
+    """DuckDB twin of :func:`charlm_scores` over ``docs_sql`` (a relation
+    with ``doc_id`` and ``text`` columns)."""
+    norm = norm_text_sql("text")
+    return f"""
+    WITH nb AS (SELECT {id_sql}, {norm} AS n FROM {docs_sql}),
+         base AS (SELECT {id_sql}, n FROM nb WHERE length(n) >= 3),
+         pos AS (SELECT {id_sql}, n,
+                        unnest(range(1, length(n) - 1)) AS p
+                 FROM base),
+         tri AS (SELECT {id_sql}, substr(n, CAST(p AS INT), 3) AS t FROM pos),
+         doc_tri AS (SELECT {id_sql}, t, count(*) AS c
+                     FROM tri GROUP BY {id_sql}, t),
+         model3 AS (SELECT t, CAST(sum(c) AS BIGINT) AS c3
+                    FROM doc_tri GROUP BY t),
+         model2 AS (SELECT substr(t, 1, 2) AS b, CAST(sum(c) AS BIGINT) AS c2
+                    FROM doc_tri GROUP BY substr(t, 1, 2)),
+         probs AS (SELECT t,
+                          CAST(round(c3 * 1.0 / c2, 9) AS DECIMAL(12,9)) AS p
+                   FROM model3 JOIN model2 ON substr(model3.t, 1, 2) = model2.b),
+         scored AS (SELECT {id_sql}, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                           sum(c * p) AS sp
+                    FROM doc_tri JOIN probs USING (t) GROUP BY {id_sql})
+    SELECT {id_sql}, n_trigrams,
+           round(CAST(sp AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS avg_tri_p
+    FROM scored
+    """

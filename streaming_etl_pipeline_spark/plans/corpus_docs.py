@@ -947,3 +947,19 @@ def q_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.substring_dup_stats(
         _docs_with_dups(spark, sf_dir), width=_SUB_W, stride=_SUB_S
     )
+
+
+# ---------------------------------------------------------------------------
+# Char-trigram LM quality scoring (CCNet-analog, self-trained model)
+# ---------------------------------------------------------------------------
+
+
+@register("charlm_quality", TX.charlm_scores_sql("documents"))
+def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-typicality score from a self-trained char
+    trigram model (operators/text.py ``charlm_scores``): the
+    KenLM-perplexity-filter analog with zero external deps. Decimal
+    probability accumulation keeps the score order-independent so the
+    DuckDB twin hash-matches exactly."""
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TX.charlm_scores(docs)

@@ -55,25 +55,29 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ts AS ({_sql("text_stats")}),
          li AS ({_sql("language_id")}),
          fp AS ({_sql("doc_fingerprint")}),
-         hf AS ({_sql("hashed_features_profile")})
+         hf AS ({_sql("hashed_features_profile")}),
+         lm AS ({_sql("charlm_quality")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
            fp.n_shingles,
-           hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5
+           hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5,
+           lm.n_trigrams, lm.avg_tri_p
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
-            JOIN hf USING (doc_id)
+            JOIN hf USING (doc_id) JOIN lm USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: token/quality stats + language ID +
-    content fingerprint in one row per doc — the full text-analysis
-    surface driver-gated as a single 500-row hash."""
+    content fingerprint + char-trigram LM typicality in one row per doc
+    — the full text-analysis surface driver-gated as a single 500-row
+    hash."""
     return (
         _run("text_stats", spark, sf_dir)
         .join(_run("language_id", spark, sf_dir), "doc_id")
         .join(_run("doc_fingerprint", spark, sf_dir), "doc_id")
         .join(_run("hashed_features_profile", spark, sf_dir), "doc_id")
+        .join(_run("charlm_quality", spark, sf_dir), "doc_id")
     )
 
 
@@ -1169,6 +1173,7 @@ COVERED_BY: dict[str, str] = {
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
     "substring_dupes": "corpus_curation",
+    "charlm_quality": "text_profile",
     "distinct_users_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
     "json_extract_stats": "parse_profile",

@@ -830,3 +830,16 @@ def test_substring_dup_stats_shared_spans(spark):
 
     norm_len = len(" ".join(span.split()) + " tail one unique to document number one")
     assert out[1]["n_chunks"] == m.floor((norm_len - 64) / 32) + 1
+
+
+def test_charlm_scores_rank_typical_text_higher(spark):
+    corpus = [
+        Row(doc_id=i, text=f"the quick brown fox number {i} jumps over the lazy dog")
+        for i in range(20)
+    ]
+    corpus.append(Row(doc_id=99, text="zq xv jj qq kk zz ww vv xx yy zx qv jx"))
+    out = {r["doc_id"]: r["avg_tri_p"] for r in TX.charlm_scores(
+        spark.createDataFrame(corpus)).collect()}
+    typical = sum(out[i] for i in range(20)) / 20
+    assert out[99] < typical  # mojibake-ish doc diverges from corpus stats
+    assert 0.0 < out[99] < 1.0 and 0.0 < typical <= 1.0
