@@ -348,3 +348,91 @@ def cluster_safe_splits(
         .drop("_canon")
     )
     return assign_splits(out, key_col="_split_key", train=train, val=val, seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into fixed token blocks)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    group_col: str = "source",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a
+    deterministic pseudo-random order and split the token stream into
+    fixed ``budget``-token training blocks; report each document's block
+    span.
+
+    Order within a group is ``md5(id)`` — a reproducible shuffle, so
+    packing is stable across runs and engines without a random seed.
+    Each doc occupies token span ``[offset, offset + n)``; it crosses a
+    block boundary iff ``floor(offset/budget) != floor((offset+n-1)/
+    budget)`` (the fraction of crossers is the attention-contamination
+    cost of packing without document masking).
+
+    Scale: the running offset is a window cumsum PARTITIONED BY
+    ``group_col`` — one shuffle, parallel across groups. A single global
+    packing order would serialize into one window task; at 100 TB use
+    per-group packing (sources, shards) or the two-pass
+    partition-offset composition, which this per-group form already is
+    once the group key is a shard id.
+
+    Zero-token documents (empty after normalization) are kept with a
+    zero-width span and never counted as boundary crossers.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.col(tokens_col).cast("long")
+    off = F.sum(tokens_col).over(w).cast("long") - n
+    out = df.select(
+        id_col,
+        group_col,
+        n.alias("n_tok"),
+        off.alias("start_offset"),
+        F.floor(off / budget).cast("long").alias("block_first"),
+        F.floor((off + F.greatest(n, F.lit(1)) - 1) / budget)
+        .cast("long")
+        .alias("block_last"),
+    )
+    return out.withColumn(
+        "crosses",
+        (F.col("block_first") != F.col("block_last")) & (F.col("n_tok") > 0),
+    )
+
+
+def pack_sequences_sql(
+    docs_sql: str,
+    id_sql: str = "doc_id",
+    tokens_sql: str = "n_tokens",
+    budget: int = 2048,
+    group_sql: str = "source",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (integer floor-division
+    ``//`` mirrors ``F.floor`` on the same nonnegative longs)."""
+    return f"""
+    SELECT {id_sql}, {group_sql}, n_tok, start_offset,
+           start_offset // {budget} AS block_first,
+           (start_offset + greatest(n_tok, 1) - 1) // {budget} AS block_last,
+           (start_offset // {budget}
+            <> (start_offset + greatest(n_tok, 1) - 1) // {budget})
+           AND n_tok > 0 AS crosses
+    FROM (
+      SELECT {id_sql}, {group_sql},
+             CAST({tokens_sql} AS BIGINT) AS n_tok,
+             CAST(sum({tokens_sql}) OVER (
+                    PARTITION BY {group_sql}
+                    ORDER BY md5(CAST({id_sql} AS VARCHAR)), {id_sql}
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - CAST({tokens_sql} AS BIGINT) AS start_offset
+      FROM {docs_sql}
+    )
+    """

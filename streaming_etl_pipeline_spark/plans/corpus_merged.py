@@ -665,7 +665,8 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   md5(string_agg(chunk_md5, ' ' ORDER BY chunk_id)) AS chunks_md5
            FROM chunks GROUP BY doc_id),
          pii AS ({_sql("pii_redaction")}),
-         dc AS ({_sql("decontamination")})
+         dc AS ({_sql("decontamination")}),
+         pk AS ({_sql("sequence_packing")})
     SELECT d.doc_id,
            {assign_splits_sql("d.doc_id")} AS split,
            ch.n_chunks, ch.chunk_tokens, ch.chunks_md5,
@@ -675,11 +676,14 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(dc.n_shingles, 0) AS n_shingles,
            coalesce(dc.n_contaminated, 0) AS n_contaminated,
            coalesce(dc.contamination_rate, 0.0) AS contamination_rate,
-           coalesce(dc.flagged, FALSE) AS flagged
+           coalesce(dc.flagged, FALSE) AS flagged,
+           pk.n_tok AS pack_tokens, pk.start_offset AS pack_offset,
+           pk.block_first AS pack_block, pk.crosses AS pack_crosses
     FROM documents d
          JOIN ch USING (doc_id)
          JOIN pii USING (doc_id)
          LEFT JOIN dc USING (doc_id)
+         JOIN pk USING (doc_id)
     """,
 )
 def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,10 +722,18 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = CU.assign_splits(
         read_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
+    pk = _run("sequence_packing", spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tok").alias("pack_tokens"),
+        F.col("start_offset").alias("pack_offset"),
+        F.col("block_first").alias("pack_block"),
+        F.col("crosses").alias("pack_crosses"),
+    )
     return (
         docs.join(ch, "doc_id")
         .join(pii, "doc_id")
         .join(dc, "doc_id", "left")
+        .join(pk, "doc_id")
         .select(
             "doc_id", "split", "n_chunks", "chunk_tokens", "chunks_md5",
             "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_md5",
@@ -734,6 +746,7 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contamination_rate"
             ),
             F.coalesce("flagged", F.lit(False)).alias("flagged"),
+            "pack_tokens", "pack_offset", "pack_block", "pack_crosses",
         )
     )
 
@@ -1174,6 +1187,7 @@ COVERED_BY: dict[str, str] = {
     "gopher_quality": "corpus_curation",
     "substring_dupes": "corpus_curation",
     "charlm_quality": "text_profile",
+    "sequence_packing": "training_assembly",
     "distinct_users_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
     "json_extract_stats": "parse_profile",

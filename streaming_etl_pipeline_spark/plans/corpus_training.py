@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from streaming_etl_pipeline_spark.operators import curation as CU
 from streaming_etl_pipeline_spark.operators import fuzzy as FZ
+from streaming_etl_pipeline_spark.operators import text as TX
 from streaming_etl_pipeline_spark.quality import drift as DR
 from streaming_etl_pipeline_spark.plans.corpus import register
 from streaming_etl_pipeline_spark.sources import read_table, spread
@@ -259,3 +260,37 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("scaled_1_5x").alias("snapshot"), "psi", "n_ref", "n_cur", "drifted"
     )
     return same.unionByName(moved)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into 2048-token blocks, per source)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+_PACK_DOCS_SQL = (
+    f"(SELECT doc_id, source, len({TX.bpe_tokens_sql('text')}) AS n_tokens "
+    "FROM documents)"
+)
+
+
+@register(
+    "sequence_packing",
+    CU.pack_sequences_sql(
+        _PACK_DOCS_SQL, budget=_PACK_BUDGET
+    ),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing assignment (operators/curation.py
+    ``pack_sequences``): BPE-ish token counts, md5-shuffled concat order
+    within each source, 2048-token training blocks. ``crosses`` marks
+    documents split across a block boundary — the cost of packing
+    without document attention masking."""
+    from streaming_etl_pipeline_spark.operators.text import bpe_tokens
+
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select(
+        "doc_id", "source", F.size(bpe_tokens("text")).alias("n_tokens")
+    )
+    return CU.pack_sequences(docs, budget=_PACK_BUDGET)

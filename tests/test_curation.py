@@ -271,3 +271,38 @@ def test_cluster_safe_splits_keeps_neardups_together(spark):
         spark.createDataFrame([Row(doc_id=10_001)]), clusters
     ).collect()
     assert loners[0]._split_key == 10_001
+
+
+def test_pack_sequences_block_spans_and_crossers(spark):
+    from pyspark.sql import Row
+    from streaming_etl_pipeline_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", n_tokens=t) for i, t in
+         enumerate([500, 700, 900, 30, 0, 2048, 10])]
+        + [Row(doc_id=100, source="b", n_tokens=64)]
+    )
+    out = pack_sequences(docs, budget=1000).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # offsets within a group tile the token stream exactly: sorted spans
+    # are contiguous from 0
+    a = sorted((r for r in out if r["source"] == "a"),
+               key=lambda r: r["start_offset"])
+    assert a[0]["start_offset"] == 0
+    for prev, cur in zip(a, a[1:]):
+        assert cur["start_offset"] == prev["start_offset"] + prev["n_tok"]
+    # block span arithmetic
+    for r in out:
+        assert r["block_first"] == r["start_offset"] // 1000
+        if r["n_tok"] > 0:
+            assert r["block_last"] == (r["start_offset"] + r["n_tok"] - 1) // 1000
+            assert r["crosses"] == (r["block_first"] != r["block_last"])
+        else:
+            assert not r["crosses"]  # zero-width doc never crosses
+    # group b packs independently from offset 0
+    assert by_id[100]["start_offset"] == 0
+    # deterministic: same input -> same assignment
+    again = {r["doc_id"]: r for r in pack_sequences(docs, budget=1000).collect()}
+    assert {k: tuple(v) for k, v in by_id.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
