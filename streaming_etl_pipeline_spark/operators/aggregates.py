@@ -77,11 +77,18 @@ def windowed_stats(
         F.count(v).alias("reading_count"),
         std_c.alias("stddev_value"),
     ]
-    for p in percentiles:
-        pc = pct_fn(v, F.lit(p))
+    # One shared percentile accumulator for all requested quantiles (the
+    # array form sorts/sketches the group once, vs once per quantile —
+    # the dominant agg cost in the 5-min/hourly gold shapes).
+    if len(percentiles) > 1:
+        aggs.append(
+            pct_fn(v, F.array(*[F.lit(p) for p in percentiles])).alias("_pcts")
+        )
+    elif percentiles:
+        pc = pct_fn(v, F.lit(percentiles[0]))
         if oracle_safe:
             pc = F.round(pc, 4)
-        aggs.append(pc.alias(f"p{int(p * 100)}_value"))
+        aggs.append(pc.alias(f"p{int(percentiles[0] * 100)}_value"))
     if distinct_count_col:
         aggs.append(
             F.countDistinct(distinct_count_col).alias(
@@ -99,6 +106,13 @@ def windowed_stats(
             ),
         )
     )
+    if len(percentiles) > 1:
+        for i, p in enumerate(percentiles):
+            pc = F.element_at("_pcts", i + 1)
+            if oracle_safe:
+                pc = F.round(pc, 4)
+            out = out.withColumn(f"p{int(p * 100)}_value", pc)
+        out = out.drop("_pcts")
     if expected_per_window:
         # sensor_health_pct — silver_to_gold.py:69-75 (300 expected / 5 min).
         out = out.withColumn(

@@ -342,3 +342,45 @@ def write_bloom_indexed(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines corpus source with a declared schema (never
+    ``inferSchema`` — at 100 TB a schema-inference pass is a full extra
+    read of the lake, and silent type drift between files corrupts
+    downstream casts).
+
+    Rows that fail to parse surface as all-null rows in PERMISSIVE mode;
+    pair with a ``_corrupt_record`` column in the schema to route them to
+    a dead-letter sink (same pattern as the streaming JSON split,
+    ``streaming/ingest.py``). JSONL splits by newline, so a single large
+    file still parallelizes across executors — unlike multiline JSON,
+    which is one task per file (``multiline=True`` exists for legacy
+    dumps; avoid it for anything large).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true" if multiline else "false")
+        .json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """JSON-lines sink — the interchange format most tokenizer/training
+    stacks consume. Gzip by default: JSONL is 3-10× more verbose than
+    parquet, and the write is line-splittable only uncompressed — at
+    scale prefer zstd/gzip per-file compression and many files (one per
+    task) over fewer huge ones so the *consumer* parallelizes by file.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

@@ -464,3 +464,29 @@ def test_apply_scd2_incremental_equals_full_rebuild(spark):
     # replaying day 2 over the result converges
     again = apply_scd2(inc, log(day2), key="k", attrs=("a",), ts_col="ts")
     assert canon(again) == canon(inc)
+
+
+def test_jsonl_roundtrip_with_declared_schema(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from streaming_etl_pipeline_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "beta", "es"), (3, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(df, path, partition_by=["lang"], compression="gzip")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ])
+    back = read_jsonl(spark, path, schema)
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == [
+        (1, "alpha", "en"), (2, "beta", "es"), (3, None, "en"),
+    ]
+    # declared schema: no inference pass, stable types
+    assert dict(back.dtypes) == {"doc_id": "bigint", "text": "string",
+                                 "lang": "string"}
