@@ -5,7 +5,9 @@ of the reference's medallion batch flow (``bronze_to_silver`` /
     raw documents
       → quality filter (Gopher rules)            operators/text.py
       → exact dedup (md5 keep-first)             operators/dedup.py
+      → LM typicality tail cut (optional)        operators/text.py charlm
       → near dedup (MinHash→LSH→components)      dedup.py + components.py
+      → duplicated-span cap (optional)           dedup.py substring_dup_stats
       → benchmark decontamination (optional)     operators/curation.py
       → PII redaction (carried text)             operators/curation.py
       → train/val/test split                     operators/curation.py
@@ -49,6 +51,8 @@ def curate_corpus(
     lsh_threshold: float = 0.6,
     contamination_threshold: float = 0.10,
     split_safety_threshold: float | None = None,
+    charlm_drop_frac: float | None = None,
+    substring_dup_max: float | None = None,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -64,6 +68,17 @@ def curate_corpus(
     threshold and split by CLUSTER id (``curation.cluster_safe_splits``)
     so they land in the same train/val/test partition. Reuses the
     signatures already built for dedup — no extra shingle/minhash pass.
+
+    ``charlm_drop_frac`` (optional) enables the CCNet-style LM gate:
+    a char-trigram model is trained on the post-exact-dedup survivors
+    and the least-typical fraction of documents (bottom quantile of
+    ``avg_tri_p`` — mojibake, binary spill, codes) is dropped. The
+    quantile cut is one ``approxQuantile`` sketch probe, not a collect.
+
+    ``substring_dup_max`` (optional) caps cross-document duplicated
+    spans: documents whose 64-char chunk-fingerprint ``dup_frac``
+    exceeds the threshold (templated/boilerplate-heavy docs that
+    survived whole-document near-dedup) are dropped.
     """
     from pyspark import StorageLevel
 
@@ -91,6 +106,20 @@ def curate_corpus(
     )
     metrics["after_exact_dedup"] = float(kept.count())
 
+    # 2b. LM typicality tail cut (optional) — train on the survivors,
+    #     drop the bottom quantile. Trained AFTER exact dedup so mass
+    #     duplication can't drag the model toward its own boilerplate.
+    if charlm_drop_frac is not None and charlm_drop_frac > 0:
+        scores = TX.charlm_scores(kept, id_col, text_col)
+        cut = scores.approxQuantile("avg_tri_p", [charlm_drop_frac], 0.001)[0]
+        low = scores.filter(F.col("avg_tri_p") < cut).select(id_col)
+        gated = kept.join(low, id_col, "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        metrics["after_charlm"] = float(gated.count())
+        kept.unpersist()
+        kept = gated
+
     # 3. Near dedup — signatures (linear) → LSH band join → verified
     #    pairs → connected components → drop non-canonical members.
     sigs = DD.build_signatures(kept, id_col, text_col).persist(
@@ -107,6 +136,17 @@ def curate_corpus(
     kept.unpersist()
     kept = survivors
     metrics["after_near_dedup"] = float(kept.count())
+
+    # 3b. Duplicated-span cap (optional) — catches templated docs whose
+    #     *partial* overlap was below the whole-document LSH threshold.
+    if substring_dup_max is not None:
+        heavy = (
+            DD.substring_dup_stats(kept, id_col, text_col)
+            .filter(F.col("dup_frac") > substring_dup_max)
+            .select(id_col)
+        )
+        kept = kept.join(heavy, id_col, "left_anti")
+        metrics["after_substring_cap"] = float(kept.count())
 
     # 4. Decontamination — broadcast benchmark shingle probe.
     if benchmark is not None:

@@ -195,3 +195,38 @@ def test_curate_corpus_split_safety_keeps_loose_neardups_together(spark, tmp_pat
     for i in range(3):
         assert split_of[i] == split_of[100 + i], (i, split_of)
     assert len(set(split_of.values())) >= 2  # not all in one split
+
+def test_curate_corpus_charlm_and_substring_gates(spark, tmp_path):
+    # 8 typical docs + 1 gibberish doc (charlm tail) + 2 docs sharing a
+    # long single-copy boilerplate block (substring cap). All pass the
+    # Gopher rules; the boiler block is NOT internally repeated so the
+    # repetition rule stays quiet.
+    gib4 = ["zxqv", "xqvj", "qvjk", "vjkz", "jkzx", "kzxq", "zqxk", "xkzq",
+            "qzxv", "vxqz", "zvqx", "xvzq", "qxjv", "vjxq", "jzqx", "kqvz",
+            "zkxv", "xjqz", "qvzx"]
+    gib = ["the", "data"] + gib4 + [g + "j" for g in gib4]
+    boiler = " ".join(_base_tokens(8))
+    rows = [(d, " ".join(_base_tokens(d))) for d in range(8)]
+    rows.append((50, " ".join(gib)))
+    rows.append((60, boiler + " unique tail marker sixty here plus"))
+    rows.append((61, boiler + " other close ending textt parts too"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = str(tmp_path / "gated")
+    res = curate_corpus(
+        spark, df, out,
+        charlm_drop_frac=0.2,        # cut lands above the gibberish score
+        substring_dup_max=0.5,
+        lsh_threshold=0.9,           # 60/61 Jaccard ~0.67: survive LSH
+    )
+    m = res.metrics
+    assert "after_charlm" in m and "after_substring_cap" in m
+    assert m["after_charlm"] < m["after_exact_dedup"]
+    # both boilerplate twins exceed the 50% duplicated-span cap
+    assert m["after_substring_cap"] <= m["after_charlm"] - 2
+    kept_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").distinct().collect()
+    }
+    assert 50 not in kept_ids and 60 not in kept_ids and 61 not in kept_ids
+    assert 0 in kept_ids
