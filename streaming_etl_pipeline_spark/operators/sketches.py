@@ -234,3 +234,149 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (fixed-bin histogram)
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Per-key (optionally per-day) fixed-bin histogram sketch:
+    ``(keys[, day], bin, cnt)`` rows, ≤ ``bins`` rows per group
+    regardless of data volume.
+
+    Completes the mergeable-sketch family (KMV / HLL / Count-Min) with
+    quantiles: persist one histogram per (key, day) partition and answer
+    "p95 over any date range" by summing bins — no rescan. Unlike
+    ``percentile_approx`` (opaque state, not persistable), the sketch IS
+    a table; unlike a t-digest, it is fully deterministic, so merges are
+    exactly associative and the DuckDB oracle reproduces every estimate
+    bit-for-bit. Error is the bin width ((hi−lo)/bins); values outside
+    [lo, hi) clamp into the edge bins, which degrades only the tail
+    estimates beyond the configured range.
+
+    One map-side-combined shuffle on (keys, day, bin) — uniform keys,
+    bounded output.
+    """
+    width = (hi - lo) / bins
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    grp = [F.col(k) for k in keys]
+    if ts_col:
+        grp.append(F.to_date(ts_col).alias("day"))
+    return df.groupBy(*grp, b).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def quantile_sketch_merge(
+    sketch: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge sketches to a coarser grain (drop day, union tables, …):
+    sum counts per (keys, bin). A shuffle over sketch rows, not data."""
+    return sketch.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Estimate quantiles from a (possibly merged) sketch: for each q,
+    the midpoint of the first bin where the cumulative count reaches
+    q·total. Output: keys + n + one ``p<q>_est`` column per q."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*keys)
+    s = sketch.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wt).alias("_tot"),
+    )
+    aggs = [F.max("_tot").alias("n")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.col("_tot") * F.lit(q), F.col("bin")
+                )
+            ).alias(f"_b{round(q * 100)}")
+        )
+    out = s.groupBy(*keys).agg(*aggs)
+    for q in qs:
+        bcol = f"_b{round(q * 100)}"
+        out = out.withColumn(
+            f"p{round(q * 100)}_est",
+            F.round(F.lit(lo) + (F.col(bcol) + 0.5) * F.lit(width), 6),
+        ).drop(bcol)
+    return out
+
+
+def quantile_sketch_sql(
+    source_sql: str,
+    key_sql: str,
+    value_sql: str,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    key_alias: str = "k",
+) -> str:
+    """DuckDB twin of build→merge→estimate over ``source_sql``."""
+    width = (hi - lo) / bins
+    q_aggs = ", ".join(
+        f"min(CASE WHEN _cum >= _tot * {q!r} THEN bin END) AS _b{round(q * 100)}"
+        for q in qs
+    )
+    # {lo!r}::DOUBLE — a bare 2.0 literal is DECIMAL in DuckDB, which
+    # would keep the whole estimate in decimal arithmetic while Spark
+    # computes doubles.
+    q_vals = ", ".join(
+        f"round({lo!r}::DOUBLE + (_b{round(q * 100)} + 0.5) * {width!r}::DOUBLE, 6)"
+        f" AS p{round(q * 100)}_est"
+        for q in qs
+    )
+    return f"""
+    WITH sk AS (
+      SELECT {key_sql} AS {key_alias},
+             CAST(least(greatest(floor(({value_sql} - {lo!r}) / {width!r}), 0),
+                        {bins - 1}) AS INT) AS bin,
+             count(*) AS cnt
+      FROM {source_sql} GROUP BY 1, 2),
+    cums AS (
+      SELECT {key_alias}, bin,
+             CAST(sum(cnt) OVER (PARTITION BY {key_alias} ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum,
+             CAST(sum(cnt) OVER (PARTITION BY {key_alias}) AS BIGINT) AS _tot
+      FROM sk),
+    est AS (
+      SELECT {key_alias}, CAST(max(_tot) AS BIGINT) AS n, {q_aggs}
+      FROM cums GROUP BY {key_alias})
+    SELECT {key_alias}, n, {q_vals} FROM est
+    """

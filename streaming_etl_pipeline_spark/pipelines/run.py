@@ -106,6 +106,14 @@ def make_parser() -> argparse.ArgumentParser:
     cr.add_argument("--contamination-threshold", type=float, default=0.10)
     cr.add_argument("--id-col", default="doc_id")
     cr.add_argument("--text-col", default="text")
+    cr.add_argument(
+        "--charlm-drop-frac", type=float, default=None,
+        help="drop the least-LM-typical fraction of docs (CCNet-style)",
+    )
+    cr.add_argument(
+        "--substring-dup-max", type=float, default=None,
+        help="drop docs whose cross-doc duplicated-span fraction exceeds this",
+    )
 
     sc = sub.add_parser(
         "scd2", help="build a type-2 history table from a change log"
@@ -234,6 +242,8 @@ def main(argv: list[str] | None = None) -> int:
             overlap=args.overlap,
             lsh_threshold=args.lsh_threshold,
             contamination_threshold=args.contamination_threshold,
+            charlm_drop_frac=args.charlm_drop_frac,
+            substring_dup_max=args.substring_dup_max,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

@@ -2133,6 +2133,48 @@ def q_robust_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.robust_stats(events, "value", keys=("event_type",))
 
 
+@register(
+    "quantile_sketch_values",
+    None,  # set below once sketches import resolves the twin
+)
+def q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch (operators/sketches.py): build
+    per-(type, day) histograms, merge across days, estimate p50/p95/p99
+    from the merged bins. Deterministic histogram arithmetic, so the
+    merged estimates are reproduced bit-for-bit by the oracle — the
+    persist-then-range-query pattern HLL gives distincts, for quantiles."""
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    daily = quantile_sketch_build(
+        events, ("event_type",), "value", lo=0.0, hi=512.0, bins=256,
+        ts_col="ts",
+    )
+    merged = quantile_sketch_merge(daily, ("event_type",))
+    return quantile_sketch_estimate(
+        merged, ("event_type",), (0.5, 0.95, 0.99), lo=0.0, hi=512.0,
+        bins=256,
+    )
+
+
+from streaming_etl_pipeline_spark.operators.sketches import (  # noqa: E402
+    quantile_sketch_sql as _qsk_sql,
+)
+
+QUERIES["quantile_sketch_values"] = QuerySpec(
+    fn=QUERIES["quantile_sketch_values"].fn,
+    sql=_qsk_sql(
+        "events", "event_type", "value", (0.5, 0.95, 0.99),
+        lo=0.0, hi=512.0, bins=256, key_alias="event_type",
+    ),
+    bench=False,
+)
+
+
 # Extension corpora register themselves into QUERIES on import (kept in
 # separate modules so the reference-parity surface stays readable).
 from streaming_etl_pipeline_spark.plans import corpus_docs  # noqa: E402,F401

@@ -857,13 +857,17 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          ex AS (SELECT event_type,
                        count(DISTINCT user_id) AS exact_distinct
                 FROM events GROUP BY 1),
-         rs AS ({_sql("robust_value_stats")})
+         rs AS ({_sql("robust_value_stats")}),
+         qk AS ({_sql("quantile_sketch_values")})
     SELECT kmv.event_type, kmv.n_kept, kmv.kth_min, kmv.distinct_est,
            ex.exact_distinct,
            TRUE AS hll_ok, TRUE AS hll_merge_ok,
-           rs.trimmed_mean, rs.winsorized_mean, rs.mad, rs.n_values
+           rs.trimmed_mean, rs.winsorized_mean, rs.mad, rs.n_values,
+           qk.n AS qsk_n, qk.p50_est AS qsk_p50, qk.p95_est AS qsk_p95,
+           qk.p99_est AS qsk_p99
     FROM kmv JOIN ex ON kmv.event_type = ex.event_type
     JOIN rs ON kmv.event_type = rs.event_type
+    JOIN qk ON kmv.event_type = qk.event_type
     """,
 )
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,6 +910,16 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_merge_ok"),
         )
         .join(_run("robust_value_stats", spark, sf_dir), "event_type")
+        .join(
+            _run("quantile_sketch_values", spark, sf_dir).select(
+                "event_type",
+                F.col("n").alias("qsk_n"),
+                F.col("p50_est").alias("qsk_p50"),
+                F.col("p95_est").alias("qsk_p95"),
+                F.col("p99_est").alias("qsk_p99"),
+            ),
+            "event_type",
+        )
     )
 
 
@@ -1190,6 +1204,7 @@ COVERED_BY: dict[str, str] = {
     "sequence_packing": "training_assembly",
     "distinct_users_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
+    "quantile_sketch_values": "sketch_suite",
     "json_extract_stats": "parse_profile",
     "source_parse_stats": "parse_profile",
     "q7_nation_volume": "nation_trade_profile",

@@ -843,3 +843,46 @@ def test_charlm_scores_rank_typical_text_higher(spark):
     typical = sum(out[i] for i in range(20)) / 20
     assert out[99] < typical  # mojibake-ish doc diverges from corpus stats
     assert 0.0 < out[99] < 1.0 and 0.0 < typical <= 1.0
+
+
+def test_quantile_sketch_merge_associative_and_bounded(spark):
+    import datetime
+
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    rows = [
+        Row(k="a", v=float(i % 100),
+            ts=datetime.datetime(2024, 1, 1 + i % 5)) for i in range(2000)
+    ] + [
+        Row(k="b", v=float((i * 7) % 50),
+            ts=datetime.datetime(2024, 1, 1 + i % 3)) for i in range(900)
+    ]
+    df = spark.createDataFrame(rows)
+    LO, HI, BINS = 0.0, 128.0, 128  # bin width 1.0
+
+    daily = quantile_sketch_build(df, ("k",), "v", LO, HI, BINS, ts_col="ts")
+    merged = quantile_sketch_merge(daily, ("k",))
+    oneshot = quantile_sketch_build(df, ("k",), "v", LO, HI, BINS)
+    # exact associativity: merging per-day histograms == one-shot build
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+    est = {
+        r["k"]: r
+        for r in quantile_sketch_estimate(
+            merged, ("k",), (0.5, 0.95), LO, HI, BINS
+        ).collect()
+    }
+    assert est["a"]["n"] == 2000 and est["b"]["n"] == 900
+    # error bound = bin width: exact p50 of a is 49/50 boundary (~49.5)
+    import statistics
+
+    a_vals = sorted(float(i % 100) for i in range(2000))
+    for q, col in ((0.5, "p50_est"), (0.95, "p95_est")):
+        exact = a_vals[int(q * len(a_vals)) - 1]
+        assert abs(est["a"][col] - exact) <= 1.0
