@@ -8,6 +8,7 @@ from streaming_etl_pipeline_spark.streaming.ingest import (  # noqa: F401
     parse_events,
     project_kafka,
     read_json_stream,
+    read_jsonl_stream,
     read_kafka_stream,
     start_bronze_sink,
     start_dead_letter_sink,

@@ -59,6 +59,26 @@ def read_json_stream(
     )
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Typed JSONL corpus stream: file-source Structured Streaming with a
+    DECLARED schema (streaming schema inference is off session-wide —
+    ``session.RUNTIME_CONF``). The batch twin is ``sources.io.read_jsonl``;
+    use this flavor to ingest document drops (crawl shards, vendor
+    deliveries) incrementally with checkpointed exactly-once file
+    tracking instead of re-scanning the landing prefix each run."""
+    return (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .load(path)
+    )
+
+
 #: Kafka wire schema (what ``format("kafka").load()`` yields) — used by
 #: the projection below and by tests that exercise the Kafka branch's
 #: downstream contract without a broker.

@@ -783,3 +783,43 @@ def test_streaming_hll_sketch_table_answers_range_distinct(spark, tmp_path):
         .collect()
     }
     assert merged == exact  # 250 distinct/key: coupon mode, merge exact
+
+
+def test_jsonl_stream_ingests_typed_documents(spark, tmp_path):
+    """Typed JSONL file-source stream: declared schema, checkpointed
+    exactly-once file tracking across two availableNow runs."""
+    import json as _json
+
+    from pyspark.sql import types as T
+    from streaming_etl_pipeline_spark.streaming import read_jsonl_stream
+
+    land = tmp_path / "landing"; land.mkdir()
+    out = str(tmp_path / "out"); ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    (land / "a.jsonl").write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": f"doc {i}", "lang": "en"})
+        for i in range(3)))
+
+    def run_once():
+        q = (
+            read_jsonl_stream(spark, str(land), schema)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    # second drop: only the new file is processed (checkpointed tracking)
+    (land / "b.jsonl").write_text(
+        _json.dumps({"doc_id": 99, "text": "late doc", "lang": "es"}))
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert dict(back.dtypes) == {"doc_id": "bigint", "text": "string",
+                                 "lang": "string"}
