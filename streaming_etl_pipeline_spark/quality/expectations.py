@@ -345,3 +345,52 @@ def check_freshness(
         "age_seconds": age,
         "latest": latest.isoformat(),
     }
+
+
+def schema_check(
+    df: DataFrame,
+    expected: dict[str, str],
+    allow_extra: bool = False,
+) -> list[dict]:
+    """Schema-contract gate: compare the DataFrame's resolved schema to
+    an expected ``{column: simpleString-type}`` spec and report drift as
+    typed findings (``missing`` / ``extra`` / ``type_changed``).
+
+    Plan-time only — reads zero data. This is the runtime twin of the
+    GE schema expectations (`expect_column_to_exist` + column types) and
+    of the environment-drift canary in ``tests/test_driver_contract.py``:
+    run it at pipeline entry so an upstream producer changing a parquet
+    type (the round-2 TIMESTAMP_NTZ incident) fails loudly at the
+    boundary instead of deep inside an operator.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    findings: list[dict] = []
+    for col, typ in expected.items():
+        if col not in actual:
+            findings.append({"column": col, "kind": "missing",
+                             "expected": typ, "actual": None})
+        elif actual[col] != typ:
+            findings.append({"column": col, "kind": "type_changed",
+                             "expected": typ, "actual": actual[col]})
+    if not allow_extra:
+        for col in actual:
+            if col not in expected:
+                findings.append({"column": col, "kind": "extra",
+                                 "expected": None, "actual": actual[col]})
+    return findings
+
+
+def schema_check_or_raise(
+    df: DataFrame, expected: dict[str, str], allow_extra: bool = False
+) -> None:
+    """Raise :class:`QualityError` listing every drift finding."""
+    findings = schema_check(df, expected, allow_extra)
+    if findings:
+        raise QualityError(
+            "schema drift: "
+            + "; ".join(
+                f"{f['kind']}:{f['column']}"
+                f" (expected {f['expected']}, got {f['actual']})"
+                for f in findings
+            )
+        )

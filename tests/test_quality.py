@@ -259,3 +259,37 @@ def test_ge_mostly_on_value_checks(spark):
     report = quality.validate(df, quality.Suite("m", (tolerant, strict)))
     assert report[0]["passed"] and report[0]["observed"] == 0.9
     assert not report[1]["passed"] and report[1]["observed"] == 1.0
+
+
+def test_schema_check_reports_drift_kinds(spark):
+    from streaming_etl_pipeline_spark.quality.expectations import (
+        QualityError,
+        schema_check,
+        schema_check_or_raise,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, name string, score double"
+    )
+    expected = {"id": "bigint", "name": "string", "score": "double"}
+    assert schema_check(df, expected) == []
+
+    drift = schema_check(
+        df, {"id": "bigint", "name": "int", "missing_col": "string"}
+    )
+    kinds = {(f["column"], f["kind"]) for f in drift}
+    assert kinds == {
+        ("name", "type_changed"),
+        ("missing_col", "missing"),
+        ("score", "extra"),
+    }
+    # allow_extra tolerates producer-added columns, still catches breaks
+    relaxed = schema_check(df, {"id": "bigint", "name": "string"},
+                           allow_extra=True)
+    assert relaxed == [] or all(f["kind"] != "extra" for f in relaxed)
+
+    import pytest as _pytest
+
+    with _pytest.raises(QualityError, match="type_changed:name"):
+        schema_check_or_raise(df, {"id": "bigint", "name": "int",
+                                   "score": "double"})
