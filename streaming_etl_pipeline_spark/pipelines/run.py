@@ -154,6 +154,22 @@ def make_parser() -> argparse.ArgumentParser:
     zo.add_argument("--by", required=True, help="comma-separated cluster columns")
     zo.add_argument("--files", type=int, default=None)
 
+    op = sub.add_parser(
+        "optimize",
+        help="table maintenance in one rewrite: consolidate small files, "
+        "optionally cluster (sort or z-order) and bloom-index the output",
+    )
+    op.add_argument("--input", required=True)
+    op.add_argument("--output", required=True)
+    op.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort-cluster columns (zone maps)")
+    op.add_argument("--zorder-by", default=None,
+                    help="comma-separated z-order columns (multi-dim pruning)")
+    op.add_argument("--bloom-cols", default=None,
+                    help="comma-separated bloom-filter point-lookup columns")
+    op.add_argument("--partition-by", default=None)
+    op.add_argument("--files", type=int, default=None)
+
     bf = sub.add_parser(
         "backfill",
         help="historical date-range backfill: per-date b2s + s2g with "
@@ -310,6 +326,44 @@ def main(argv: list[str] | None = None) -> int:
             df, args.output, zorder_by=args.by.split(","), num_files=args.files
         )
         metrics["zorder.rows"] = spark.read.parquet(args.output).count()
+    if args.cmd == "optimize":
+        from streaming_etl_pipeline_spark.sources.io import (
+            write_bloom_indexed,
+            write_clustered,
+            write_zordered,
+        )
+
+        if args.cluster_by and args.zorder_by:
+            raise SystemExit("--cluster-by and --zorder-by are exclusive")
+        df = spark.read.parquet(args.input)
+        part = args.partition_by.split(",") if args.partition_by else None
+        if args.zorder_by:
+            # z-order first; bloom options can't compose with this writer
+            # in one pass, so bloom-only requests use the bloom writer
+            write_zordered(
+                df, args.output, zorder_by=args.zorder_by.split(","),
+                partition_by=part, num_files=args.files,
+            )
+        elif args.cluster_by:
+            write_clustered(
+                df, args.output, cluster_by=args.cluster_by.split(","),
+                partition_by=part, num_files=args.files,
+            )
+        elif args.bloom_cols:
+            write_bloom_indexed(
+                df, args.output, bloom_cols=args.bloom_cols.split(","),
+                partition_by=part,
+            )
+        else:
+            # plain consolidation: one file per target partition count
+            n = args.files or spark.sparkContext.defaultParallelism
+            df.coalesce(n).write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        metrics["optimize.rows"] = out.count()
+        metrics["optimize.files"] = float(
+            len([f for f in __import__("glob").glob(
+                args.output + "/**/*.parquet", recursive=True)])
+        )
     print(json.dumps(metrics))
     return 0
 

@@ -490,3 +490,42 @@ def test_jsonl_roundtrip_with_declared_schema(spark, tmp_path):
     # declared schema: no inference pass, stable types
     assert dict(back.dtypes) == {"doc_id": "bigint", "text": "string",
                                  "lang": "string"}
+
+
+def test_cli_optimize_consolidates_and_clusters(spark, tmp_path):
+    from streaming_etl_pipeline_spark.pipelines.run import main as cli_main
+
+    src = str(tmp_path / "frag")
+    # 20 tiny files
+    spark.range(2000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v"
+    ).repartition(20).write.parquet(src)
+    import glob as _g
+
+    assert len(_g.glob(src + "/*.parquet")) >= 20
+
+    out = str(tmp_path / "opt")
+    rc = cli_main([
+        "optimize", "--input", src, "--output", out,
+        "--cluster-by", "id", "--files", "4",
+    ])
+    assert rc == 0
+    files = _g.glob(out + "/**/*.parquet", recursive=True)
+    assert 0 < len(files) <= 6
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # clustered: per-file id ranges are (near-)disjoint
+    import pyarrow.parquet as _pq
+
+    spans = []
+    for f in files:
+        md = _pq.read_metadata(f)
+        mins = [md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)]
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps == 0
