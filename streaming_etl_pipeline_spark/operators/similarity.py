@@ -501,3 +501,85 @@ def semantic_dedup(
         F.coalesce("cluster_size", F.lit(1).cast("long")).alias("cluster_size"),
         (canonical == F.col(id_col)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pooling + Matryoshka truncation
+# ---------------------------------------------------------------------------
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Mean-pool vectors per group (chunk embeddings → one document
+    embedding, user events → one profile vector), optionally L2-renorm
+    so downstream cosine math keeps unit-norm assumptions.
+
+    Pure built-in composition: posexplode → per-(group, dim) mean → one
+    ``array_agg`` ordered by dim. Two shuffles on uniform keys; at
+    100 TB the (group, dim) agg is map-side combined so the wire carries
+    one partial per (group, dim, partition), never the raw vectors.
+    """
+    dims = df.select(
+        group_col, F.posexplode(vec_col).alias("dim", "x")
+    )
+    pooled = dims.groupBy(group_col, "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("x")
+    )
+    vecs = pooled.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "x"))),
+            lambda s: s["x"],
+        ).alias(vec_col)
+    )
+    if not renormalize:
+        return vecs
+    norm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return vecs.select(
+        group_col,
+        F.transform(
+            vec_col, lambda x: x / F.greatest(norm, F.lit(1e-12))
+        ).alias(vec_col),
+    )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    out_dims: int,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``out_dims``
+    components and L2-renormalize — the storage/CPU scale knob for ANN
+    (an MRL-trained model's leading dims carry most of the signal, so
+    truncated search costs dims/out_dims less bandwidth with modest
+    recall loss; pair with full-dim re-ranking of the truncated top-k).
+
+    0-shuffle per-row projection; composes with ``quantize_embeddings``
+    for a further 4× (int8) on top of the dimension cut.
+    """
+    short = F.slice(F.col(vec_col), 1, out_dims)
+    if not renormalize:
+        return df.withColumn(vec_col, short)
+    sq = F.aggregate(
+        short, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return (
+        df.withColumn("_short", short)
+        .withColumn("_norm", F.sqrt(sq))
+        .withColumn(
+            vec_col,
+            F.transform(
+                "_short",
+                lambda x: (
+                    x.cast("double") / F.greatest(F.col("_norm"), F.lit(1e-12))
+                ).cast("float"),
+            ),
+        )
+        .drop("_short", "_norm")
+    )

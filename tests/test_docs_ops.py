@@ -886,3 +886,44 @@ def test_quantile_sketch_merge_associative_and_bounded(spark):
     for q, col in ((0.5, "p50_est"), (0.95, "p95_est")):
         exact = a_vals[int(q * len(a_vals)) - 1]
         assert abs(est["a"][col] - exact) <= 1.0
+
+
+def test_mean_pool_and_truncate_embeddings(spark):
+    import math as m
+
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        mean_pool,
+        truncate_embeddings,
+    )
+
+    chunks = spark.createDataFrame(
+        [
+            Row(doc_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(doc_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(doc_id=2, embedding=[0.0, 0.0, 2.0, 0.0]),
+        ]
+    )
+    pooled = {r["doc_id"]: r["embedding"]
+              for r in mean_pool(chunks, "doc_id").collect()}
+    # doc 1: mean (0.5, 0.5, 0, 0) renormed to (1/sqrt2, 1/sqrt2, 0, 0)
+    assert pooled[1][0] == pytest.approx(1 / m.sqrt(2))
+    assert pooled[1][1] == pytest.approx(1 / m.sqrt(2))
+    assert pooled[2][2] == pytest.approx(1.0)
+    for v in pooled.values():
+        assert sum(x * x for x in v) == pytest.approx(1.0)
+
+    # truncation keeps the leading dims, renormalizes, preserves ranking
+    # when the signal lives in the kept prefix
+    base = spark.createDataFrame(
+        [Row(vec_id=i,
+             embedding=[float(i == j) for j in range(4)] + [99.0] * 4)
+         for i in range(4)]
+    )
+    short = truncate_embeddings(base, out_dims=4)
+    rows = {r["vec_id"]: r["embedding"] for r in short.collect()}
+    assert all(len(v) == 4 for v in rows.values())
+    assert rows[2][2] == pytest.approx(1.0)  # renormed one-hot survives
+    q = spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 0.0, 0.0, 0.0])])
+    top = cosine_topk(q, short, k=1).collect()
+    assert top[0]["neighbor_id"] == 0  # nearest under truncated cosine

@@ -823,3 +823,66 @@ def test_jsonl_stream_ingests_typed_documents(spark, tmp_path):
     assert back.count() == 4
     assert dict(back.dtypes) == {"doc_id": "bigint", "text": "string",
                                  "lang": "string"}
+
+
+def test_streaming_quantile_sketch_table_answers_range_quantiles(spark, tmp_path):
+    """The quantile analog of the HLL sketch-table loop: micro-batches
+    append per-(key, day) histograms; later quantile questions merge
+    persisted bins — no rescan — and, because histogram merges are
+    EXACTLY associative, the merged estimate equals the one-shot build
+    over all data, bit for bit."""
+    from streaming_etl_pipeline_spark.operators import sketches as SK
+
+    src = str(tmp_path / "vals")
+    sk_path = str(tmp_path / "qsketches")
+    LO, HI, BINS = 0.0, 100.0, 100
+
+    def emit(lo, hi):
+        spark.range(lo, hi).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            F.to_timestamp(
+                F.concat(F.lit("2024-02-"), F.lpad((F.col("id") % 4) + 1, 2, "0"))
+            ).alias("ts"),
+        ).write.mode("append").parquet(src)
+
+    emit(0, 2_000)
+
+    def add_sketches(batch_df, batch_id):
+        SK.quantile_sketch_build(
+            batch_df, ("g",), "v", LO, HI, BINS, ts_col="ts"
+        ).write.mode("append").parquet(sk_path)
+
+    stream = (
+        spark.readStream.schema("g string, v double, ts timestamp")
+        .parquet(src)
+        .writeStream.foreachBatch(add_sketches)
+        .trigger(availableNow=True)
+    )
+    q = stream.option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+    emit(2_000, 4_500)
+    q = stream.option("checkpointLocation", str(tmp_path / "ck")).start()
+    q.awaitTermination(120)
+
+    merged = SK.quantile_sketch_merge(spark.read.parquet(sk_path), ("g",))
+    est = {
+        r["g"]: r
+        for r in SK.quantile_sketch_estimate(
+            merged, ("g",), (0.5, 0.95), LO, HI, BINS
+        ).collect()
+    }
+    oneshot = {
+        r["g"]: r
+        for r in SK.quantile_sketch_estimate(
+            SK.quantile_sketch_build(
+                spark.read.parquet(src), ("g",), "v", LO, HI, BINS
+            ),
+            ("g",), (0.5, 0.95), LO, HI, BINS,
+        ).collect()
+    }
+    assert est.keys() == oneshot.keys() == {"0", "1"}
+    for g in est:
+        assert est[g]["n"] == oneshot[g]["n"]
+        assert est[g]["p50_est"] == oneshot[g]["p50_est"]  # exact, not ≈
+        assert est[g]["p95_est"] == oneshot[g]["p95_est"]
