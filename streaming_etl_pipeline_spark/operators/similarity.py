@@ -583,3 +583,45 @@ def truncate_embeddings(
         )
         .drop("_short", "_norm")
     )
+
+
+def mean_pool_exact(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Decimal-exact, exploded form of :func:`mean_pool` for
+    differential gating: per (group, dim) rows with the pooled mean and
+    its L2-renormalized value, every float step engine-portable
+    (decimal accumulation → identical doubles → IEEE sqrt/division →
+    fixed rounds). Production pooling uses :func:`mean_pool` (plain
+    double math, array output); this twin pins its semantics against
+    the DuckDB oracle bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    exploded = df.select(group_col, F.posexplode(vec_col).alias("dim", "x"))
+    pooled = exploded.groupBy(group_col, "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("double").cast("decimal(27,12)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("pooled_x"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    w = Window.partitionBy(group_col)
+    norm = F.sqrt(
+        F.sum(
+            (F.col("pooled_x") * F.col("pooled_x")).cast("decimal(38,18)")
+        )
+        .over(w)
+        .cast("double")
+    )
+    return pooled.select(
+        group_col,
+        "dim",
+        "pooled_x",
+        "n_vecs",
+        F.round(
+            F.col("pooled_x") / F.greatest(norm, F.lit(1e-12)), 9
+        ).alias("renormed_x"),
+    )

@@ -963,3 +963,37 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin hash-matches exactly."""
     docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.charlm_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding mean-pooling (decimal-exact differential twin of mean_pool)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pooling",
+    """
+    WITH pooled AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+             round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,12)))
+                        AS DOUBLE) / count(*), 9) AS pooled_x,
+             count(*) AS n_vecs
+      FROM (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY 1, 2)
+    SELECT label, dim, pooled_x, n_vecs,
+           round(pooled_x / greatest(
+             sqrt(CAST(sum(CAST(pooled_x * pooled_x AS DECIMAL(38,18)))
+                       OVER (PARTITION BY label) AS DOUBLE)), 1e-12), 9)
+             AS renormed_x
+    FROM pooled
+    """,
+)
+def q_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label pooled embedding (operators/similarity.py
+    ``mean_pool_exact``): the chunk→document / class-centroid pooling
+    pass with decimal-exact per-dim means and a portable L2 renorm, so
+    the oracle verifies every pooled component bit-for-bit."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return SIM.mean_pool_exact(emb, "label")

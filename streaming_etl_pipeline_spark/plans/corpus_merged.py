@@ -817,6 +817,12 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            scale AS m1, mean_abs_err AS m2,
            CAST(0 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
     FROM ({_sql("embedding_quantization")})
+    UNION ALL
+    SELECT 'mean_pool' AS emb_op,
+           CAST(label AS BIGINT) * 1000 + dim AS k1, '' AS k2,
+           pooled_x AS m1, renormed_x AS m2, CAST(n_vecs AS DOUBLE) AS m3,
+           CAST(0 AS DOUBLE) AS m4
+    FROM ({_sql("embedding_pooling")})
     """,
 )
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +848,16 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m3"),
         F.lit(0.0).alias("m4"),
     )
-    return dims.unionByName(quant)
+    pool = _run("embedding_pooling", spark, sf_dir).select(
+        F.lit("mean_pool").alias("emb_op"),
+        (F.col("label").cast("long") * 1000 + F.col("dim")).alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("pooled_x").alias("m1"),
+        F.col("renormed_x").alias("m2"),
+        F.col("n_vecs").cast("double").alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
+    return dims.unionByName(quant).unionByName(pool)
 
 
 # ---------------------------------------------------------------------------
@@ -1196,6 +1211,7 @@ COVERED_BY: dict[str, str] = {
     "semantic_dedup": "neardup_pairs",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
+    "embedding_pooling": "embedding_profile",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
