@@ -625,3 +625,48 @@ def mean_pool_exact(
             F.col("pooled_x") / F.greatest(norm, F.lit(1e-12)), 9
         ).alias("renormed_x"),
     )
+
+
+def filtered_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+) -> DataFrame:
+    """Metadata-filtered exact top-k: neighbors must match the query's
+    ``filter_col`` — PRE-filter semantics (the constraint is part of the
+    join condition, so ranking happens over the filtered candidate set
+    and always yields k results when k candidates exist; post-filtering
+    a plain top-k can silently return fewer).
+
+    Scale: the filter rides the broadcast join condition, so corpus rows
+    failing it are discarded before any vector math; with a corpus
+    PARTITIONED BY the filter column, partition pruning skips their
+    files entirely — the standard "filtered vector search" shape.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(filter_col).alias("_qf"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("_cf"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_qf") == F.col("_cf")),
+    ).select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

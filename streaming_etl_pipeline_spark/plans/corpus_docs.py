@@ -997,3 +997,35 @@ def q_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle verifies every pooled component bit-for-bit."""
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     return SIM.mean_pool_exact(emb, "label")
+
+
+@register(
+    "ann_topk_filtered",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qf,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label AS cf,
+          CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON query_id <> neighbor_id AND qf = cf
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (operators/similarity.py
+    ``filtered_cosine_topk``): top-5 cosine neighbors constrained to the
+    query's label — pre-filter semantics, the constraint inside the
+    broadcast join condition."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return SIM.filtered_cosine_topk(
+        dbl.filter(F.col("vec_id") < 20), dbl, k=5
+    )

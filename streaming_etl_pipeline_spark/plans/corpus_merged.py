@@ -292,14 +292,17 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine_sim
     FROM ({_sql("ann_topk_ivf")})
+    UNION ALL
+    SELECT 'filtered' AS method, query_id, rank, neighbor_id, cosine_sim
+    FROM ({_sql("ann_topk_filtered")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN strategies (exact brute-force baseline, hyperplane
-    LSH, IVF) in one gated result, labelled by method — every ranked
-    neighbor list value-verified."""
+    """All four ANN strategies (exact brute-force baseline, hyperplane
+    LSH, IVF, metadata-filtered) in one gated result, labelled by method
+    — every ranked neighbor list value-verified."""
     out = None
-    for method in ("bruteforce", "lsh", "ivf"):
+    for method in ("bruteforce", "lsh", "ivf", "filtered"):
         part = _run(f"ann_topk_{method}", spark, sf_dir).select(
             F.lit(method).alias("method"),
             "query_id", "rank", "neighbor_id", "cosine_sim",
@@ -1212,6 +1215,7 @@ COVERED_BY: dict[str, str] = {
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",
+    "ann_topk_filtered": "ann_topk",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",

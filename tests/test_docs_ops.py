@@ -927,3 +927,24 @@ def test_mean_pool_and_truncate_embeddings(spark):
     q = spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 0.0, 0.0, 0.0])])
     top = cosine_topk(q, short, k=1).collect()
     assert top[0]["neighbor_id"] == 0  # nearest under truncated cosine
+
+
+def test_filtered_cosine_topk_prefilter_semantics(spark):
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        filtered_cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, label=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, label=1, embedding=[0.9, 0.1]),
+            Row(vec_id=3, label=2, embedding=[1.0, 0.01]),  # closer, wrong label
+            Row(vec_id=4, label=1, embedding=[0.0, 1.0]),
+        ]
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    out = filtered_cosine_topk(q, corpus, k=2).collect()
+    got = [(r["rank"], r["neighbor_id"]) for r in out]
+    # neighbor 3 is geometrically closest but excluded by the label filter;
+    # pre-filter semantics still yield a full k=2 from label-1 candidates
+    assert got == [(1, 2), (2, 4)]
