@@ -384,3 +384,90 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables: atomic manifest-pointer commits
+# ---------------------------------------------------------------------------
+
+
+def versioned_write(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write a new immutable version of a table and commit it by
+    atomically replacing the ``_LATEST`` pointer file — the minimal
+    transaction-log pattern that makes rewrites (compaction, reorder,
+    backfill) safe for concurrent readers.
+
+    ``compact()``/overwrite-in-place swaps directories, so a reader that
+    listed files mid-swap can crash or read a mix. Here every version is
+    its own directory (``_versions/v{N}``) that is NEVER mutated after
+    commit; the only mutable object is one tiny pointer file, replaced
+    with ``os.replace`` (atomic on POSIX). A concurrent reader resolves
+    the pointer first and then reads an immutable snapshot — it sees
+    v{N} or v{N+1}, never a blend. This is the same reader/writer
+    protocol as Delta/Iceberg's "current snapshot" pointer, minus
+    multi-writer conflict resolution (single-writer-per-table is the
+    orchestrator's contract here, as it is for the reference's loads).
+
+    Returns the committed version number.
+    """
+    os.makedirs(os.path.join(table_dir, "_versions"), exist_ok=True)
+    version = latest_version(table_dir) + 1
+    vdir = os.path.join(table_dir, "_versions", f"v{version}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
+    tmp = os.path.join(table_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(table_dir, "_LATEST"))
+    return version
+
+
+def latest_version(table_dir: str) -> int:
+    """Current committed version, or 0 if the table has none."""
+    try:
+        with open(os.path.join(table_dir, "_LATEST")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (default: the latest). Older versions
+    stay readable until :func:`vacuum_versions` — free time travel for
+    debugging a pipeline regression against yesterday's input."""
+    v = version or latest_version(table_dir)
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, "_versions", f"v{v}"))
+
+
+def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` committed versions; returns the
+    removed version numbers. Never touches the current pointer."""
+    import re
+    import shutil
+
+    vroot = os.path.join(table_dir, "_versions")
+    current = latest_version(table_dir)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(vroot)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+    keepers = set(versions[-keep:]) | {current}
+    removed = []
+    for v in versions:
+        if v not in keepers:
+            shutil.rmtree(os.path.join(vroot, f"v{v}"))
+            removed.append(v)
+    return removed

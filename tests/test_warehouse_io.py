@@ -529,3 +529,33 @@ def test_cli_optimize_consolidates_and_clusters(spark, tmp_path):
     spans.sort()
     overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
     assert overlaps == 0
+
+
+def test_versioned_table_atomic_pointer_and_time_travel(spark, tmp_path):
+    from streaming_etl_pipeline_spark.sources.io import (
+        latest_version,
+        read_versioned,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "vt")
+    v1 = versioned_write(spark.range(10).selectExpr("id", "id * 2 AS x"), tbl)
+    v2 = versioned_write(spark.range(5).selectExpr("id", "id * 3 AS x"), tbl)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(tbl) == 2
+    assert read_versioned(spark, tbl).count() == 5          # latest snapshot
+    assert read_versioned(spark, tbl, version=1).count() == 10  # time travel
+    # a snapshot resolved before a new commit stays fully readable after it
+    old = read_versioned(spark, tbl, version=1)
+    versioned_write(spark.range(3).selectExpr("id", "id AS x"), tbl)
+    assert old.count() == 10
+    assert read_versioned(spark, tbl).count() == 3
+    # vacuum keeps the newest snapshots, never the pointer's target
+    removed = vacuum_versions(tbl, keep=2)
+    assert removed == [1]
+    assert read_versioned(spark, tbl).count() == 3
+    import pytest as _p
+
+    with _p.raises(Exception):
+        read_versioned(spark, tbl, version=1).count()
