@@ -108,9 +108,14 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """J4 — backward as-of join: for each left row, attach the payload of
-    the latest right row with ``right_ts <= left_ts`` (NULLs if none).
+    """J4 — as-of join: for each left row, attach the payload of the
+    latest right row with ``right_ts <= left_ts`` (``direction=
+    "backward"``, the default) or the earliest right row with
+    ``right_ts >= left_ts`` (``"forward"`` — next-event attribution:
+    first purchase after a campaign touch, next reading after an alarm).
+    NULLs if none.
 
     Spark-first formulation: tag and union both sides, order within each
     key partition by (ts, side) with right rows first on ties, and carry
@@ -148,9 +153,13 @@ def asof_join(
 
     u = r_rows.select(l_rows.columns).unionByName(l_rows)
 
+    # forward = the same running-last trick traversed from the future:
+    # order ts DESC (right still first on ties, so an equal-timestamp
+    # right row matches in both directions)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -792,6 +792,45 @@ def q_asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.next_purchase_id, p.next_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, event_id AS next_purchase_id,
+             value AS next_purchase_value
+      FROM events WHERE event_type = 'purchase') p
+    ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (J4, direction="forward"): for every event,
+    the user's FIRST purchase at or after that moment — next-event
+    attribution (conversion after touch). Same union+window plan as the
+    backward flavor, traversed from the future."""
+    from streaming_etl_pipeline_spark.operators.joins import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["next_purchase_id", "next_purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        "next_purchase_id", "next_purchase_value",
+    )
+
+
+@register(
     "interval_attribution",
     """
     SELECT a.event_id AS anchor_id, a.user_id, a.ts AS anchor_ts,

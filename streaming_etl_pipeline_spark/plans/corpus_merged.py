@@ -1046,14 +1046,19 @@ def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_purchase_value AS match_value
     FROM ({_sql("asof_latest_purchase")})
     UNION ALL
+    SELECT 'asof_next' AS tj_op, event_id AS a_id, user_id,
+           ts AS a_ts, next_purchase_id AS match_id,
+           next_purchase_value AS match_value
+    FROM ({_sql("asof_next_purchase")})
+    UNION ALL
     SELECT 'interval_1h' AS tj_op, anchor_id AS a_id, user_id,
            anchor_ts AS a_ts, match_id, match_value
     FROM ({_sql("interval_attribution")})
     """,
 )
 def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both temporal join flavors in one labelled driver row set: the
-    backward as-of join (union+window, J4) and the bucketed
+    """All temporal join flavors in one labelled driver row set: the
+    backward and forward as-of joins (union+window, J4) and the bucketed
     point-in-interval join — every matched pair value-verified."""
     asof = _run("asof_latest_purchase", spark, sf_dir).select(
         F.lit("asof_latest").alias("tj_op"),
@@ -1063,6 +1068,14 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_purchase_id").alias("match_id"),
         F.col("last_purchase_value").alias("match_value"),
     )
+    nxt = _run("asof_next_purchase", spark, sf_dir).select(
+        F.lit("asof_next").alias("tj_op"),
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.col("next_purchase_id").alias("match_id"),
+        F.col("next_purchase_value").alias("match_value"),
+    )
     iv = _run("interval_attribution", spark, sf_dir).select(
         F.lit("interval_1h").alias("tj_op"),
         F.col("anchor_id").alias("a_id"),
@@ -1071,7 +1084,7 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_id",
         "match_value",
     )
-    return asof.unionByName(iv)
+    return asof.unionByName(nxt).unionByName(iv)
 
 
 # ---------------------------------------------------------------------------
@@ -1235,6 +1248,7 @@ COVERED_BY: dict[str, str] = {
     "cdc_customer_apply": "dimension_suite",
     "snapshot_diff_customers": "dimension_suite",
     "asof_latest_purchase": "temporal_join_suite",
+    "asof_next_purchase": "temporal_join_suite",
     "interval_attribution": "temporal_join_suite",
 }
 

@@ -252,3 +252,35 @@ def test_snapshot_diff_classifies_and_validates_cdc(spark):
         r.k: r.diff_op for r in snapshot_diff(old, applied, key="k").collect()
     }
     assert d == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_asof_join_forward_direction(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from streaming_etl_pipeline_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([
+        Row(id=1, k="u", ts=t(10)),
+        Row(id=2, k="u", ts=t(30)),
+        Row(id=3, k="v", ts=t(5)),
+    ])
+    right = spark.createDataFrame([
+        Row(k="u", ts=t(20), pid=100),
+        Row(k="u", ts=t(40), pid=200),
+    ])
+    fwd = {
+        r["id"]: r["pid"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_cols=["pid"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 100, 2: 200, 3: None}  # first at-or-after; v: none
+    # equal timestamps match in BOTH directions
+    eq = spark.createDataFrame([Row(id=9, k="u", ts=t(20))])
+    for d in ("backward", "forward"):
+        got = asof_join(eq, right, key="k", left_ts="ts", right_ts="ts",
+                        right_cols=["pid"], direction=d).collect()[0]["pid"]
+        assert got == 100
