@@ -59,14 +59,21 @@ def synth_docs(spark, n: int):
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    gates = "--gates" in sys.argv
     spark = build_session(app_name="bench-curation")
     docs = synth_docs(spark, n)
     bench = synth_docs(spark, 200).select("text").limit(100)
     out = tempfile.mkdtemp(prefix="bench_curation_")
     try:
         t0 = time.time()
+        extra = (
+            {"charlm_drop_frac": 0.02, "substring_dup_max": 0.8}
+            if gates
+            else {}
+        )
         res = curate_corpus(
-            spark, docs, os.path.join(out, "training"), benchmark=bench
+            spark, docs, os.path.join(out, "training"), benchmark=bench,
+            **extra,
         )
         wall = time.time() - t0
         m = res.metrics

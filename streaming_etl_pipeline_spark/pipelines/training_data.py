@@ -133,9 +133,13 @@ def curate_corpus(
     survivors = kept.join(losers, id_col, "left_anti").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize the new cache BEFORE dropping the old one: unpersisting
+    # first makes this count (and every later action) recompute the whole
+    # upstream chain — measured 7× pipeline wall with the optional gates
+    # in the lineage.
+    metrics["after_near_dedup"] = float(survivors.count())
     kept.unpersist()
     kept = survivors
-    metrics["after_near_dedup"] = float(kept.count())
 
     # 3b. Duplicated-span cap (optional) — catches templated docs whose
     #     *partial* overlap was below the whole-document LSH threshold.
@@ -145,10 +149,17 @@ def curate_corpus(
             .filter(F.col("dup_frac") > substring_dup_max)
             .select(id_col)
         )
-        kept = kept.join(heavy, id_col, "left_anti")
-        metrics["after_substring_cap"] = float(kept.count())
+        capped = kept.join(heavy, id_col, "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        metrics["after_substring_cap"] = float(capped.count())
+        kept.unpersist()
+        kept = capped
 
-    # 4. Decontamination — broadcast benchmark shingle probe.
+    # 4. Decontamination — broadcast benchmark shingle probe. `cached`
+    #    tracks the persisted stage output so the final unpersist hits
+    #    the actual cache (kept itself may be a cheap filter on top).
+    cached = kept
     if benchmark is not None:
         flagged = (
             CU.contamination_stats(
@@ -204,7 +215,7 @@ def curate_corpus(
         F.sum("n_tokens").alias("tokens_written"),
     )
     examples.write.mode("overwrite").partitionBy("split").parquet(out_path)
-    kept.unpersist()
+    cached.unpersist()
     sigs.unpersist()
     # sum() observes as None over an empty write (every doc filtered)
     metrics.update({k: float(v or 0) for k, v in obs.get.items()})
