@@ -436,3 +436,42 @@ def pack_sequences_sql(
       FROM {docs_sql}
     )
     """
+
+
+def materialize_blocks(
+    docs: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    separator: str = "<|endofdoc|>",
+) -> DataFrame:
+    """Materialize packed training sequences from a
+    :func:`pack_sequences` assignment: join text back to the assignment,
+    group by (group, block_first) and concatenate documents in packing
+    order with a separator token — the actual writer a training loader
+    consumes.
+
+    A document crossing a block boundary is emitted in its FIRST block
+    (concat-and-chunk semantics leave the final split to the tokenizer;
+    the ``crosses`` flag already measures how often that happens). One
+    join on the id and one shuffle on (group, block); per-block state is
+    bounded by block token budget, not partition size.
+    """
+    joined = assignment.join(
+        docs.select(id_col, text_col), id_col
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("start_offset", text_col))
+    )
+    return (
+        joined.groupBy(group_col, F.col("block_first").alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("block_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s[text_col]),
+                separator,
+            ).alias("block_text"),
+        )
+    )

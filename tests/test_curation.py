@@ -306,3 +306,35 @@ def test_pack_sequences_block_spans_and_crossers(spark):
     assert {k: tuple(v) for k, v in by_id.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_materialize_blocks_concats_in_packing_order(spark):
+    from pyspark.sql import Row
+    from streaming_etl_pipeline_spark.operators.curation import (
+        materialize_blocks,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="a", text=f"doc{i}", n_tokens=400)
+         for i in range(5)]
+    )
+    asg = pack_sequences(docs, budget=1000)
+    blocks = materialize_blocks(docs, asg).collect()
+    by_block = {r["block"]: r for r in blocks}
+    # 5 docs x 400 tokens / 1000 budget -> blocks 0 and 1 (2000 tokens
+    # tile blocks 0,1; doc at offset 1600 starts in block 1)
+    assert set(by_block) == {0, 1}
+    assert sum(r["n_docs"] for r in blocks) == 5
+    assert sum(r["block_tokens"] for r in blocks) == 2000
+    # order within a block follows start_offset; text joined by separator
+    order = {r["doc_id"]: r["start_offset"] for r in asg.collect()}
+    b0_docs = sorted(
+        (d for d in order if order[d] // 1000 == 0), key=lambda d: order[d]
+    )
+    assert by_block[0]["block_text"] == "<|endofdoc|>".join(
+        f"doc{d}" for d in b0_docs
+    )
+    # determinism across runs
+    again = materialize_blocks(docs, pack_sequences(docs, budget=1000)).collect()
+    assert sorted(map(tuple, blocks)) == sorted(map(tuple, again))
