@@ -2055,6 +2055,71 @@ _patch_top_ngrams_sql()
 
 
 @register(
+    "vocab_growth",
+    None,  # patched below with the token SQL fragment
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve without quadratic rescans,
+    over word-2-gram types (the synthetic corpus's unigram vocabulary is
+    31 types — the 2-gram space is where growth is visible): each type
+    is counted once at the bucket where it FIRST occurs
+    (groupBy token → min bucket), then a cumulative sum over the 10
+    bucket rows yields "distinct vocabulary after k/10ths of the
+    corpus". Two uniform-key shuffles + a 10-row window — the naive
+    "count distinct over every prefix" shape rescans the corpus k
+    times. Buckets are md5(doc_id)-derived, so the curve is a
+    deterministic corpus-order proxy shared with the oracle."""
+    from pyspark.sql import Window
+
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+    from streaming_etl_pipeline_spark.operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (md5_long(F.col("doc_id"), "vg") % 10).alias("bucket"),
+        F.explode(DD.shingles("text", 2)).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    counts = firsts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return counts.select(
+        "bucket",
+        "new_types",
+        F.sum("new_types").over(w).alias("vocab_cum"),
+    )
+
+
+def _patch_vocab_growth_sql() -> None:
+    from streaming_etl_pipeline_spark.functions.core import md5_long_sql
+    from streaming_etl_pipeline_spark.operators import dedup as DD
+
+    toks = DD.shingles_sql("text", 2)
+    sql = f"""
+    WITH toks AS (
+      SELECT ({md5_long_sql('doc_id', 'vg')} % 10) AS bucket,
+             unnest({toks}) AS tok
+      FROM documents),
+    firsts AS (SELECT tok, min(bucket) AS bucket FROM toks GROUP BY tok),
+    counts AS (SELECT bucket, count(*) AS new_types FROM firsts GROUP BY bucket)
+    SELECT bucket, new_types,
+           CAST(sum(new_types) OVER (ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS vocab_cum
+    FROM counts
+    """
+    spec = QUERIES["vocab_growth"]
+    QUERIES["vocab_growth"] = spec.__class__(fn=spec.fn, sql=sql, bench=spec.bench)
+
+
+_patch_vocab_growth_sql()
+
+
+@register(
     "privacy_audit",
     """
     WITH ka AS (

@@ -1170,6 +1170,48 @@ def q_nation_trade_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# top_ngrams (composite): corpus n-gram profile ∪ vocabulary-growth curve
+# (token-space statistics in one driver slot; embeds the original
+# top_ngrams SQL verbatim, so its values stay driver-gated)
+# ---------------------------------------------------------------------------
+
+_TOP_NGRAMS_SQL = _sql("top_ngrams")
+_TOP_NGRAMS_FN = QUERIES["top_ngrams"].fn
+
+
+@register(
+    "top_ngrams",
+    f"""
+    SELECT 'top_gram' AS tok_op, gram AS k1, CAST(df AS BIGINT) AS m1,
+           CAST(NULL AS BIGINT) AS m2
+    FROM ({_TOP_NGRAMS_SQL})
+    UNION ALL
+    SELECT 'vocab_growth' AS tok_op, CAST(bucket AS VARCHAR) AS k1,
+           CAST(new_types AS BIGINT) AS m1, vocab_cum AS m2
+    FROM ({_sql("vocab_growth")})
+    """,
+    bench=False,
+)
+def q_top_ngrams_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-space corpus statistics in one labelled driver row set: the
+    top-50 word-2-gram document frequencies (boilerplate / stop-shingle
+    discovery) plus the Heaps-law vocabulary-growth curve."""
+    top = _TOP_NGRAMS_FN(spark, sf_dir).select(
+        F.lit("top_gram").alias("tok_op"),
+        F.col("gram").alias("k1"),
+        F.col("df").cast("long").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+    )
+    vg = _run("vocab_growth", spark, sf_dir).select(
+        F.lit("vocab_growth").alias("tok_op"),
+        F.col("bucket").cast("string").alias("k1"),
+        F.col("new_types").cast("long").alias("m1"),
+        F.col("vocab_cum").cast("long").alias("m2"),
+    )
+    return top.unionByName(vg)
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -1229,6 +1271,7 @@ COVERED_BY: dict[str, str] = {
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",
     "ann_topk_filtered": "ann_topk",
+    "vocab_growth": "top_ngrams",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
