@@ -670,3 +670,59 @@ def filtered_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def ann_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    candidate_k: int = 50,
+    stage1_dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: a cheap wide net, then exact scoring of the
+    survivors — the production ANN shape (coarse quantizer / truncated
+    vectors for stage 1, full precision for the final order).
+
+    Stage 1 ranks ``candidate_k`` neighbors per query on
+    ``stage1_dims``-truncated, renormalized vectors (a dims/stage1_dims
+    bandwidth cut; see :func:`truncate_embeddings`). Stage 2 re-scores
+    ONLY those candidates with full-precision cosine and keeps the top
+    ``k``. Recall@k equals exact search whenever the true top-k survive
+    the stage-1 net — widen ``candidate_k`` to trade compute for recall.
+
+    The candidate set is (queries × candidate_k) rows — query-sized, so
+    the rerank join broadcasts it against the corpus; the 100 TB corpus
+    is still scanned once per stage and never shuffled.
+    """
+    if stage1_dims is None:
+        return cosine_topk(queries, corpus, k, id_col, vec_col)
+    short_corpus = truncate_embeddings(corpus, stage1_dims, vec_col)
+    short_queries = truncate_embeddings(queries, stage1_dims, vec_col)
+    cands = cosine_topk(
+        short_queries, short_corpus, candidate_k, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    full_q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    full_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        full_c.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(full_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_vec", "c_vec"), 9).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

@@ -948,3 +948,36 @@ def test_filtered_cosine_topk_prefilter_semantics(spark):
     # neighbor 3 is geometrically closest but excluded by the label filter;
     # pre-filter semantics still yield a full k=2 from label-1 candidates
     assert got == [(1, 2), (2, 4)]
+
+def test_ann_rerank_recovers_exact_topk(spark):
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        ann_rerank,
+        cosine_topk,
+    )
+
+    # MRL-style vectors: leading dims carry most of the energy (dim j
+    # scaled by 1/(j+1)), which is the assumption truncated stage-1
+    # search relies on; isotropic random vectors would not qualify.
+    base = spark.range(1, 201).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: F.sin(F.col("id") * (j + 1) * 0.37) / (j + 1),
+        ).alias("embedding"),
+    )
+    qs = base.filter(F.col("vec_id") < 9)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(qs, base, k=5).collect()
+    }
+    rer = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_rerank(qs, base, k=5, candidate_k=40, stage1_dims=8).collect()
+    }
+    agree = sum(1 for key in exact if rer.get(key) == exact[key])
+    assert agree >= 0.8 * len(exact)
+    # no stage1_dims -> falls through to exact search
+    assert {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_rerank(qs, base, k=5).collect()
+    } == exact
