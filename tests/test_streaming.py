@@ -886,3 +886,75 @@ def test_streaming_quantile_sketch_table_answers_range_quantiles(spark, tmp_path
         assert est[g]["n"] == oneshot[g]["n"]
         assert est[g]["p50_est"] == oneshot[g]["p50_est"]  # exact, not ≈
         assert est[g]["p95_est"] == oneshot[g]["p95_est"]
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: matched rows carry the right
+    payload; unmatched left rows are emitted with NULLs once the
+    watermark passes their state window (driven by a later batch whose
+    timestamps advance the watermark far beyond every pending row)."""
+    from streaming_etl_pipeline_spark.streaming import join_streams
+
+    in_a, in_b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(in_a), os.makedirs(in_b)
+    with open(os.path.join(in_a, "r1.json"), "w") as f:
+        f.write(json.dumps({"sensor_id": "s1",
+                            "ts": "2024-06-15 10:00:00", "value": 1.0}) + "\n")
+        f.write(json.dumps({"sensor_id": "s2",
+                            "ts": "2024-06-15 10:01:00", "value": 2.0}) + "\n")
+    with open(os.path.join(in_b, "c1.json"), "w") as f:
+        f.write(json.dumps({"sensor_id": "s1",
+                            "cts": "2024-06-15 10:02:00", "offset": 0.5}) + "\n")
+
+    def reading_stream():
+        return (
+            spark.readStream.format("json")
+            .schema("sensor_id string, ts string, value double")
+            .load(in_a)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 minute")
+        )
+
+    def calib_stream():
+        return (
+            spark.readStream.format("json")
+            .schema("sensor_id string, cts string, offset double")
+            .load(in_b)
+            .withColumn("cts", F.col("cts").cast("timestamp"))
+            .withWatermark("cts", "1 minute")
+        )
+
+    out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+
+    def run_once():
+        j = join_streams(
+            reading_stream(), calib_stream(), on="sensor_id",
+            left_ts="ts", right_ts="cts", tolerance="5 minutes",
+            how="leftOuter",
+        )
+        q = (
+            j.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # advance both watermarks far past the pending rows' state window
+    with open(os.path.join(in_a, "r2.json"), "w") as f:
+        f.write(json.dumps({"sensor_id": "s9",
+                            "ts": "2024-06-15 12:00:00", "value": 9.0}) + "\n")
+    with open(os.path.join(in_b, "c2.json"), "w") as f:
+        f.write(json.dumps({"sensor_id": "s9",
+                            "cts": "2024-06-15 12:00:00", "offset": 0.0}) + "\n")
+    run_once()
+    run_once()  # one more trigger so expired state flushes
+
+    rows = {
+        (r["sensor_id"], r["value"]): r["offset"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("s1", 1.0)] == 0.5        # matched within tolerance
+    assert ("s2", 2.0) in rows and rows[("s2", 2.0)] is None  # outer NULL
