@@ -113,3 +113,30 @@ def test_driver_results_are_pandas_canonicalizable(spark):
     for name, fn in entry_mod.queries().items():
         pdf = fn(spark, "/root/testdata/sf0.001").limit(50).toPandas()
         pdf.sort_values(list(pdf.columns))  # raises on unsortable cells
+
+
+def test_corpus_tables_match_schema_contract(spark, sf_dir):
+    """Full-schema canary via the quality gate: every corpus table read
+    through read_table resolves to EXACTLY the contracted types — a new
+    driver testdata flavor (the round-2 TIMESTAMP_NTZ incident, a
+    float64 embedding regeneration, an int32 key) fails here before it
+    fails deep inside an operator."""
+    from streaming_etl_pipeline_spark.quality.expectations import schema_check
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    expected = {
+        "events": {
+            "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+            "event_type": "string", "value": "double", "props": "string",
+        },
+        "documents": {
+            "doc_id": "bigint", "text": "string", "lang": "string",
+            "source": "string", "n_chars": "bigint",
+        },
+        "embeddings": {
+            "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+        },
+    }
+    for table, spec in expected.items():
+        drift = schema_check(read_table(spark, sf_dir, table), spec)
+        assert drift == [], f"{table}: {drift}"
