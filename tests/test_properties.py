@@ -386,3 +386,124 @@ def test_apply_cdc_replay_converges(rows):
         if a is not None:  # upsert; None means delete
             want.add((k, a))
     assert got_once == want
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(0, 3000), min_size=1, max_size=60),
+    budget=st.sampled_from([256, 1000, 4096]),
+    groups=st.integers(1, 3),
+)
+def test_pack_sequences_tiles_each_group(tokens, budget, groups):
+    """For any doc set: per-group offsets tile [0, Σtokens) exactly with
+    no gaps or overlaps, block spans are consistent with the offsets,
+    and zero-token docs never cross."""
+    from streaming_etl_pipeline_spark.operators.curation import pack_sequences
+
+    rows = [
+        Row(doc_id=i, source=str(i % groups), n_tokens=t)
+        for i, t in enumerate(tokens)
+    ]
+    out = pack_sequences(
+        _spark.createDataFrame(rows, "doc_id long, source string, n_tokens long"),
+        budget=budget,
+    ).collect()
+    assert len(out) == len(rows)
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: (r["start_offset"], r["doc_id"]))
+        expect = 0
+        for r in rs:
+            assert r["start_offset"] == expect
+            expect += r["n_tok"]
+            assert r["block_first"] == r["start_offset"] // budget
+            if r["n_tok"] > 0:
+                assert r["block_last"] == (
+                    (r["start_offset"] + r["n_tok"] - 1) // budget
+                )
+                assert r["crosses"] == (r["block_first"] != r["block_last"])
+            else:
+                assert not r["crosses"]
+        assert expect == sum(
+            t for i, t in enumerate(tokens) if str(i % groups) == g
+        )
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=99.5, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=200,
+    ),
+    n_splits=st.integers(2, 4),
+)
+def test_quantile_sketch_merge_equals_oneshot(vals, n_splits):
+    """Any partition of the data into sketch builds merges to EXACTLY
+    the one-shot sketch (histogram merges are associative), and every
+    estimate sits within one bin width of a true quantile."""
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    LO, HI, BINS = 0.0, 100.0, 50  # width 2.0
+    rows = [Row(k="g", v=float(v), part=i % n_splits)
+            for i, v in enumerate(vals)]
+    df = _spark.createDataFrame(rows, "k string, v double, part int")
+    parts = [
+        quantile_sketch_build(df.filter(F.col("part") == i), ("k",),
+                              "v", LO, HI, BINS)
+        for i in range(n_splits)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = sorted(map(tuple, quantile_sketch_merge(u, ("k",)).collect()))
+    oneshot = sorted(map(tuple, quantile_sketch_build(
+        df, ("k",), "v", LO, HI, BINS).collect()))
+    assert merged == oneshot
+    est = quantile_sketch_estimate(
+        quantile_sketch_merge(u, ("k",)), ("k",), (0.5,), LO, HI, BINS
+    ).collect()[0]
+    import math as _m
+
+    s = sorted(vals)
+    # the sketch's definition: smallest value whose cumulative count
+    # reaches q*n -> rank ceil(q*n) (1-based)
+    true_p50 = s[max(0, _m.ceil(0.5 * len(s)) - 1)]
+    assert abs(est["p50_est"] - true_p50) <= 2.0 + 1e-9
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=0, max_size=200),
+        min_size=1, max_size=20,
+    )
+)
+def test_substring_dup_stats_bounds(texts):
+    """0 ≤ shared ≤ n_chunks; dup_frac in [0,1]; identical docs (after
+    normalization) flag ALL chunks shared; short docs produce no rows."""
+    from streaming_etl_pipeline_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+    from streaming_etl_pipeline_spark.operators.text import norm_text
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    # append an exact twin of doc 0 under a new id
+    rows.append(Row(doc_id=10_000, text=texts[0]))
+    df = _spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dup_stats(
+        df, width=32, stride=16).collect()}
+    norm0 = " ".join(texts[0].split()).lower().strip()
+    for r in out.values():
+        assert 0 <= r["shared_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+    if len(norm0) >= 32:
+        assert out[0]["dup_frac"] == 1.0 and out[10_000]["dup_frac"] == 1.0
+    else:
+        assert 0 not in out and 10_000 not in out
