@@ -677,3 +677,76 @@ def substring_dup_stats(
         "shared_chunks",
         F.round(F.col("shared_chunks") / F.col("n_chunks"), 6).alias("dup_frac"),
     )
+
+
+def incremental_substring_dups(
+    spark,
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 64,
+    stride: int = 32,
+    append: bool = True,
+) -> DataFrame:
+    """Incremental substring-level dedup against a persisted chunk-
+    fingerprint store: chunk only the NEW batch, probe its fingerprints
+    against the store plus the batch itself, and append the batch's
+    fingerprints.
+
+    Returns the same per-doc profile as :func:`substring_dup_stats`
+    (``id, n_chunks, shared_chunks, dup_frac``) for the new docs, where
+    "shared" means the chunk hash occurs under any OTHER document —
+    previously-stored or elsewhere in this batch. Per-ingest cost is the
+    batch's chunk volume plus one semi-probe of the store on the
+    md5-uniform hash; old text is never rescanned. Same loop shape as
+    :func:`incremental_near_dups` — the 100 TB ingestion pattern.
+    """
+    from pyspark.errors import AnalysisException
+
+    new_chunks = chunk_fingerprints(new_docs, id_col, text_col, width, stride)
+    try:
+        store = spark.read.parquet(store_path).select(id_col, "chunk_hash")
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        store = None
+
+    probe_src = new_chunks.select(id_col, "chunk_hash")
+    universe = (
+        probe_src if store is None else probe_src.unionByName(store)
+    )
+    # a chunk instance is shared iff its hash maps to >1 distinct doc in
+    # the union universe — min/max window, no self-join (the store side
+    # contributes only (id, hash) pairs, never text)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk_hash")
+    flags = universe.select(
+        id_col,
+        "chunk_hash",
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_shared"),
+    ).join(
+        new_chunks.select(id_col).distinct(), id_col, "left_semi"
+    )
+    out = (
+        flags.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("_shared").cast("int")).alias("shared_chunks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "shared_chunks",
+            F.round(F.col("shared_chunks") / F.col("n_chunks"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+    if append:
+        out = out.localCheckpoint(eager=True)
+        new_chunks.select(id_col, "pos", "chunk_hash").write.mode(
+            "append"
+        ).parquet(store_path)
+    return out

@@ -981,3 +981,38 @@ def test_ann_rerank_recovers_exact_topk(spark):
         (r["query_id"], r["rank"]): r["neighbor_id"]
         for r in ann_rerank(qs, base, k=5).collect()
     } == exact
+
+
+def test_incremental_substring_dups_store(spark, tmp_path):
+    span = "a long shared boilerplate passage that recurs across batches " * 3
+    store = str(tmp_path / "chunkstore")
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span + "first document unique tail content"),
+            Row(doc_id=2, text="entirely different standalone content long "
+                               "enough to chunk into several fingerprints "
+                               "of its very own without overlap"),
+        ]
+    )
+    out1 = {r["doc_id"]: r for r in DD.incremental_substring_dups(
+        spark, b1, store).collect()}
+    # batch 1: docs share nothing with each other (or an empty store)
+    assert out1[1]["shared_chunks"] == 0 and out1[2]["shared_chunks"] == 0
+    # batch 2: doc 10 repeats the boilerplate -> flagged against the
+    # STORE without rescanning batch-1 text; doc 11 is fresh
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=span + "second batch has a different ending"),
+            Row(doc_id=11, text="fresh material appearing for the first "
+                                "time in any batch of this corpus with "
+                                "plenty of length to produce chunks"),
+        ]
+    )
+    out2 = {r["doc_id"]: r for r in DD.incremental_substring_dups(
+        spark, b2, store).collect()}
+    assert out2[10]["shared_chunks"] > 0 and out2[10]["dup_frac"] > 0.5
+    assert out2[11]["shared_chunks"] == 0
+    # only new-batch docs are reported
+    assert set(out2) == {10, 11}
+    # store accumulated both batches' fingerprints
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 4
