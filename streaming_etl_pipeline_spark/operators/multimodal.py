@@ -366,3 +366,93 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
     return assets.select("asset_id", "kind", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate detection
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def _dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → 9×8 nearest-neighbor resample
+    → bit i set iff pixel[r, c] > pixel[r, c+1]. Robust to re-encoding,
+    resizing and small brightness shifts (monotone transforms preserve
+    the comparisons); Hamming distance measures perceptual change."""
+    gray = arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr
+    small = _resize_nn(gray, 9, 8)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # keep positive in a signed 64-bit long (Spark LongType)
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Per-image perceptual hash via Arrow-batched ``mapInPandas`` —
+    0-shuffle; the payload never crosses the wire. Corrupt payloads get
+    a sha256-derived stand-in hash (labelled) so the pipeline is total.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, decoders = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    arr, decoder = _decode_image(payload)
+                    hashes.append(_dhash64(arr))
+                    decoders.append(decoder)
+                except Exception:
+                    digest = hashlib.sha256(payload).digest()
+                    hashes.append(
+                        int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF
+                    )
+                    decoders.append("stub-sha256")
+                ids.append(int(aid))
+            yield pd.DataFrame(
+                {"asset_id": ids, "dhash": hashes, "decoder": decoders}
+            )
+
+    return (
+        assets.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=DHASH_SCHEMA)
+    )
+
+
+def image_neardup_pairs(
+    assets: DataFrame, max_hamming: int = 10
+) -> DataFrame:
+    """Perceptual image near-duplicates: dHash per image (0-shuffle
+    decode pass), then the SAME pigeonhole chunk-band join the SimHash
+    text path uses (``dedup.hamming_close_pairs``) — candidates only
+    from matching hash chunks, never an all-pairs scan. Scale shape is
+    identical to text SimHash: one uniform-key shuffle over 64-bit
+    hashes, not images."""
+    from streaming_etl_pipeline_spark.operators.dedup import (
+        hamming_close_pairs,
+    )
+
+    hashes = image_dhash(assets).select(
+        F.col("asset_id").alias("doc_id"), F.col("dhash")
+    )
+    return hamming_close_pairs(
+        hashes,
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        chunks=max_hamming + 1,
+        bits=64,
+    ).select(
+        F.col("id_a").alias("asset_a"),
+        F.col("id_b").alias("asset_b"),
+        "hamming",
+    )

@@ -1016,3 +1016,39 @@ def test_incremental_substring_dups_store(spark, tmp_path):
     assert set(out2) == {10, 11}
     # store accumulated both batches' fingerprints
     assert spark.read.parquet(store).select("doc_id").distinct().count() == 4
+
+
+def test_image_dhash_neardup_pairs(spark):
+    import numpy as np
+
+    from streaming_etl_pipeline_spark.functions.codecs import png_encode
+    from streaming_etl_pipeline_spark.operators.multimodal import (
+        image_neardup_pairs,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 20)  # ids 0..19; evens are images
+    # build a brightness-shifted twin of image 0: same pixels +12,
+    # clipped — dHash comparisons are monotone-invariant
+    from streaming_etl_pipeline_spark.operators.multimodal import (
+        _decode_image,
+    )
+
+    payload0 = bytes(
+        assets.filter("asset_id = 0").collect()[0]["payload"]
+    )
+    arr, _ = _decode_image(payload0)
+    twin = np.clip(arr.astype(np.int16) + 12, 0, 255).astype(np.uint8)
+    twin_df = spark.createDataFrame(
+        [(1000, "image", bytearray(png_encode(twin)), None)],
+        "asset_id long, kind string, payload binary, meta map<string,string>",
+    )
+    all_assets = assets.select("asset_id", "kind", "payload").unionByName(
+        twin_df.select("asset_id", "kind", "payload")
+    )
+    pairs = image_neardup_pairs(all_assets, max_hamming=10).collect()
+    found = {(r["asset_a"], r["asset_b"]) for r in pairs}
+    assert (0, 1000) in found or (1000, 0) in found
+    # random sha-derived images are far apart — the twin pair only
+    others = found - {(0, 1000), (1000, 0)}
+    assert len(others) == 0
