@@ -1,0 +1,222 @@
+"""Time-series similarity search over the event stream.
+
+Distributed SAX-style subsequence matching (the shape of EDBT'19
+"Time Series Similarity Search for Streaming Data in Distributed
+Systems", re-expressed Spark-first): per-entity tumbling windows are
+z-normalized, PAA-compressed and discretized to a small SAX alphabet;
+windows sharing a SAX word are the ONLY candidate pairs, and candidates
+are verified with the exact z-normalized Euclidean distance. The
+all-pairs O(n²) window comparison never materializes — the same
+index-then-verify discipline as MinHash/LSH text dedup
+(operators/dedup.py).
+
+Oracle parity: every float step is engine-portable — means/stddevs
+accumulate in DECIMAL, z-scores and PAA segments are rounded to fixed
+precision before any comparison, SAX breakpoints are literals, and the
+verify distance sums exact decimals before one IEEE sqrt.
+
+Scale (100 TB): windowing is one shuffle on the entity key; window
+stats are one groupBy at (entity, window) grain; the SAX-word join is
+uniform *after* the hot-word cutoff (``max_word_df`` drops
+constant/flat motifs the way df-cutoff drops stop-shingles — without
+it a flat corpus degenerates to all-pairs within one word).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: SAX breakpoints for a 4-symbol alphabet under N(0,1) (equiprobable).
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def ts_windows(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_len: int = 8,
+) -> DataFrame:
+    """Complete tumbling windows of ``window_len`` consecutive readings
+    per entity: rows ``(key, win, pos, v)`` with pos 0..len-1 in event
+    order. Ties on the timestamp break by a second deterministic column
+    so both engines order identically."""
+    order = [F.col(ts_col).asc(), F.col("event_id").asc()] if (
+        "event_id" in df.columns
+    ) else [F.col(ts_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    rows = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.row_number().over(w) - 1).alias("_rn"),
+    )
+    rows = rows.select(
+        "k",
+        "v",
+        (F.col("_rn") % window_len).alias("pos"),
+        (F.col("_rn") / window_len).cast("long").alias("win"),
+    )
+    complete = (
+        rows.groupBy("k", "win")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == window_len)
+        .select("k", "win")
+    )
+    return rows.join(complete, ["k", "win"])
+
+
+def sax_words(
+    windows: DataFrame, window_len: int = 8, paa_segments: int = 4
+) -> DataFrame:
+    """Z-normalize each window (decimal-exact mean/std, rounded z), PAA
+    to ``paa_segments`` means, discretize on :data:`SAX_BREAKS` → one
+    ``(k, win, word)`` row per window plus the rounded z rows for exact
+    verification. Flat windows (std = 0) are dropped — their distance is
+    undefined under z-normalization."""
+    seg_len = window_len // paa_segments
+    stats = windows.groupBy("k", "win").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("_mean"),
+        F.count(F.lit(1)).alias("_n"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    # mu*mu as plain multiplication — pow() is not
+                    # guaranteed correctly rounded across engines
+                    - (
+                        F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    * (
+                        F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+                        / F.count(F.lit(1))
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            9,
+        ).alias("_std"),
+    )
+    z = (
+        windows.join(stats, ["k", "win"])
+        .filter(F.col("_std") > 0)
+        .select(
+            "k",
+            "win",
+            "pos",
+            F.round((F.col("v") - F.col("_mean")) / F.col("_std"), 6).alias("z"),
+        )
+    )
+    paa = z.groupBy(
+        "k", "win", (F.col("pos") / seg_len).cast("int").alias("seg")
+    ).agg(
+        F.round(
+            F.sum(F.col("z").cast("decimal(18,6)")).cast("double") / seg_len, 6
+        ).alias("paa")
+    )
+    letter = (
+        F.when(F.col("paa") < SAX_BREAKS[0], F.lit("a"))
+        .when(F.col("paa") < SAX_BREAKS[1], F.lit("b"))
+        .when(F.col("paa") < SAX_BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    words = (
+        paa.select("k", "win", "seg", letter.alias("_l"))
+        .groupBy("k", "win")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "_l"))),
+                    lambda s: s["_l"],
+                ),
+                "",
+            ).alias("word")
+        )
+    )
+    return words, z
+
+
+def similar_windows(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_len: int = 8,
+    paa_segments: int = 4,
+    max_distance: float = 1.5,
+    max_word_df: int = 200,
+    top_k: int = 50,
+) -> DataFrame:
+    """End-to-end similar-subsequence discovery: windows sharing a SAX
+    word (hot words above ``max_word_df`` dropped) are verified with the
+    exact z-normalized Euclidean distance; the ``top_k`` closest
+    cross-entity pairs are returned with a strict total order."""
+    wins = ts_windows(df, key_col, ts_col, value_col, window_len)
+    words, z = sax_words(wins, window_len, paa_segments)
+    rare = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_word_df)
+        .select("word")
+    )
+    cand = (
+        words.join(rare, "word")
+        .alias("a")
+        .join(
+            words.join(rare, "word").alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (
+                (F.col("a.k") < F.col("b.k"))
+                | ((F.col("a.k") == F.col("b.k")) & (F.col("a.win") < F.col("b.win")))
+            ),
+        )
+        .select(
+            F.col("a.k").alias("k_a"),
+            F.col("a.win").alias("win_a"),
+            F.col("b.k").alias("k_b"),
+            F.col("b.win").alias("win_b"),
+            F.col("a.word").alias("word"),
+        )
+    )
+    za = z.select(
+        F.col("k").alias("k_a"), F.col("win").alias("win_a"), "pos",
+        F.col("z").alias("z_a"),
+    )
+    zb = z.select(
+        F.col("k").alias("k_b"), F.col("win").alias("win_b"), "pos",
+        F.col("z").alias("z_b"),
+    )
+    dist = (
+        cand.join(za, ["k_a", "win_a"])
+        .join(zb, ["k_b", "win_b", "pos"])
+        .groupBy("k_a", "win_a", "k_b", "win_b", "word")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (
+                            (F.col("z_a") - F.col("z_b"))
+                            * (F.col("z_a") - F.col("z_b"))
+                        ).cast("decimal(38,12)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("distance")
+        )
+    )
+    return (
+        dist.filter(F.col("distance") <= max_distance)
+        .orderBy(
+            F.col("distance").asc(),
+            F.col("k_a").asc(), F.col("win_a").asc(),
+            F.col("k_b").asc(), F.col("win_b").asc(),
+        )
+        .limit(top_k)
+    )

@@ -2304,3 +2304,4 @@ def driver_oracle_sql() -> dict[str, str]:
         for n in corpus_merged.DRIVER_SET
         if QUERIES[n].sql is not None
     }
+

@@ -775,6 +775,10 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'semdedup' AS method, vec_id AS id_a, canonical_id AS id_b,
            CAST(cluster_size AS DOUBLE) AS score
     FROM ({_sql("semantic_dedup")})
+    UNION ALL
+    SELECT 'ts_window' AS method, k_a * 100000 + win_a AS id_a,
+           k_b * 100000 + win_b AS id_b, distance AS score
+    FROM ({_sql("ts_motifs")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,7 +802,13 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").alias("id_b"),
         F.col("cluster_size").cast("double").alias("score"),
     )
-    return emb.unionByName(fz).unionByName(sd)
+    ts = _run("ts_motifs", spark, sf_dir).select(
+        F.lit("ts_window").alias("method"),
+        (F.col("k_a") * 100000 + F.col("win_a")).alias("id_a"),
+        (F.col("k_b") * 100000 + F.col("win_b")).alias("id_b"),
+        F.col("distance").alias("score"),
+    )
+    return emb.unionByName(fz).unionByName(sd).unionByName(ts)
 
 
 # ---------------------------------------------------------------------------
@@ -1267,6 +1277,7 @@ COVERED_BY: dict[str, str] = {
     "embedding_neardup": "neardup_pairs",
     "fuzzy_name_pairs": "neardup_pairs",
     "semantic_dedup": "neardup_pairs",
+    "ts_motifs": "neardup_pairs",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",

@@ -294,3 +294,76 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(bpe_tokens("text")).alias("n_tokens")
     )
     return CU.pack_sequences(docs, budget=_PACK_BUDGET)
+
+
+_TS_MOTIFS_SQL = """
+    WITH rows0 AS (
+      SELECT user_id AS k, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS rn
+      FROM events),
+    rows1 AS (SELECT k, v, rn % 8 AS pos, rn // 8 AS win FROM rows0),
+    complete AS (SELECT k, win FROM rows1 GROUP BY k, win
+                 HAVING count(*) = 8),
+    wins AS (SELECT r.* FROM rows1 r JOIN complete USING (k, win)),
+    stats AS (
+      SELECT k, win,
+        round(CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*), 9)
+          AS m,
+        round(sqrt(greatest(
+            CAST(sum(CAST(v*v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+            - (CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*))
+              * (CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*)),
+            0.0)), 9) AS s
+      FROM wins GROUP BY k, win),
+    z AS (SELECT w.k, w.win, w.pos, round((w.v - st.m) / st.s, 6) AS z
+          FROM wins w JOIN stats st USING (k, win) WHERE st.s > 0),
+    paa AS (SELECT k, win, CAST(pos // 2 AS INT) AS seg,
+                   round(CAST(sum(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / 2, 6)
+                     AS paa
+            FROM z GROUP BY k, win, pos // 2),
+    words AS (SELECT k, win,
+                string_agg(CASE WHEN paa < -0.6745 THEN 'a'
+                                WHEN paa < 0.0 THEN 'b'
+                                WHEN paa < 0.6745 THEN 'c'
+                                ELSE 'd' END, '' ORDER BY seg) AS word
+              FROM paa GROUP BY k, win),
+    rare AS (SELECT word FROM words GROUP BY word HAVING count(*) <= 200),
+    cand AS (SELECT a.k AS k_a, a.win AS win_a, b.k AS k_b, b.win AS win_b,
+                    a.word AS word
+             FROM (SELECT w.* FROM words w JOIN rare USING (word)) a
+             JOIN (SELECT w.* FROM words w JOIN rare USING (word)) b
+               ON a.word = b.word
+              AND (a.k < b.k OR (a.k = b.k AND a.win < b.win))),
+    dist AS (SELECT c.k_a, c.win_a, c.k_b, c.win_b, c.word,
+               round(sqrt(CAST(sum(CAST((za.z - zb.z) * (za.z - zb.z)
+                                        AS DECIMAL(38,12))) AS DOUBLE)), 6)
+                 AS distance
+             FROM cand c
+             JOIN z za ON za.k = c.k_a AND za.win = c.win_a
+             JOIN z zb ON zb.k = c.k_b AND zb.win = c.win_b
+                      AND zb.pos = za.pos
+             GROUP BY 1, 2, 3, 4, 5)
+    SELECT * FROM dist WHERE distance <= 1.5
+    ORDER BY distance, k_a, win_a, k_b, win_b LIMIT 50
+"""
+
+
+@register("ts_motifs", _TS_MOTIFS_SQL)
+def q_ts_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (operators/timeseries.py): SAX-
+    indexed z-normalized window matching over per-user event values —
+    windows sharing a discretized SAX word are the only candidates,
+    verified with the exact z-normalized Euclidean distance (decimal
+    accumulation, one IEEE sqrt). The 50 closest cross-window pairs
+    under a strict total order."""
+    from streaming_etl_pipeline_spark.operators.timeseries import (
+        similar_windows,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    return similar_windows(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        window_len=8, paa_segments=4, max_distance=1.5,
+        max_word_df=200, top_k=50,
+    )

@@ -1052,3 +1052,29 @@ def test_image_dhash_neardup_pairs(spark):
     # random sha-derived images are far apart — the twin pair only
     others = found - {(0, 1000), (1000, 0)}
     assert len(others) == 0
+
+
+def test_similar_windows_finds_planted_motif(spark):
+    import datetime as dt
+
+    from streaming_etl_pipeline_spark.operators.timeseries import (
+        similar_windows,
+    )
+
+    # two users share an identical 8-sample sawtooth motif; a third has
+    # unrelated noise-free but different-shape values
+    motif = [1.0, 5.0, 2.0, 6.0, 3.0, 7.0, 4.0, 8.0]
+    other = [9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0]
+    rows = []
+    eid = 0
+    for u, series in ((1, motif), (2, motif), (3, other)):
+        for i, v in enumerate(series):
+            rows.append((eid, u, dt.datetime(2024, 1, 1, 0, i), float(v)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = similar_windows(df, max_distance=0.5, window_len=8).collect()
+    pairs = {(r["k_a"], r["k_b"]): r["distance"] for r in out}
+    assert pairs.get((1, 2)) == 0.0  # identical motif, z-distance 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
