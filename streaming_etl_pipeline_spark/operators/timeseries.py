@@ -220,3 +220,37 @@ def similar_windows(
         )
         .limit(top_k)
     )
+
+
+def ts_discords(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_len: int = 8,
+    paa_segments: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """Anomalous-subsequence candidates (discords), HOT-SAX style: rank
+    windows by the rarity of their SAX word — a window whose discretized
+    shape is shared by few (or no) other windows is the candidate whose
+    nearest-neighbor distance is likely maximal. This is the HOT SAX
+    outer-loop heuristic as a standalone screen: exact discord
+    confirmation (min distance to any other window) is run downstream on
+    only the ``top_k`` survivors, corpus-sized work avoided.
+
+    Output: ``(k, win, word, word_df)`` for the ``top_k`` rarest-shaped
+    windows under a strict (df ASC, word, k, win) total order.
+    """
+    wins = ts_windows(df, key_col, ts_col, value_col, window_len)
+    words, _ = sax_words(wins, window_len, paa_segments)
+    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("word_df"))
+    return (
+        words.join(dfreq, "word")
+        .orderBy(
+            F.col("word_df").asc(), F.col("word").asc(),
+            F.col("k").asc(), F.col("win").asc(),
+        )
+        .limit(top_k)
+        .select("k", "win", "word", "word_df")
+    )

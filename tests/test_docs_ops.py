@@ -1078,3 +1078,25 @@ def test_similar_windows_finds_planted_motif(spark):
     pairs = {(r["k_a"], r["k_b"]): r["distance"] for r in out}
     assert pairs.get((1, 2)) == 0.0  # identical motif, z-distance 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ts_discords_ranks_anomalous_shape_first(spark):
+    import datetime as dt
+
+    from streaming_etl_pipeline_spark.operators.timeseries import ts_discords
+
+    # 6 users share a common rising sawtooth; one user has a spike shape
+    common = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    spike = [1.0, 1.0, 1.0, 50.0, 1.0, 1.0, 1.0, 1.0]
+    rows, eid = [], 0
+    for u in range(1, 7):
+        for i, v in enumerate(common):
+            rows.append((eid, u, dt.datetime(2024, 1, 1, 0, i), v)); eid += 1
+    for i, v in enumerate(spike):
+        rows.append((eid, 99, dt.datetime(2024, 1, 1, 0, i), v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = ts_discords(df, top_k=3).collect()
+    assert out[0]["k"] == 99 and out[0]["word_df"] == 1  # rarest shape first
+    assert all(r["word_df"] >= out[0]["word_df"] for r in out)
