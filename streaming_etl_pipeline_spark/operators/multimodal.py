@@ -456,3 +456,92 @@ def image_neardup_pairs(
         F.col("id_b").alias("asset_b"),
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact pixel/sample statistics (decode verified end-to-end)
+# ---------------------------------------------------------------------------
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("lo", T.LongType(), False),
+        T.StructField("hi", T.LongType(), False),
+        T.StructField("m1", T.DoubleType(), False),
+        T.StructField("m2", T.DoubleType(), False),
+        T.StructField("m3", T.DoubleType(), False),
+    ]
+)
+
+
+def _round6(x: float) -> float:
+    """floor(x·1e6 + 0.5)/1e6 — one IEEE multiply/add/floor/divide, so
+    Python, Spark and DuckDB produce the identical double (decimal-
+    semantics ``round`` differs subtly between engines)."""
+    import math as _m
+
+    return _m.floor(x * 1e6 + 0.5) / 1e6
+
+
+def pixel_stats(assets: DataFrame) -> DataFrame:
+    """Decode every asset and emit INTEGER-EXACT content statistics:
+
+    - image: n pixels·channels, min/max byte, mean, std, channel-0 mean
+      (all derived from integer byte sums — exact rationals);
+    - audio: n samples, min/max sample, mean, RMS, zero-cross rate.
+
+    Because the test payloads are counter-mode sha256 streams, a SQL
+    oracle can regenerate the ORIGINAL pixel/sample values and compute
+    the same integers — so the real decode path (PNG/zlib, WAV) is
+    verified end-to-end: a single flipped bit anywhere in encode→decode
+    changes an exact integer sum and fails the gate.
+    """
+    import math as _m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("asset_id", "kind", "n", "lo", "hi", "m1", "m2", "m3")}
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                if kind == "image":
+                    arr, _ = _decode_image(payload)
+                    flat = arr.astype(np.int64).ravel()
+                    n = int(flat.size)
+                    s = int(flat.sum())
+                    sq = int((flat * flat).sum())
+                    ch0 = arr[..., 0].astype(np.int64)
+                    s0, n0 = int(ch0.sum()), int(ch0.size)
+                    mean = s / (n * 255)
+                    var = sq / (n * 255 * 255) - mean * mean
+                    out["n"].append(n)
+                    out["lo"].append(int(flat.min()))
+                    out["hi"].append(int(flat.max()))
+                    out["m1"].append(_round6(mean))
+                    out["m2"].append(_round6(_m.sqrt(max(var, 0.0))))
+                    out["m3"].append(_round6(s0 / (n0 * 255)))
+                else:
+                    samples, rate = wav_decode(payload)
+                    flat = samples.astype(np.int64).ravel()
+                    n = int(flat.size)
+                    s = int(flat.sum())
+                    sq = int((flat * flat).sum())
+                    neg = flat < 0
+                    zc = int((neg[1:] != neg[:-1]).sum())
+                    out["n"].append(n)
+                    out["lo"].append(int(flat.min()))
+                    out["hi"].append(int(flat.max()))
+                    out["m1"].append(_round6(s / (n * 32768)))
+                    out["m2"].append(_round6(_m.sqrt(sq / (n * 32768.0 * 32768.0))))
+                    out["m3"].append(_round6(zc / (n - 1)))
+                out["asset_id"].append(int(aid))
+                out["kind"].append(str(kind))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )

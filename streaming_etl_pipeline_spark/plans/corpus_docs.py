@@ -1029,3 +1029,102 @@ def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.filtered_cosine_topk(
         dbl.filter(F.col("vec_id") < 20), dbl, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pixel/sample statistics — REAL decode verified by a SQL
+# oracle that regenerates the pre-encode byte stream (counter-mode
+# sha256, which DuckDB reproduces bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_MM_N = 200
+_MM_IMG_BYTES = 64 * 64 * 3        # 12288
+_MM_IMG_DIGESTS = (_MM_IMG_BYTES + 31) // 32
+_MM_AUD_BYTES = 16000 * 2
+_MM_AUD_DIGESTS = _MM_AUD_BYTES // 32
+
+#: floor(x*1e6 + 0.5)/1e6 — identical in Python/DuckDB (plain IEEE ops),
+#: unlike decimal-semantics round().
+def _r6(expr: str) -> str:
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+_MM_PIXEL_SQL = f"""
+    WITH ids AS (SELECT unnest(range(0, {_MM_N})) AS aid),
+    imgd AS (SELECT aid, d
+             FROM (SELECT aid FROM ids WHERE aid % 2 = 0)
+             CROSS JOIN (SELECT unnest(range(0, {_MM_IMG_DIGESTS})) AS d)),
+    imgbytes AS (
+      SELECT aid, d * 32 + i AS j,
+             ('0x' || substr(sha256('img' || CAST(aid AS VARCHAR) || '#'
+                                    || CAST(d AS VARCHAR)),
+                             i * 2 + 1, 2))::BIGINT AS b
+      FROM imgd CROSS JOIN (SELECT unnest(range(0, 32)) AS i)
+      WHERE d * 32 + i < {_MM_IMG_BYTES}),
+    imgstats AS (
+      SELECT aid, CAST(count(*) AS BIGINT) AS n,
+             min(b) AS lo, max(b) AS hi,
+             CAST(sum(b) AS BIGINT) AS s, CAST(sum(b * b) AS BIGINT) AS sq,
+             CAST(sum(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN j % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM imgbytes GROUP BY aid),
+    img AS (
+      SELECT aid AS asset_id, 'image' AS kind, n, lo, hi,
+             {_r6("CAST(s AS DOUBLE) / (n * 255)")} AS m1,
+             {_r6("sqrt(greatest(CAST(sq AS DOUBLE) / (n * 255 * 255)"
+                  " - (CAST(s AS DOUBLE) / (n * 255))"
+                  " * (CAST(s AS DOUBLE) / (n * 255)), 0.0))")} AS m2,
+             {_r6("CAST(s0 AS DOUBLE) / (n0 * 255)")} AS m3
+      FROM imgstats),
+    audd AS (SELECT aid, d
+             FROM (SELECT aid FROM ids WHERE aid % 2 = 1)
+             CROSS JOIN (SELECT unnest(range(0, {_MM_AUD_DIGESTS})) AS d)),
+    audbytes AS (
+      SELECT aid, d * 32 + i AS j,
+             ('0x' || substr(sha256('aud' || CAST(aid AS VARCHAR) || '#'
+                                    || CAST(d AS VARCHAR)),
+                             i * 2 + 1, 2))::BIGINT AS b
+      FROM audd CROSS JOIN (SELECT unnest(range(0, 32)) AS i)),
+    rawsamples AS (
+      SELECT aid, j // 2 AS si,
+             CAST(sum(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END)
+                  AS BIGINT) AS v
+      FROM audbytes GROUP BY aid, j // 2),
+    signed AS (SELECT aid, si,
+                      CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+               FROM rawsamples),
+    flips AS (
+      SELECT aid, s,
+             CASE WHEN lag(s) OVER (PARTITION BY aid ORDER BY si) IS NULL
+                    THEN 0
+                  WHEN (s < 0) <> (lag(s) OVER (PARTITION BY aid
+                                                ORDER BY si) < 0) THEN 1
+                  ELSE 0 END AS f
+      FROM signed),
+    audstats AS (
+      SELECT aid, CAST(count(*) AS BIGINT) AS n,
+             min(s) AS lo, max(s) AS hi,
+             CAST(sum(s) AS BIGINT) AS sm, CAST(sum(s * s) AS BIGINT) AS sq,
+             CAST(sum(f) AS BIGINT) AS zc
+      FROM flips GROUP BY aid),
+    aud AS (
+      SELECT aid AS asset_id, 'audio' AS kind, n, lo, hi,
+             {_r6("CAST(sm AS DOUBLE) / (n * 32768)")} AS m1,
+             {_r6("sqrt(CAST(sq AS DOUBLE) / (n * 32768.0 * 32768.0))")} AS m2,
+             {_r6("CAST(zc AS DOUBLE) / (n - 1)")} AS m3
+      FROM audstats)
+    SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
+
+@register("multimodal_pixel_stats", _MM_PIXEL_SQL)
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode, oracle-verified end-to-end: Spark decodes
+    the actual PNG/WAV payloads (operators/multimodal.py ``pixel_stats``,
+    integer-exact statistics); DuckDB regenerates the ORIGINAL
+    pixel/sample stream from the counter-mode sha256 generator and
+    computes the same integers. A single flipped bit anywhere in
+    encode→decode changes an exact sum and fails the hash — the decode
+    path itself is now inside the correctness gate, not just pytest."""
+    assets = MM.synthesize_assets(spark, n=_MM_N)
+    return MM.pixel_stats(assets)

@@ -990,7 +990,8 @@ def q_order_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH up AS ({_sql("upsert_user_dim")}),
          cdc AS ({_sql("cdc_customer_apply")}),
-         sd AS ({_sql("snapshot_diff_customers")})
+         sd AS ({_sql("snapshot_diff_customers")}),
+         dt AS ({_sql("dim_time")})
     SELECT 'merge_upsert' AS dim_op, user_id AS key,
            CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS segment,
            first_seen AS ts1, last_seen AS ts2, event_count AS n
@@ -1007,6 +1008,16 @@ def q_order_flags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
            CAST(NULL AS BIGINT) AS n
     FROM sd
+    UNION ALL
+    SELECT 'dim_time' AS dim_op, time_key AS key,
+           CAST(hour AS VARCHAR) || '|' || CAST(day AS VARCHAR) || '|'
+             || CAST(month AS VARCHAR) || '|' || CAST(year AS VARCHAR) || '|'
+             || CAST(day_of_week AS VARCHAR) || '|'
+             || CAST(is_weekend AS VARCHAR) AS name,
+           CAST(NULL AS VARCHAR) AS segment,
+           full_timestamp AS ts1, CAST(NULL AS TIMESTAMP) AS ts2,
+           CAST(NULL AS BIGINT) AS n
+    FROM dt
     """,
 )
 def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,7 +1051,22 @@ def q_dimension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts2"),
         F.lit(None).cast("long").alias("n"),
     )
-    return up.unionByName(cdc).unionByName(sd)
+    dt = _run("dim_time", spark, sf_dir).select(
+        F.lit("dim_time").alias("dim_op"),
+        F.col("time_key").alias("key"),
+        F.concat_ws(
+            "|",
+            F.col("hour").cast("string"), F.col("day").cast("string"),
+            F.col("month").cast("string"), F.col("year").cast("string"),
+            F.col("day_of_week").cast("string"),
+            F.col("is_weekend").cast("string"),
+        ).alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.col("full_timestamp").alias("ts1"),
+        F.lit(None).cast("timestamp").alias("ts2"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return up.unionByName(cdc).unionByName(sd).unionByName(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -1301,6 +1327,7 @@ COVERED_BY: dict[str, str] = {
     "upsert_user_dim": "dimension_suite",
     "cdc_customer_apply": "dimension_suite",
     "snapshot_diff_customers": "dimension_suite",
+    "dim_time": "dimension_suite",
     "asof_latest_purchase": "temporal_join_suite",
     "asof_next_purchase": "temporal_join_suite",
     "interval_attribution": "temporal_join_suite",
@@ -1337,7 +1364,7 @@ DRIVER_SET: list[str] = [
     "late_data_merge",
     "dimension_suite",
     "scd2_customer_status",
-    "dim_time",
+    "multimodal_pixel_stats",
     "temporal_join_suite",
     "parse_profile",
     "inter_arrival_stats",
