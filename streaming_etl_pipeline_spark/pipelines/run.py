@@ -169,6 +169,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="comma-separated bloom-filter point-lookup columns")
     op.add_argument("--partition-by", default=None)
     op.add_argument("--files", type=int, default=None)
+    op.add_argument(
+        "--versioned", action="store_true",
+        help="commit the rewrite as a new snapshot of a versioned table "
+        "(atomic pointer swap — safe for concurrent readers)",
+    )
 
     bf = sub.add_parser(
         "backfill",
@@ -354,16 +359,32 @@ def main(argv: list[str] | None = None) -> int:
                 df, args.output, bloom_cols=args.bloom_cols.split(","),
                 partition_by=part,
             )
-        else:
+        elif not args.versioned:
             # plain consolidation: one file per target partition count
             n = args.files or spark.sparkContext.defaultParallelism
             df.coalesce(n).write.mode("overwrite").parquet(args.output)
-        out = spark.read.parquet(args.output)
+        if args.versioned:
+            from streaming_etl_pipeline_spark.sources.io import (
+                read_versioned,
+                versioned_write,
+            )
+
+            src_df = (
+                spark.read.parquet(args.output)
+                if (args.cluster_by or args.zorder_by or args.bloom_cols)
+                else df
+            )
+            v = versioned_write(src_df, args.output + "_versioned")
+            metrics["optimize.version"] = float(v)
+            out = read_versioned(spark, args.output + "_versioned")
+        else:
+            out = spark.read.parquet(args.output)
         metrics["optimize.rows"] = out.count()
-        metrics["optimize.files"] = float(
-            len([f for f in __import__("glob").glob(
-                args.output + "/**/*.parquet", recursive=True)])
-        )
+        if not args.versioned:
+            metrics["optimize.files"] = float(
+                len([f for f in __import__("glob").glob(
+                    args.output + "/**/*.parquet", recursive=True)])
+            )
     print(json.dumps(metrics))
     return 0
 

@@ -559,3 +559,30 @@ def test_versioned_table_atomic_pointer_and_time_travel(spark, tmp_path):
 
     with _p.raises(Exception):
         read_versioned(spark, tbl, version=1).count()
+
+
+def test_cli_optimize_versioned_commits_snapshot(spark, tmp_path):
+    from streaming_etl_pipeline_spark.pipelines.run import main as cli_main
+    from streaming_etl_pipeline_spark.sources.io import (
+        latest_version,
+        read_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.parquet(src)
+    out = str(tmp_path / "opt")
+    rc = cli_main([
+        "optimize", "--input", src, "--output", out,
+        "--cluster-by", "id", "--files", "2", "--versioned",
+    ])
+    assert rc == 0
+    tbl = out + "_versioned"
+    assert latest_version(tbl) == 1
+    assert read_versioned(spark, tbl).count() == 100
+    # a second optimize commits v2; v1 stays readable
+    rc = cli_main([
+        "optimize", "--input", src, "--output", out,
+        "--cluster-by", "id", "--files", "2", "--versioned",
+    ])
+    assert rc == 0 and latest_version(tbl) == 2
+    assert read_versioned(spark, tbl, version=1).count() == 100
