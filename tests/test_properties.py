@@ -409,11 +409,18 @@ def test_pack_sequences_tiles_each_group(tokens, budget, groups):
         budget=budget,
     ).collect()
     assert len(out) == len(rows)
+    import hashlib as _h
+
     by_group: dict[str, list] = {}
     for r in out:
         by_group.setdefault(r["source"], []).append(r)
     for g, rs in by_group.items():
-        rs.sort(key=lambda r: (r["start_offset"], r["doc_id"]))
+        # walk in the operator's true packing order (md5 of id, then id)
+        # — zero-width docs tie on start_offset, so offset order alone
+        # is ambiguous
+        rs.sort(key=lambda r: (
+            _h.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]
+        ))
         expect = 0
         for r in rs:
             assert r["start_offset"] == expect
