@@ -6,10 +6,14 @@ Runs every corpus query flagged ``bench=True`` at ``$SPARK_GRAFT_SF_DIR``
 ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Each query is executed twice: a warmup pass (JVM/code-gen warm, file
-listing cached) is discarded, the timed pass does a full materialization
-via ``df.write.format("noop")`` so the cost measured is the whole plan —
-scan, shuffle, aggregate — without driver-side collection overhead.
+Each query is executed four times: a warmup pass (JVM/code-gen warm, file
+listing cached) is discarded, then three timed passes whose per-query
+MEDIAN is reported (judge r3 item #4 — a co-tenant load spike on any one
+pass can no longer fake a 30% regression). Every pass does a full
+materialization via ``df.write.format("noop")`` so the cost measured is
+the whole plan — scan, shuffle, aggregate — without driver-side
+collection overhead. ``$SPARK_GRAFT_BENCH_RUNS`` overrides the timed-pass
+count (the pytest smoke gate uses 1).
 """
 
 from __future__ import annotations
@@ -35,14 +39,20 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = build_session(app_name="bench")
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     names = [n for n, spec in QUERIES.items() if spec.bench]
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         fn = QUERIES[name].fn
         materialize(fn(spark, sf_dir))  # warmup
-        t0 = time.time()
-        materialize(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        passes = []
+        for _ in range(runs):
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            passes.append(round(time.time() - t0, 3))
+        all_runs[name] = passes
+        timings[name] = sorted(passes)[len(passes) // 2]  # median
 
     total = round(sum(timings.values()), 3)
     print(
@@ -52,6 +62,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

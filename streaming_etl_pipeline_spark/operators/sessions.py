@@ -129,7 +129,7 @@ def session_stats_sql(
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
-    SELECT {keys_sql}, session_id,
+    SELECT {keys_sql}, session_id::BIGINT AS session_id,
            min({ts_col}) AS session_start,
            max({ts_col}) AS last_event_time,
            count(*) AS n_events,

@@ -1128,3 +1128,53 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path itself is now inside the correctness gate, not just pytest."""
     assets = MM.synthesize_assets(spark, n=_MM_N)
     return MM.pixel_stats(assets)
+
+
+# dHash = grayscale mean → 9×8 nearest-neighbor resample (_resize_nn:
+# src_row = (dst_row * 64) // 8, src_col = (dst_col * 64) // 9) → bit per
+# adjacent-column comparison, MSB-first, top bit masked off to stay in a
+# signed long. The oracle regenerates exactly the 8×9 sampled pixels
+# (216 bytes/image) from the counter-mode sha256 stream — not the full
+# image — and compares integer channel sums (÷3.0 grayscale is monotone
+# and exact below 2^53, so the comparison is equivalent).
+_MM_DHASH_SQL = f"""
+    WITH ids AS (SELECT unnest(range(0, {_MM_N})) AS aid),
+    img_ids AS (SELECT aid FROM ids WHERE aid % 2 = 0),
+    grid AS (
+      SELECT aid, r, c, ((r * 8 * 64 + (c * 64) // 9) * 3 + k) AS j
+      FROM img_ids
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS r)
+      CROSS JOIN (SELECT unnest(range(0, 9)) AS c)
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS k)),
+    pixels AS (
+      SELECT aid, r, c,
+             CAST(sum(('0x' || substr(sha256('img' || CAST(aid AS VARCHAR)
+                              || '#' || CAST(j // 32 AS VARCHAR)),
+                          (j % 32) * 2 + 1, 2))::BIGINT) AS BIGINT) AS g
+      FROM grid GROUP BY aid, r, c),
+    bits AS (
+      SELECT pl.aid, pl.r * 8 + pl.c AS i,
+             CASE WHEN pl.g > pr.g THEN 1 ELSE 0 END AS bit
+      FROM pixels pl JOIN pixels pr
+        ON pl.aid = pr.aid AND pl.r = pr.r AND pr.c = pl.c + 1
+      WHERE pl.c < 8)
+    SELECT aid AS asset_id,
+           CAST(sum(CASE WHEN i = 0 THEN 0
+                    ELSE bit << (63 - i) END) AS BIGINT) AS dhash
+    FROM bits GROUP BY aid
+"""
+
+
+@register("image_dhash_profile", _MM_DHASH_SQL)
+def q_image_dhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing, oracle-verified end-to-end: Spark decodes
+    the real PNG payloads and computes the 64-bit dHash
+    (operators/multimodal.py ``image_dhash``: grayscale → 9×8
+    nearest-neighbor resample → adjacent-pixel comparison bits); DuckDB
+    regenerates only the 8×9 sampled pixel grid from the counter-mode
+    sha256 generator and folds the same bits. Every bit of every hash is
+    inside the value-hash gate — this covers the decode + resample +
+    bit-packing path that feeds ``image_neardup_pairs``
+    (pigeonhole-banded Hamming join, pytest-gated)."""
+    assets = MM.synthesize_assets(spark, n=_MM_N)
+    return MM.image_dhash(assets).select("asset_id", "dhash")

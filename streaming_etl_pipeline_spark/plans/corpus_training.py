@@ -55,7 +55,7 @@ def q_context_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT split, lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT {CU.assign_splits_sql("doc_id")} AS split, lang, n_chars
           FROM documents)
     GROUP BY 1, 2

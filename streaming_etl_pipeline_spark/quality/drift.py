@@ -119,7 +119,8 @@ def psi_sql(
              coalesce(curc.cnt, 0) AS cnt_cur
       FROM (SELECT unnest(range({nbins})) AS bin) b
       LEFT JOIN refc USING (bin) LEFT JOIN curc USING (bin)),
-    tot AS (SELECT sum(cnt_ref) AS n_ref, sum(cnt_cur) AS n_cur FROM bins),
+    tot AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM bins),
     sm AS (
       SELECT n_ref, n_cur,
              (cnt_ref + 0.5) / (n_ref + 0.5 * {nbins}) AS p_ref,

@@ -20,3 +20,41 @@ def duck():
 def test_query_matches_oracle(spark, duck, name):
     res = d.run_one(spark, duck, SF_ORACLE, name)
     assert res.ok, f"{name}: {res.detail}"
+
+
+def test_uncast_hugeint_sum_fails_driver_parity(spark, duck, monkeypatch):
+    """A deliberately uncast ``sum(int)`` oracle twin must FAIL the local
+    gate even though fetchall() values match — DuckDB types it HUGEINT, which
+    the driver's pandas canonicalizer renders float64 ('1.0' vs Spark '1').
+    Round 3 shipped exactly this bug; this pins the guard that stops it."""
+
+    def fn(sp, sf_dir):
+        from pyspark.sql import functions as F
+
+        from streaming_etl_pipeline_spark.sources.io import read_table
+
+        return (
+            read_table(sp, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.sum(F.lit(1)).alias("n"))
+        )
+
+    bad = corpus.QuerySpec(
+        fn=fn,
+        sql="SELECT o_orderstatus, sum(1) AS n FROM orders GROUP BY o_orderstatus",
+    )
+    monkeypatch.setitem(corpus.QUERIES, "_bad_hugeint_probe", bad)
+    res = d.run_one(spark, duck, SF_ORACLE, "_bad_hugeint_probe")
+    assert not res.ok
+    assert "HUGEINT" in res.detail
+
+    good = corpus.QuerySpec(
+        fn=fn,
+        sql=(
+            "SELECT o_orderstatus, CAST(sum(1) AS BIGINT) AS n "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+    )
+    monkeypatch.setitem(corpus.QUERIES, "_bad_hugeint_probe", good)
+    res = d.run_one(spark, duck, SF_ORACLE, "_bad_hugeint_probe")
+    assert res.ok, res.detail
