@@ -60,6 +60,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         # candidate labels: my own + each neighbor's current label
         neighbor = (
@@ -81,7 +82,131 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # labels are provably stale — one propagation hop per round, so a
+        # component with diameter > max_iter still carries split labels.
+        # Returning them silently would canonicalize near-dup clusters
+        # WRONG (documents kept that should merge).
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — the pair graph has "
+            "diameter > max_iter (chain-shaped, not clique-shaped). Use "
+            "connected_components_star (O(log n) rounds on chains) or "
+            "raise max_iter."
+        )
     return labels.select("node", "comp")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC'14): every node u links
+    each STRICTLY LARGER neighbor to the minimum of its closed
+    neighborhood — long chains halve because far nodes shortcut directly
+    to the local minimum. ``edges`` must be symmetric (both directions
+    present)."""
+    mins = edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        edges.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges_sym: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge larger→smaller, then link
+    each node's smaller-or-equal neighbors (and itself) to the minimum of
+    that set — flattens local structure into stars."""
+    oriented = (
+        edges_sym.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return relink
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) rounds on ADVERSARIAL long-chain graphs
+    where min-label propagation needs O(diameter) rounds. Same output
+    contract as :func:`connected_components`.
+
+    Use this variant (``algorithm="star"`` on the public entry points)
+    when near-dup pair graphs stop being clique-ish — e.g. shingle
+    chains in crawl data, where doc A pairs with B, B with C, ... and
+    the component diameter grows with the corpus. Each round is two
+    self-joins of the EDGE list on uniformly-distributed id keys (the
+    corpus is never touched), with ``localCheckpoint`` truncating
+    lineage; convergence is an empty-difference check on the edge set.
+    """
+    nodes = (
+        pairs.select(F.col(src).alias("u"))
+        .union(pairs.select(F.col(dst).alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    p = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # seed with one small-star pass: orients every edge toward the local
+    # minimum before the first contraction, saving a full round on chains
+    stars = _small_star(edges).localCheckpoint()
+    for rounds in range(1, max_iter + 1):
+        sym_in = stars.union(
+            stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # two large-star passes per round: chains halve twice per
+        # synchronization barrier, so a 10k-node path closes in ~8
+        # rounds instead of ~14 — at cluster scale the barrier (stage
+        # wave + checkpoint) dominates, not the extra tiny-edge join
+        ls = _large_star(sym_in)
+        ls_sym = ls.union(
+            ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        ls2 = _large_star(ls_sym)
+        sym = ls2.union(ls2.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        new_stars = _small_star(sym).localCheckpoint()
+        # converged when the (larger→smaller oriented) edge set is stable
+        changed = (
+            new_stars.exceptAll(stars).limit(1).count()
+            + stars.exceptAll(new_stars).limit(1).count()
+        )
+        stars = new_stars
+        if changed == 0:
+            break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # at the fixpoint every node points directly at its component min
+    return nodes.join(
+        stars.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+        nodes["u"] == F.col("node"),
+        "left",
+    ).select(
+        F.col("u").alias("node"),
+        F.coalesce("comp", F.col("u")).alias("comp"),
+    )
 
 
 def dedup_clusters(
@@ -89,12 +214,22 @@ def dedup_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Canonicalization view of :func:`connected_components`:
     ``(doc_id, canonical_id, cluster_size)`` for every document that
     appears in at least one near-dup pair. Rows with
-    ``doc_id != canonical_id`` are the deletion candidates."""
-    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    ``doc_id != canonical_id`` are the deletion candidates.
+
+    ``algorithm="label_prop"`` (default) is O(diameter) rounds — right
+    for LSH-bucketed near-dup graphs, whose components are clique-ish;
+    it RAISES if the graph turns out chain-shaped instead of returning
+    stale labels. ``algorithm="star"`` switches to large-star/small-star
+    contraction (O(log n) rounds) for chain-heavy graphs."""
+    if algorithm == "star":
+        cc = connected_components_star(pairs, src=src, dst=dst, max_iter=max_iter)
+    else:
+        cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("comp")

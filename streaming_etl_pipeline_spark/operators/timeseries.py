@@ -165,9 +165,13 @@ def similar_windows(
     # words fans out 3× (rarity count + both join sides) and z 3× (PAA
     # already consumed it; za/zb) — persist so the window chain runs
     # once, not per branch (un-persisted, the plan re-executes the
-    # full upstream per consumer: measured 44 exchanges vs 7)
-    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    # full upstream per consumer: measured 44 exchanges vs 7).
+    # z FIRST: the cache manager substitutes caches into plans compiled
+    # after registration, so caching z before words lets words' cached
+    # plan scan z's cache instead of recomputing the z-normalization
+    # window chain a second time.
     z = z.persist(StorageLevel.MEMORY_AND_DISK)
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
     rare = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("_df"))

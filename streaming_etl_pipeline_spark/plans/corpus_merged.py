@@ -779,6 +779,11 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ts_window' AS method, k_a * 100000 + win_a AS id_a,
            k_b * 100000 + win_b AS id_b, distance AS score
     FROM ({_sql("ts_motifs")})
+    UNION ALL
+    SELECT 'ts_discord' AS method, k * 100000 + win AS id_a,
+           CAST(translate(word, 'abcd', '0123') AS BIGINT) AS id_b,
+           CAST(word_df AS DOUBLE) AS score
+    FROM ({_sql("ts_discords")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,7 +813,18 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k_b") * 100000 + F.col("win_b")).alias("id_b"),
         F.col("distance").alias("score"),
     )
-    return emb.unionByName(fz).unionByName(sd).unionByName(ts)
+    # discord arm: the SAX word rides as its base-10 digit encoding
+    # (translate abcd→0123 — injective for 4-letter words), rarity as
+    # the score; every cell of the top-20 rarity cut is hash-pinned
+    td = _run("ts_discords", spark, sf_dir).select(
+        F.lit("ts_discord").alias("method"),
+        (F.col("k") * 100000 + F.col("win")).alias("id_a"),
+        F.translate("word", "abcd", "0123").cast("long").alias("id_b"),
+        F.col("word_df").cast("double").alias("score"),
+    )
+    return (
+        emb.unionByName(fz).unionByName(sd).unionByName(ts).unionByName(td)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1304,6 +1320,7 @@ COVERED_BY: dict[str, str] = {
     "fuzzy_name_pairs": "neardup_pairs",
     "semantic_dedup": "neardup_pairs",
     "ts_motifs": "neardup_pairs",
+    "ts_discords": "neardup_pairs",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",

@@ -296,7 +296,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.pack_sequences(docs, budget=_PACK_BUDGET)
 
 
-_TS_MOTIFS_SQL = """
+#: Shared SAX discretization chain (events → complete 8-windows →
+#: z-normalize → 4-segment PAA → 4-letter SAX word), used by both the
+#: motif (similar-pair) and discord (rarity) oracles.
+_TS_SAX_PREFIX = """
     WITH rows0 AS (
       SELECT user_id AS k, CAST(value AS DOUBLE) AS v,
              row_number() OVER (PARTITION BY user_id
@@ -327,7 +330,9 @@ _TS_MOTIFS_SQL = """
                                 WHEN paa < 0.0 THEN 'b'
                                 WHEN paa < 0.6745 THEN 'c'
                                 ELSE 'd' END, '' ORDER BY seg) AS word
-              FROM paa GROUP BY k, win),
+              FROM paa GROUP BY k, win)"""
+
+_TS_MOTIFS_SQL = _TS_SAX_PREFIX + """,
     rare AS (SELECT word FROM words GROUP BY word HAVING count(*) <= 200),
     cand AS (SELECT a.k AS k_a, a.win AS win_a, b.k AS k_b, b.win AS win_b,
                     a.word AS word
@@ -366,4 +371,30 @@ def q_ts_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key_col="user_id", ts_col="ts", value_col="value",
         window_len=8, paa_segments=4, max_distance=1.5,
         max_word_df=200, top_k=50,
+    )
+
+
+_TS_DISCORDS_SQL = _TS_SAX_PREFIX + """,
+    dfreq AS (SELECT word, count(*) AS word_df FROM words GROUP BY word)
+    SELECT k, win, word, word_df
+    FROM words JOIN dfreq USING (word)
+    ORDER BY word_df ASC, word ASC, k ASC, win ASC
+    LIMIT 20
+"""
+
+
+@register("ts_discords", _TS_DISCORDS_SQL)
+def q_ts_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discord screening (operators/timeseries.py ``ts_discords``,
+    HOT-SAX outer loop): the 20 windows with the rarest SAX words —
+    the anomalous-subsequence candidates whose exact nearest-neighbor
+    confirmation runs downstream on survivors only. Shares the SAX
+    discretization oracle chain with ``ts_motifs``; the rarity ranking
+    and the strict (df, word, k, win) cut are pinned exactly."""
+    from streaming_etl_pipeline_spark.operators.timeseries import ts_discords
+
+    events = read_table(spark, sf_dir, "events")
+    return ts_discords(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        window_len=8, paa_segments=4, top_k=20,
     )

@@ -21,7 +21,7 @@ def test_driver_set_fits_the_gate():
     # the flagship stays first; the round-1-ungated extensions lead
     names = list(q)
     assert names[0] == "sensor_5min"
-    assert "dedup_exact" in names[:13] and "multimodal_features" in names[:13]
+    assert "dedup_exact" in names[:13] and "image_dhash_profile" in names[:13]
 
 
 def test_every_query_exported_or_covered():
