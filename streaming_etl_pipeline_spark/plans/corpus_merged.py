@@ -669,7 +669,8 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM chunks GROUP BY doc_id),
          pii AS ({_sql("pii_redaction")}),
          dc AS ({_sql("decontamination")}),
-         pk AS ({_sql("sequence_packing")})
+         pk AS ({_sql("sequence_packing")}),
+         blk AS ({_sql("packed_blocks")})
     SELECT d.doc_id,
            {assign_splits_sql("d.doc_id")} AS split,
            ch.n_chunks, ch.chunk_tokens, ch.chunks_md5,
@@ -681,12 +682,14 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(dc.contamination_rate, 0.0) AS contamination_rate,
            coalesce(dc.flagged, FALSE) AS flagged,
            pk.n_tok AS pack_tokens, pk.start_offset AS pack_offset,
-           pk.block_first AS pack_block, pk.crosses AS pack_crosses
+           pk.block_first AS pack_block, pk.crosses AS pack_crosses,
+           blk.block_md5 AS pack_block_md5
     FROM documents d
          JOIN ch USING (doc_id)
          JOIN pii USING (doc_id)
          LEFT JOIN dc USING (doc_id)
          JOIN pk USING (doc_id)
+         JOIN blk ON blk.source = pk.source AND blk.block = pk.block_first
     """,
 )
 def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,16 +730,23 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pk = _run("sequence_packing", spark, sf_dir).select(
         "doc_id",
+        "source",
         F.col("n_tok").alias("pack_tokens"),
         F.col("start_offset").alias("pack_offset"),
         F.col("block_first").alias("pack_block"),
         F.col("crosses").alias("pack_crosses"),
+    )
+    blk = _run("packed_blocks", spark, sf_dir).select(
+        "source",
+        F.col("block").alias("pack_block"),
+        F.col("block_md5").alias("pack_block_md5"),
     )
     return (
         docs.join(ch, "doc_id")
         .join(pii, "doc_id")
         .join(dc, "doc_id", "left")
         .join(pk, "doc_id")
+        .join(F.broadcast(blk), ["source", "pack_block"])
         .select(
             "doc_id", "split", "n_chunks", "chunk_tokens", "chunks_md5",
             "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_md5",
@@ -750,6 +760,7 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("flagged", F.lit(False)).alias("flagged"),
             "pack_tokens", "pack_offset", "pack_block", "pack_crosses",
+            "pack_block_md5",
         )
     )
 
@@ -1332,6 +1343,7 @@ COVERED_BY: dict[str, str] = {
     "substring_dupes": "corpus_curation",
     "charlm_quality": "text_profile",
     "sequence_packing": "training_assembly",
+    "packed_blocks": "training_assembly",
     "distinct_users_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
     "quantile_sketch_values": "sketch_suite",

@@ -374,6 +374,49 @@ def q_ts_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# block-grain twin of the pack assignment: the actual bytes a training
+# loader would read, pinned per block. Tie-break mirrors Spark's
+# array_sort on struct(start_offset, text): offset, then text.
+_PACKED_BLOCKS_SQL = f"""
+    WITH pk AS ({CU.pack_sequences_sql(_PACK_DOCS_SQL, budget=_PACK_BUDGET)})
+    SELECT pk.source, pk.block_first AS block,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pk.n_tok) AS BIGINT) AS block_tokens,
+           md5(string_agg(d.text, '<|endofdoc|>'
+               ORDER BY pk.start_offset, d.text)) AS block_md5
+    FROM pk JOIN documents d USING (doc_id)
+    GROUP BY pk.source, pk.block_first
+"""
+
+
+@register("packed_blocks", _PACKED_BLOCKS_SQL)
+def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-block materialization (operators/curation.py
+    ``materialize_blocks``): documents concatenated in packing order with
+    the separator token, one row per (source, block). The md5 of every
+    block's full text is inside the value hash — a single byte out of
+    place in the assembled training sequence fails the gate."""
+    from streaming_etl_pipeline_spark.operators.text import bpe_tokens
+
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(bpe_tokens("text")).alias("n_tokens")
+    )
+    assignment = CU.pack_sequences(toks, budget=_PACK_BUDGET)
+    blocks = CU.materialize_blocks(docs, assignment)
+    return blocks.select(
+        "source",
+        "block",
+        "n_docs",
+        "block_tokens",
+        F.md5("block_text").alias("block_md5"),
+    )
+
+
 _TS_DISCORDS_SQL = _TS_SAX_PREFIX + """,
     dfreq AS (SELECT word, count(*) AS word_df FROM words GROUP BY word)
     SELECT k, win, word, word_df

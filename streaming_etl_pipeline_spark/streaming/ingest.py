@@ -240,6 +240,105 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on=on, how=how)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str = "event_time",
+    delay: str = WATERMARK,
+) -> DataFrame:
+    """Exact streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes its event time, so state size is (keys arriving in
+    one watermark window), not (all keys ever) — the difference between
+    a stream that runs for years and one that OOMs in a week. Duplicates
+    separated by more than ``delay`` are not caught here by design;
+    cross-window exactness belongs to the batch layer
+    (``operators/dedup.exact_dups``) or the incremental store
+    (:func:`start_dedup_ingest_sink`). Retried producer sends and
+    replayed source batches — the common duplicate sources — land well
+    inside the window."""
+    return stream.withWatermark(
+        event_time_col, delay
+    ).dropDuplicatesWithinWatermark(keys)
+
+
+def start_dedup_ingest_sink(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming near-dedup ingest: every micro-batch of documents is
+    probed against the persisted MinHash signature store
+    (``operators/dedup.incremental_near_dups``) and only NOVEL documents
+    are appended to ``path``; the batch's signatures join the store for
+    the next trigger. Per-trigger cost scales with the batch (signatures
+    + LSH band join against the store's bands), never with the corpus —
+    the 100 TB training-ingest dedup loop as one continuous job instead
+    of nightly batch sweeps. foreachBatch gives the exactly-once batch
+    id; the store append is idempotent per batch via the checkpoint.
+
+    Batch-internal near-dups are resolved keep-min within the trigger;
+    cross-batch dups are whatever matches the store. All of the batch's
+    signatures (kept and dropped) join the store, so later re-sends of a
+    dropped document still match."""
+    from pyspark.errors import AnalysisException
+
+    from streaming_etl_pipeline_spark.operators.dedup import (
+        build_signatures,
+        near_dup_pairs_from_signatures,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sigs = build_signatures(
+            batch_df, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_path)
+        except AnalysisException as exc:
+            if (
+                "PATH_NOT_FOUND" not in str(exc)
+                and "Path does not exist" not in str(exc)
+            ):
+                raise
+            store = None
+        # within-trigger near-dups: greedy keep-min of each pair
+        self_pairs = near_dup_pairs_from_signatures(sigs, threshold=threshold)
+        drops = self_pairs.select(
+            F.greatest("id_a", "id_b").alias(id_col)
+        )
+        if store is not None:
+            cross = near_dup_pairs_from_signatures(
+                sigs, store, threshold=threshold
+            )
+            # the batch-side id may land on either column; store-side ids
+            # simply won't match the anti-join below
+            drops = drops.unionByName(
+                cross.select(F.col("id_a").alias(id_col))
+            ).unionByName(cross.select(F.col("id_b").alias(id_col)))
+        novel = batch_df.join(
+            drops.distinct().localCheckpoint(eager=True), id_col, "left_anti"
+        )
+        novel.write.mode("append").parquet(path)
+        sigs.write.mode("append").parquet(store_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def start_gold_upsert_sink(
     bronze: DataFrame,
     path: str,

@@ -1028,3 +1028,124 @@ def test_kafka_broker_end_to_end():
         }
     finally:
         stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup: bounded-state exact dedup + incremental near-dup ingest
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids inside one
+    watermark window collapse to one row — including across triggers
+    (state carries via the checkpoint) — with state bounded by the
+    watermark, not the key universe."""
+    from pyspark.sql import types as T
+
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        dedup_stream,
+        read_jsonl_stream,
+    )
+
+    in_dir, out, ck = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_once():
+        stream = read_jsonl_stream(spark, in_dir, schema)
+        q = (
+            dedup_stream(stream, ["event_id"], "event_time", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def ev(eid, ts, v):
+        return json.dumps(
+            {"event_id": eid, "event_time": ts, "value": v}
+        ) + "\n"
+
+    # batch 1: retried send (1 twice) + distinct 2
+    with open(os.path.join(in_dir, "b1.json"), "w") as f:
+        f.write(ev(1, "2024-06-15 10:00:00", 1.0))
+        f.write(ev(1, "2024-06-15 10:00:00", 1.0))   # duplicate, same file
+        f.write(ev(2, "2024-06-15 10:00:05", 2.0))
+    run_once()
+    # batch 2: replays 2 within the watermark window + novel 3
+    with open(os.path.join(in_dir, "b2.json"), "w") as f:
+        f.write(ev(2, "2024-06-15 10:00:05", 2.0))   # cross-trigger dup
+        f.write(ev(3, "2024-06-15 10:00:10", 3.0))
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_streaming_dedup_ingest_sink_incremental_store(spark, tmp_path):
+    """Near-dup dedup as a continuous ingest job: batch-internal dups
+    resolve keep-min inside the trigger; later batches probe the
+    persisted signature store and drop docs near-duplicating ANY earlier
+    batch — per-trigger cost scales with the batch, never the corpus."""
+    from pyspark.sql import types as T
+
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        read_jsonl_stream,
+        start_dedup_ingest_sink,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    out = str(tmp_path / "clean")
+    ck = str(tmp_path / "ck")
+    store = str(tmp_path / "sig_store")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark shuffles and parquet files"
+
+    def doc(i, text):
+        return json.dumps({"doc_id": i, "text": text}) + "\n"
+
+    def run_once():
+        stream = read_jsonl_stream(spark, in_dir, schema)
+        q = start_dedup_ingest_sink(
+            stream, out, ck, store, trigger={"availableNow": True}
+        )
+        q.awaitTermination(300)
+
+    # batch 1: 1 and its exact twin 3 (keep-min → 3 dropped), novel 2
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write(doc(1, base))
+        f.write(doc(2, other))
+        f.write(doc(3, base))
+    run_once()
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+
+    # batch 2: 4 near-dups batch-1's text via the STORE, 5 is novel
+    with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+        f.write(doc(4, base))
+        f.write(doc(5, "a third entirely unrelated document mentioning kafka topics"))
+    run_once()
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 5}
+
+    # the store carries signatures for every doc seen, dropped ones too
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {
+        1, 2, 3, 4, 5,
+    }
