@@ -1031,6 +1031,56 @@ def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_topk_rerank",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+    tr AS (SELECT vec_id,
+             list_transform(e[1:32],
+               x -> x / sqrt(list_dot_product(e[1:32], e[1:32]))) AS s
+           FROM base),
+    q1 AS (SELECT vec_id AS query_id, s AS qv FROM tr WHERE vec_id < 20),
+    c1 AS (SELECT vec_id AS neighbor_id, s AS cv FROM tr),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+                   c.neighbor_id) AS rk
+        FROM q1 q JOIN c1 c ON q.query_id <> c.neighbor_id)
+      WHERE rk <= 20),
+    qf AS (SELECT vec_id AS query_id, e AS qv FROM base WHERE vec_id < 20),
+    cf AS (SELECT vec_id AS neighbor_id, e AS cv FROM base)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT q.query_id, c.neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {_COS} DESC, c.neighbor_id) AS rank
+      FROM cand JOIN qf q USING (query_id) JOIN cf c USING (neighbor_id))
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/similarity.py ``ann_rerank``):
+    stage 1 casts a 20-candidate net per query on 32-dim Matryoshka-
+    truncated renormalized vectors (half the bandwidth); stage 2
+    re-scores only those candidates at full 64-dim precision and keeps
+    the top 5. The oracle mirrors both stages including the truncation
+    renormalization, so the candidate CUT and the final order are both
+    value-verified."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return SIM.ann_rerank(
+        dbl.filter(F.col("vec_id") < 20), dbl,
+        k=5, candidate_k=20, stage1_dims=32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal pixel/sample statistics — REAL decode verified by a SQL
 # oracle that regenerates the pre-encode byte stream (counter-mode

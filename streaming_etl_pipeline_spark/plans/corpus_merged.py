@@ -295,14 +295,18 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'filtered' AS method, query_id, rank, neighbor_id, cosine_sim
     FROM ({_sql("ann_topk_filtered")})
+    UNION ALL
+    SELECT 'rerank' AS method, query_id, rank, neighbor_id, cosine_sim
+    FROM ({_sql("ann_topk_rerank")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four ANN strategies (exact brute-force baseline, hyperplane
-    LSH, IVF, metadata-filtered) in one gated result, labelled by method
-    — every ranked neighbor list value-verified."""
+    """All five ANN strategies (exact brute-force baseline, hyperplane
+    LSH, IVF, metadata-filtered, truncate→rerank two-stage) in one gated
+    result, labelled by method — every ranked neighbor list
+    value-verified."""
     out = None
-    for method in ("bruteforce", "lsh", "ivf", "filtered"):
+    for method in ("bruteforce", "lsh", "ivf", "filtered", "rerank"):
         part = _run(f"ann_topk_{method}", spark, sf_dir).select(
             F.lit(method).alias("method"),
             "query_id", "rank", "neighbor_id", "cosine_sim",
@@ -1336,6 +1340,7 @@ COVERED_BY: dict[str, str] = {
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",
     "ann_topk_filtered": "ann_topk",
+    "ann_topk_rerank": "ann_topk",
     "vocab_growth": "top_ngrams",
     "dedup_clusters": "corpus_curation",
     "boilerplate_chunks": "corpus_curation",
