@@ -470,6 +470,45 @@ def versioned_write(
             pass
 
 
+def table_history(table_dir: str) -> list[dict]:
+    """Commit history of a versioned table, newest first — the
+    ``DESCRIBE HISTORY`` an operator reaches for before a rollback:
+    ``[{version, committed_at (pointer-visible mtime, UTC ISO),
+    is_current, n_files, bytes}]``. Reads only directory metadata —
+    no Spark job, no data scan."""
+    import datetime as _dt
+    import re
+
+    vroot = os.path.join(table_dir, "_versions")
+    current = latest_version(table_dir)
+    out = []
+    for d in sorted(os.listdir(vroot), reverse=True):
+        m = re.fullmatch(r"v(\d+)", d)
+        if not m:
+            continue
+        v = int(m.group(1))
+        vdir = os.path.join(vroot, d)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(vdir)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+        out.append(
+            {
+                "version": v,
+                "committed_at": _dt.datetime.fromtimestamp(
+                    os.path.getmtime(vdir), tz=_dt.timezone.utc
+                ).isoformat(),
+                "is_current": v == current,
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(f) for f in files),
+            }
+        )
+    out.sort(key=lambda r: -r["version"])
+    return out
+
+
 def break_claim(table_dir: str, version: int | None = None) -> bool:
     """Clear a crashed writer's stale claim (operator action, like
     Delta's ``FSCK``). Returns True if a claim file was removed."""

@@ -88,3 +88,52 @@ def test_scans_prune_columns(spark):
     assert "l_orderkey" not in scan.split("ReadSchema")[-1], (
         "q1 reads no join keys; l_orderkey in ReadSchema means pruning broke"
     )
+
+
+def test_structural_audit_counts_cached_subtree_once(spark):
+    """scripts/plan_audit.audit_plan must count a persisted subtree's
+    shuffles ONCE no matter how many scans reference it — toString()
+    re-prints the cached child plan per usage site, which overcounted
+    ts_motifs 45-vs-11 in round 3's PLAN_AUDIT. Pin with a synthetic
+    3-consumer fan-out over one cached aggregation (1 shuffle)."""
+    import sys as _sys
+
+    sys_path_added = False
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    scripts = _os.path.join(repo, "scripts")
+    if scripts not in _sys.path:
+        _sys.path.insert(0, scripts)
+        sys_path_added = True
+    try:
+        from plan_audit import audit_plan
+
+        from pyspark.sql import functions as F
+
+        base = (
+            spark.range(1000)
+            .groupBy((F.col("id") % 10).alias("k"))
+            .agg(F.sum("id").alias("s"))
+            .persist()
+        )
+        try:
+            fanout = (
+                base.unionByName(base)
+                .unionByName(base)
+                .groupBy("k")
+                .agg(F.sum("s").alias("t"))
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                c = audit_plan(spark, fanout)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+            # 1 shuffle inside the cached agg (counted once, not 3x)
+            # + 1 for the final groupBy = 2
+            assert c["shuffles"] == 2, c
+        finally:
+            base.unpersist()
+    finally:
+        if sys_path_added:
+            _sys.path.remove(scripts)

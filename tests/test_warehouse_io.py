@@ -561,6 +561,26 @@ def test_versioned_table_atomic_pointer_and_time_travel(spark, tmp_path):
         read_versioned(spark, tbl, version=1).count()
 
 
+def test_versioned_table_history(spark, tmp_path):
+    from streaming_etl_pipeline_spark.sources.io import (
+        table_history,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "vt_hist")
+    versioned_write(spark.range(10).selectExpr("id", "id AS x"), tbl)
+    versioned_write(spark.range(5).selectExpr("id", "id AS x"), tbl)
+    h = table_history(tbl)
+    assert [r["version"] for r in h] == [2, 1]
+    assert [r["is_current"] for r in h] == [True, False]
+    assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in h)
+    assert all("T" in r["committed_at"] for r in h)  # ISO timestamps
+    versioned_write(spark.range(3).selectExpr("id", "id AS x"), tbl)
+    vacuum_versions(tbl, keep=2)
+    assert [r["version"] for r in table_history(tbl)] == [3, 2]
+
+
 def test_versioned_concurrent_writers_one_winner(spark, tmp_path):
     """Two writers racing for the same next version: exactly one commits,
     the other gets a clean ConcurrentWriteError and succeeds on retry
