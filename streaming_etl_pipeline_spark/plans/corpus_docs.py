@@ -1167,7 +1167,59 @@ _MM_PIXEL_SQL = f"""
 """
 
 
-@register("multimodal_pixel_stats", _MM_PIXEL_SQL)
+# resize twin: 64×64 → 32×32 nearest-neighbor keeps source pixels at
+# (2r, 2c), so the oracle regenerates exactly those 3072 bytes per image
+# and computes the same integer stats — the resize → PNG re-encode →
+# decode roundtrip is byte-exact inside the hash gate.
+_MM_RESIZE_SQL = f"""
+    WITH ids AS (SELECT unnest(range(0, {_MM_N})) AS aid),
+    img_ids AS (SELECT aid FROM ids WHERE aid % 2 = 0),
+    grid AS (
+      SELECT aid, k, (((2 * r) * 64 + 2 * c) * 3 + k) AS j
+      FROM img_ids
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS r)
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS c)
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS k)),
+    bytes AS (
+      SELECT aid, k,
+             ('0x' || substr(sha256('img' || CAST(aid AS VARCHAR) || '#'
+                              || CAST(j // 32 AS VARCHAR)),
+                          (j % 32) * 2 + 1, 2))::BIGINT AS b
+      FROM grid),
+    st AS (
+      SELECT aid, CAST(count(*) AS BIGINT) AS n,
+             min(b) AS lo, max(b) AS hi,
+             CAST(sum(b) AS BIGINT) AS s, CAST(sum(b * b) AS BIGINT) AS sq,
+             CAST(sum(CASE WHEN k = 0 THEN b ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM bytes GROUP BY aid)
+    SELECT aid AS asset_id, 'image' AS kind, n, lo, hi,
+           {_r6("CAST(s AS DOUBLE) / (n * 255)")} AS m1,
+           {_r6("sqrt(greatest(CAST(sq AS DOUBLE) / (n * 255 * 255)"
+                " - (CAST(s AS DOUBLE) / (n * 255))"
+                " * (CAST(s AS DOUBLE) / (n * 255)), 0.0))")} AS m2,
+           {_r6("CAST(s0 AS DOUBLE) / (n0 * 255)")} AS m3
+    FROM st
+"""
+
+
+@register("multimodal_resize_stats", _MM_RESIZE_SQL)
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize verified end-to-end (operators/multimodal.py
+    ``resize_images``): decode the real PNG, 32×32 nearest-neighbor
+    resample, re-encode, decode AGAIN, integer-exact pixel stats — while
+    DuckDB regenerates only the 3072 sampled source bytes per image. Any
+    defect in resample index math or either codec pass flips an exact
+    integer sum and fails the hash."""
+    assets = MM.synthesize_assets(spark, n=_MM_N)
+    return MM.pixel_stats(MM.resize_images(assets, width=32, height=32))
+
+
+@register("multimodal_pixel_stats", _MM_PIXEL_SQL + f"""
+    UNION ALL
+    SELECT asset_id, 'image_rs' AS kind, n, lo, hi, m1, m2, m3
+    FROM ({_MM_RESIZE_SQL})
+""")
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode, oracle-verified end-to-end: Spark decodes
     the actual PNG/WAV payloads (operators/multimodal.py ``pixel_stats``,
@@ -1175,9 +1227,15 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel/sample stream from the counter-mode sha256 generator and
     computes the same integers. A single flipped bit anywhere in
     encode→decode changes an exact sum and fails the hash — the decode
-    path itself is now inside the correctness gate, not just pytest."""
+    path itself is now inside the correctness gate, not just pytest.
+    Carries ``multimodal_resize_stats`` as the ``image_rs`` arm: the
+    same stats over the 32×32 nearest-neighbor resized images, so the
+    resize → re-encode → decode roundtrip is hash-gated too."""
     assets = MM.synthesize_assets(spark, n=_MM_N)
-    return MM.pixel_stats(assets)
+    resized = MM.pixel_stats(
+        MM.resize_images(assets, width=32, height=32)
+    ).withColumn("kind", F.lit("image_rs"))
+    return MM.pixel_stats(assets).unionByName(resized)
 
 
 # dHash = grayscale mean → 9×8 nearest-neighbor resample (_resize_nn:

@@ -1365,6 +1365,7 @@ COVERED_BY: dict[str, str] = {
     # rows-only feature extraction; its decode path is hash-gated by
     # multimodal_pixel_stats + image_dhash_profile (judge r3 item #3)
     "multimodal_features": "multimodal_pixel_stats",
+    "multimodal_resize_stats": "multimodal_pixel_stats",
     "asof_latest_purchase": "temporal_join_suite",
     "asof_next_purchase": "temporal_join_suite",
     "interval_attribution": "temporal_join_suite",
