@@ -1203,6 +1203,69 @@ _MM_RESIZE_SQL = f"""
 """
 
 
+# frame-sampling twin: n equal PCM chunks (step = 16000 // 4 = 4000),
+# frame f = samples[f*step : (f+1)*step]; zero-cross counted WITHIN the
+# frame (the first sample of each chunk has no predecessor). The packed
+# id aid*10+f keeps (asset, frame) unique in the pixel-stats shape.
+_MM_FRAME_STEP = (16000 * 2 // 2) // 4
+_MM_FRAME_SQL = f"""
+    WITH ids AS (SELECT unnest(range(0, {_MM_N})) AS aid),
+    audd AS (SELECT aid, d
+             FROM (SELECT aid FROM ids WHERE aid % 2 = 1)
+             CROSS JOIN (SELECT unnest(range(0, {_MM_AUD_DIGESTS})) AS d)),
+    audbytes AS (
+      SELECT aid, d * 32 + i AS j,
+             ('0x' || substr(sha256('aud' || CAST(aid AS VARCHAR) || '#'
+                                    || CAST(d AS VARCHAR)),
+                             i * 2 + 1, 2))::BIGINT AS b
+      FROM audd CROSS JOIN (SELECT unnest(range(0, 32)) AS i)),
+    rawsamples AS (
+      SELECT aid, j // 2 AS si,
+             CAST(sum(CASE WHEN j % 2 = 0 THEN b ELSE 256 * b END)
+                  AS BIGINT) AS v
+      FROM audbytes GROUP BY aid, j // 2),
+    signed AS (SELECT aid, si,
+                      CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+               FROM rawsamples),
+    framed AS (SELECT aid, si // {_MM_FRAME_STEP} AS f, si, s FROM signed),
+    flips AS (
+      SELECT aid, f, s,
+             CASE WHEN lag(s) OVER w IS NULL THEN 0
+                  WHEN (s < 0) <> (lag(s) OVER w < 0) THEN 1
+                  ELSE 0 END AS fl
+      FROM framed
+      WINDOW w AS (PARTITION BY aid, f ORDER BY si)),
+    st AS (
+      SELECT aid, f, CAST(count(*) AS BIGINT) AS n,
+             min(s) AS lo, max(s) AS hi,
+             CAST(sum(s) AS BIGINT) AS sm, CAST(sum(s * s) AS BIGINT) AS sq,
+             CAST(sum(fl) AS BIGINT) AS zc
+      FROM flips GROUP BY aid, f)
+    SELECT aid * 10 + f AS asset_id, 'audio' AS kind, n, lo, hi,
+           {_r6("CAST(sm AS DOUBLE) / (n * 32768)")} AS m1,
+           {_r6("sqrt(CAST(sq AS DOUBLE) / (n * 32768.0 * 32768.0))")} AS m2,
+           {_r6("CAST(zc AS DOUBLE) / (n - 1)")} AS m3
+    FROM st
+"""
+
+
+@register("multimodal_frame_stats", _MM_FRAME_SQL)
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame sampling verified end-to-end (operators/multimodal.py
+    ``sample_frames``): real WAV decode, 4 equal PCM chunks re-encoded
+    as standalone WAVs, each decoded AGAIN for integer-exact sample
+    stats — while DuckDB regenerates the source sample stream and stats
+    the same index ranges. Chunk boundary math and both codec passes are
+    inside the value hash."""
+    assets = MM.synthesize_assets(spark, n=_MM_N)
+    frames = MM.sample_frames(assets, n_frames=4).select(
+        (F.col("asset_id") * 10 + F.col("frame_index")).alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.col("frame_payload").alias("payload"),
+    )
+    return MM.pixel_stats(frames)
+
+
 @register("multimodal_resize_stats", _MM_RESIZE_SQL)
 def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize verified end-to-end (operators/multimodal.py
@@ -1219,6 +1282,9 @@ def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT asset_id, 'image_rs' AS kind, n, lo, hi, m1, m2, m3
     FROM ({_MM_RESIZE_SQL})
+    UNION ALL
+    SELECT asset_id, 'audio_fr' AS kind, n, lo, hi, m1, m2, m3
+    FROM ({_MM_FRAME_SQL})
 """)
 def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode, oracle-verified end-to-end: Spark decodes
@@ -1228,14 +1294,22 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same integers. A single flipped bit anywhere in
     encode→decode changes an exact sum and fails the hash — the decode
     path itself is now inside the correctness gate, not just pytest.
-    Carries ``multimodal_resize_stats`` as the ``image_rs`` arm: the
-    same stats over the 32×32 nearest-neighbor resized images, so the
-    resize → re-encode → decode roundtrip is hash-gated too."""
+    Carries ``multimodal_resize_stats`` (``image_rs`` arm: same stats
+    over the 32×32 nearest-neighbor resized images) and
+    ``multimodal_frame_stats`` (``audio_fr`` arm: per-PCM-chunk stats),
+    so the resize and frame-sampling roundtrips are hash-gated too."""
     assets = MM.synthesize_assets(spark, n=_MM_N)
     resized = MM.pixel_stats(
         MM.resize_images(assets, width=32, height=32)
     ).withColumn("kind", F.lit("image_rs"))
-    return MM.pixel_stats(assets).unionByName(resized)
+    frames = MM.pixel_stats(
+        MM.sample_frames(assets, n_frames=4).select(
+            (F.col("asset_id") * 10 + F.col("frame_index")).alias("asset_id"),
+            F.lit("audio").alias("kind"),
+            F.col("frame_payload").alias("payload"),
+        )
+    ).withColumn("kind", F.lit("audio_fr"))
+    return MM.pixel_stats(assets).unionByName(resized).unionByName(frames)
 
 
 # dHash = grayscale mean → 9×8 nearest-neighbor resample (_resize_nn:

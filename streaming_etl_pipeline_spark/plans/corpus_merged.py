@@ -1366,6 +1366,7 @@ COVERED_BY: dict[str, str] = {
     # multimodal_pixel_stats + image_dhash_profile (judge r3 item #3)
     "multimodal_features": "multimodal_pixel_stats",
     "multimodal_resize_stats": "multimodal_pixel_stats",
+    "multimodal_frame_stats": "multimodal_pixel_stats",
     "asof_latest_purchase": "temporal_join_suite",
     "asof_next_purchase": "temporal_join_suite",
     "interval_attribution": "temporal_join_suite",
