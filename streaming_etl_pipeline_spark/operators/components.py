@@ -173,6 +173,7 @@ def connected_components_star(
     # seed with one small-star pass: orients every edge toward the local
     # minimum before the first contraction, saving a full round on chains
     stars = _small_star(edges).localCheckpoint()
+    changed, rounds = 0, 0
     for rounds in range(1, max_iter + 1):
         sym_in = stars.union(
             stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -196,6 +197,13 @@ def connected_components_star(
         stars = new_stars
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds — "
+            "with O(log n) convergence this needs a graph of ~2^"
+            f"{max_iter} nodes or a bug; returning a partial mapping "
+            "would canonicalize clusters wrong"
+        )
     if rounds_out is not None:
         rounds_out.append(rounds)
     # at the fixpoint every node points directly at its component min
