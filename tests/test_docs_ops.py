@@ -725,6 +725,29 @@ def test_star_contraction_long_chain_olog_rounds(spark):
         ).collect()
 
 
+def test_star_equals_label_prop_on_real_lsh_pairs(spark, sf_dir):
+    """Both CC algorithms must canonicalize the REAL MinHash+LSH pair
+    graph identically — clique-ish LSH clusters are label-prop's home
+    turf, so any divergence is a star-contraction bug."""
+    from streaming_etl_pipeline_spark.operators.components import (
+        dedup_clusters,
+    )
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).select(
+        "id_a", "id_b"
+    )
+    lp = {
+        (r.doc_id, r.canonical_id, r.cluster_size)
+        for r in dedup_clusters(pairs).collect()
+    }
+    st = {
+        (r.doc_id, r.canonical_id, r.cluster_size)
+        for r in dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert lp == st and len(lp) > 0
+
+
 def test_remove_boilerplate_drops_shared_chunks(spark):
     from streaming_etl_pipeline_spark.operators.text import remove_boilerplate
 
