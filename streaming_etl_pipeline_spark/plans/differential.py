@@ -176,6 +176,27 @@ def _driver_parity_guard(name, out, rel) -> DiffResult | None:
             "(pandas renders float64, e.g. '1.0' vs Spark '1'); "
             "cast the sum ::BIGINT in the oracle SQL",
         )
+    # same class, decimal flavor: DuckDB DECIMAL reaches pandas as Decimal
+    # objects whose str() keeps trailing zeros ('1.50' vs double '1.5') —
+    # only a live mismatch when the Spark side is floating
+    dbl_spark = {
+        f.name.lower()
+        for f in out.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
+    dec = [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if "DECIMAL" in str(t).upper() and c.lower() in dbl_spark
+    ]
+    if dec:
+        return DiffResult(
+            name,
+            False,
+            f"driver-parity: oracle columns {dec} are DECIMAL while the "
+            "Spark type is double (Decimal str() keeps scale zeros, e.g. "
+            "'1.50' vs '1.5'); cast ::DOUBLE in the oracle SQL",
+        )
     integral = {
         f.name.lower()
         for f in out.schema.fields

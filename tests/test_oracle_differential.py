@@ -58,3 +58,42 @@ def test_uncast_hugeint_sum_fails_driver_parity(spark, duck, monkeypatch):
     monkeypatch.setitem(corpus.QUERIES, "_bad_hugeint_probe", good)
     res = d.run_one(spark, duck, SF_ORACLE, "_bad_hugeint_probe")
     assert res.ok, res.detail
+
+
+def test_uncast_decimal_vs_double_fails_driver_parity(spark, duck, monkeypatch):
+    """Oracle DECIMAL against a Spark double must fail the gate even when
+    the values agree numerically — Decimal str() keeps scale zeros
+    ('2.50' vs repr(2.5)='2.5') in the driver's canonicalizer."""
+
+    def fn(sp, sf_dir):
+        from pyspark.sql import functions as F
+
+        from streaming_etl_pipeline_spark.sources.io import read_table
+
+        return (
+            read_table(sp, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.lit(2.5).alias("x"))
+        )
+
+    bad = corpus.QuerySpec(
+        fn=fn,
+        sql=(
+            "SELECT o_orderstatus, 2.5 AS x "  # bare literal → DECIMAL(2,1)
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+    )
+    monkeypatch.setitem(corpus.QUERIES, "_bad_decimal_probe", bad)
+    res = d.run_one(spark, duck, SF_ORACLE, "_bad_decimal_probe")
+    assert not res.ok and "DECIMAL" in res.detail
+
+    good = corpus.QuerySpec(
+        fn=fn,
+        sql=(
+            "SELECT o_orderstatus, 2.5::DOUBLE AS x "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+    )
+    monkeypatch.setitem(corpus.QUERIES, "_bad_decimal_probe", good)
+    res = d.run_one(spark, duck, SF_ORACLE, "_bad_decimal_probe")
+    assert res.ok, res.detail
