@@ -114,6 +114,12 @@ def make_parser() -> argparse.ArgumentParser:
         "--substring-dup-max", type=float, default=None,
         help="drop docs whose cross-doc duplicated-span fraction exceeds this",
     )
+    cr.add_argument(
+        "--cc-algorithm", choices=("label_prop", "star"),
+        default="label_prop",
+        help="near-dup cluster canonicalization: label_prop (clique-ish "
+        "LSH graphs) or star contraction (chain-heavy crawl corpora)",
+    )
 
     sc = sub.add_parser(
         "scd2", help="build a type-2 history table from a change log"
@@ -265,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
             contamination_threshold=args.contamination_threshold,
             charlm_drop_frac=args.charlm_drop_frac,
             substring_dup_max=args.substring_dup_max,
+            cc_algorithm=args.cc_algorithm,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

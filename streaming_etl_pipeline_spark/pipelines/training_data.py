@@ -53,6 +53,7 @@ def curate_corpus(
     split_safety_threshold: float | None = None,
     charlm_drop_frac: float | None = None,
     substring_dup_max: float | None = None,
+    cc_algorithm: str = "label_prop",
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -79,6 +80,12 @@ def curate_corpus(
     spans: documents whose 64-char chunk-fingerprint ``dup_frac``
     exceeds the threshold (templated/boilerplate-heavy docs that
     survived whole-document near-dedup) are dropped.
+
+    ``cc_algorithm`` selects how near-dup pairs are canonicalized:
+    ``"label_prop"`` (default, O(diameter) rounds — right for clique-ish
+    LSH graphs, raises rather than mislabel if the graph turns out
+    chain-shaped) or ``"star"`` (large-star/small-star contraction,
+    O(log n) rounds, for chain-heavy crawl corpora).
     """
     from pyspark import StorageLevel
 
@@ -128,7 +135,7 @@ def curate_corpus(
     pairs = DD.near_dup_pairs_from_signatures(
         sigs, id_col=id_col, threshold=lsh_threshold
     )
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs, algorithm=cc_algorithm)
     losers = clusters.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
     survivors = kept.join(losers, id_col, "left_anti").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -196,7 +203,9 @@ def curate_corpus(
             id_col=id_col,
             threshold=split_safety_threshold,
         )
-        loose_clusters = dedup_clusters(loose_pairs).select(
+        loose_clusters = dedup_clusters(
+            loose_pairs, algorithm=cc_algorithm
+        ).select(
             F.col("doc_id").alias(id_col), "canonical_id"
         )
         examples = CU.cluster_safe_splits(

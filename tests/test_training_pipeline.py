@@ -79,6 +79,19 @@ def test_curate_corpus_no_benchmark_skips_gate(spark, tmp_path):
     assert res.metrics["final_docs"] == 4  # contaminated doc 4 stays
 
 
+def test_curate_corpus_star_cc_identical_output(spark, tmp_path):
+    """cc_algorithm='star' must produce byte-identical curated output to
+    the default label propagation — same canonical keepers, same chunks."""
+    a, b = str(tmp_path / "t_lp"), str(tmp_path / "t_star")
+    res_a = curate_corpus(spark, _corpus(spark), a)
+    res_b = curate_corpus(spark, _corpus(spark), b, cc_algorithm="star")
+    assert res_a.metrics == res_b.metrics
+    rows = lambda p: {  # noqa: E731
+        tuple(r) for r in spark.read.parquet(p).collect()
+    }
+    assert rows(a) == rows(b)
+
+
 def test_cli_curate_on_corpus_table(spark, tmp_path, capsys):
     """Drive the curate subcommand end-to-end on the real sf0.001
     documents table (chunk sizes scaled down to its short docs)."""
