@@ -136,10 +136,14 @@ def run_one(
     # collect() (not toPandas) so None vs NaN in double columns stays exact.
     s_tuples = [tuple(r) for r in out.collect()]
     rel = con.sql(spec.sql)
-    parity = _driver_parity_guard(name, out, rel)
+    # capture metadata before fetchall consumes the relation; the guard
+    # then works from (types, tuples) so the oracle executes exactly once
+    d_cols = list(rel.columns)
+    d_types = [str(t).upper() for t in rel.types]
+    d_tuples = rel.fetchall()
+    parity = _driver_parity_guard(name, out, d_cols, d_types, d_tuples)
     if parity is not None:
         return parity
-    d_cols, d_tuples = list(rel.columns), rel.fetchall()
     s_cols, s_rows = canonicalize_rows(list(out.columns), s_tuples)
     d_cols, d_rows = canonicalize_rows(d_cols, d_tuples)
     return compare_canonical(name, s_cols, s_rows, d_cols, d_rows)
@@ -148,7 +152,7 @@ def run_one(
 _INTEGRAL_SPARK = {"byte", "short", "integer", "long"}
 
 
-def _driver_parity_guard(name, out, rel) -> DiffResult | None:
+def _driver_parity_guard(name, out, d_cols, d_types, d_tuples) -> DiffResult | None:
     """Replicate the DRIVER's canonicalization pitfalls before hashing.
 
     The driver compares Spark vs DuckDB through *pandas* dataframes.  DuckDB
@@ -162,11 +166,15 @@ def _driver_parity_guard(name, out, rel) -> DiffResult | None:
     2. no non-null oracle column may surface float in pandas while the Spark
        column is integral (nullable ints legitimately become float64+NaN on
        BOTH sides of the driver, so columns containing nulls are exempt).
+
+    Works from the already-fetched (types, tuples) so the oracle query runs
+    exactly once per gate (an earlier version called ``rel.df()`` here,
+    re-executing the full query before ``run_one``'s fetchall — ADVICE r4).
     """
     hug = [
         c
-        for c, t in zip(rel.columns, rel.types)
-        if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        for c, t in zip(d_cols, d_types)
+        if t in ("HUGEINT", "UHUGEINT")
     ]
     if hug:
         return DiffResult(
@@ -186,8 +194,8 @@ def _driver_parity_guard(name, out, rel) -> DiffResult | None:
     }
     dec = [
         c
-        for c, t in zip(rel.columns, rel.types)
-        if "DECIMAL" in str(t).upper() and c.lower() in dbl_spark
+        for c, t in zip(d_cols, d_types)
+        if "DECIMAL" in t and c.lower() in dbl_spark
     ]
     if dec:
         return DiffResult(
@@ -203,13 +211,16 @@ def _driver_parity_guard(name, out, rel) -> DiffResult | None:
         if f.dataType.typeName() in _INTEGRAL_SPARK
     }
     if integral:
-        d_pdf = rel.df()
+        # which oracle columns will pandas render as float64 while Spark's
+        # dtype is integral? (a) floating DuckDB types always; (b) integral
+        # DuckDB types only when the column holds a NULL — and then the
+        # Spark side goes float64+NaN in the driver too, so (b) is exempt.
         drift = [
             c
-            for c in d_pdf.columns
+            for i, (c, t) in enumerate(zip(d_cols, d_types))
             if c.lower() in integral
-            and d_pdf[c].dtype.kind == "f"
-            and d_pdf[c].notna().all()
+            and t in ("FLOAT", "REAL", "DOUBLE")
+            and all(rec[i] is not None for rec in d_tuples)
         ]
         if drift:
             return DiffResult(

@@ -445,6 +445,21 @@ def versioned_write(
     os.write(fd, f"pid={os.getpid()}\n".encode())
     os.close(fd)
     try:
+        # Re-check the base UNDER the claim, before writing a byte: a
+        # committer holds its claim until after the pointer swap, so if we
+        # hold the claim and the pointer still names `base`, nobody can
+        # have committed v{version} — whereas a slow writer that read
+        # `base` before a faster writer committed+released would otherwise
+        # re-acquire the freed claim and overwrite the committed,
+        # _LATEST-visible snapshot before the post-write check fired.
+        # (A crashed writer's PARTIAL vdir is fine to overwrite: it was
+        # never pointer-visible, which is exactly what this check proves.)
+        current = latest_version(table_dir)
+        if current != base:
+            raise ConcurrentWriteError(
+                f"latest of {table_dir} moved {base}→{current} before "
+                f"write of v{version}; snapshot base is stale — retry"
+            )
         vdir = os.path.join(table_dir, "_versions", f"v{version}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -480,6 +495,8 @@ def table_history(table_dir: str) -> list[dict]:
     import re
 
     vroot = os.path.join(table_dir, "_versions")
+    if not os.path.isdir(vroot):  # never-written table: empty history,
+        return []                 # matching latest_version()'s 0
     current = latest_version(table_dir)
     out = []
     for d in sorted(os.listdir(vroot), reverse=True):

@@ -279,56 +279,34 @@ def start_dedup_ingest_sink(
     the next trigger. Per-trigger cost scales with the batch (signatures
     + LSH band join against the store's bands), never with the corpus —
     the 100 TB training-ingest dedup loop as one continuous job instead
-    of nightly batch sweeps. foreachBatch gives the exactly-once batch
-    id; the store append is idempotent per batch via the checkpoint.
+    of nightly batch sweeps.
+
+    foreachBatch is at-least-once, so a batch can replay after a crash;
+    both writes are made idempotent by partitioning on the epoch id and
+    replacing only that partition (dynamic partition overwrite) — a
+    replayed batch rewrites its own ``ingest_batch_id={N}`` partition
+    instead of appending a second copy. The replay is also
+    *deterministic*: the store probe excludes the batch's own partition,
+    so signatures a half-finished first attempt already persisted can't
+    change which documents count as novel the second time. Downstream
+    readers of ``path`` see one extra ``ingest_batch_id`` partition
+    column (drop it if unwanted).
 
     Batch-internal near-dups are resolved keep-min within the trigger;
     cross-batch dups are whatever matches the store. All of the batch's
     signatures (kept and dropped) join the store, so later re-sends of a
     dropped document still match."""
-    from pyspark.errors import AnalysisException
-
-    from streaming_etl_pipeline_spark.operators.dedup import (
-        build_signatures,
-        near_dup_pairs_from_signatures,
-    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
-        sigs = build_signatures(
-            batch_df, id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)
-        try:
-            store = spark.read.parquet(store_path)
-        except AnalysisException as exc:
-            if (
-                "PATH_NOT_FOUND" not in str(exc)
-                and "Path does not exist" not in str(exc)
-            ):
-                raise
-            store = None
-        # within-trigger near-dups: greedy keep-min of each pair
-        self_pairs = near_dup_pairs_from_signatures(sigs, threshold=threshold)
-        drops = self_pairs.select(
-            F.greatest("id_a", "id_b").alias(id_col)
+        dedup_ingest_batch(
+            batch_df,
+            batch_id,
+            path,
+            store_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
         )
-        if store is not None:
-            cross = near_dup_pairs_from_signatures(
-                sigs, store, threshold=threshold
-            )
-            # the batch-side id may land on either column; store-side ids
-            # simply won't match the anti-join below
-            drops = drops.unionByName(
-                cross.select(F.col("id_a").alias(id_col))
-            ).unionByName(cross.select(F.col("id_b").alias(id_col)))
-        novel = batch_df.join(
-            drops.distinct().localCheckpoint(eager=True), id_col, "left_anti"
-        )
-        novel.write.mode("append").parquet(path)
-        sigs.write.mode("append").parquet(store_path)
 
     writer = (
         docs.writeStream.foreachBatch(process)
@@ -337,6 +315,78 @@ def start_dedup_ingest_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> None:
+    """One idempotent micro-batch of :func:`start_dedup_ingest_sink`
+    (module-level so a crash-replay — same ``batch_id`` twice — can be
+    exercised deterministically in tests). See the sink docstring for
+    the replay contract."""
+    from pyspark.errors import AnalysisException
+
+    from streaming_etl_pipeline_spark.operators.dedup import (
+        build_signatures,
+        near_dup_pairs_from_signatures,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint(eager=True)
+    sigs = build_signatures(
+        batch_df, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    try:
+        store = (
+            spark.read.parquet(store_path)
+            # exclude our own partition: on a replay the store may
+            # already hold this batch's signatures from a partial
+            # first attempt, and probing them would flip the
+            # keep-min choice (both ids of a within-batch pair
+            # appear "in the store" → both dropped)
+            .where(F.col("ingest_batch_id") != F.lit(batch_id))
+            .drop("ingest_batch_id")
+        )
+    except AnalysisException as exc:
+        if (
+            "PATH_NOT_FOUND" not in str(exc)
+            and "Path does not exist" not in str(exc)
+        ):
+            raise
+        store = None
+    # within-trigger near-dups: greedy keep-min of each pair
+    self_pairs = near_dup_pairs_from_signatures(sigs, threshold=threshold)
+    drops = self_pairs.select(
+        F.greatest("id_a", "id_b").alias(id_col)
+    )
+    if store is not None:
+        cross = near_dup_pairs_from_signatures(
+            sigs, store, threshold=threshold
+        )
+        # the batch-side id may land on either column; store-side ids
+        # simply won't match the anti-join below
+        drops = drops.unionByName(
+            cross.select(F.col("id_a").alias(id_col))
+        ).unionByName(cross.select(F.col("id_b").alias(id_col)))
+    novel = batch_df.join(
+        drops.distinct().localCheckpoint(eager=True), id_col, "left_anti"
+    )
+    for frame, dest in ((novel, path), (sigs, store_path)):
+        (
+            frame.withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(dest)
+        )
 
 
 def start_gold_upsert_sink(

@@ -1149,3 +1149,40 @@ def test_streaming_dedup_ingest_sink_incremental_store(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(store).collect()} == {
         1, 2, 3, 4, 5,
     }
+
+
+def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
+    """ADVICE r4 (medium): foreachBatch is at-least-once, so a replayed
+    epoch must not re-append its rows. Both writes are partitioned by
+    ``ingest_batch_id`` with dynamic partition overwrite, and the store
+    probe excludes the epoch's own partition — replaying an epoch (even
+    after its first attempt fully committed) rewrites the same rows
+    instead of duplicating them or flipping the novel set."""
+    from streaming_etl_pipeline_spark.streaming.ingest import dedup_ingest_batch
+
+    out = str(tmp_path / "clean")
+    store = str(tmp_path / "sig_store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark shuffles and parquet files"
+    schema = "doc_id long, text string"
+
+    b0 = spark.createDataFrame([(1, base), (2, other), (3, base)], schema)
+    dedup_ingest_batch(b0, 0, out, store)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # replay epoch 0 (crash between commit and checkpoint ack): identical
+    dedup_ingest_batch(b0, 0, out, store)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert spark.read.parquet(store).count() == 3  # one signature per doc
+
+    # epoch 1 probes the store (4 near-dups epoch-0 text), then replays
+    b1 = spark.createDataFrame(
+        [(4, base), (5, "a third entirely unrelated document about kafka")],
+        schema,
+    )
+    for _ in range(2):
+        dedup_ingest_batch(b1, 1, out, store)
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        ) == [1, 2, 5]
+        assert spark.read.parquet(store).count() == 5

@@ -644,6 +644,49 @@ def test_versioned_concurrent_writers_one_winner(spark, tmp_path):
     ) == nxt
 
 
+def test_versioned_stale_base_raises_before_clobbering(spark, tmp_path, monkeypatch):
+    """ADVICE r4 (high): a slow writer that read base=N before a faster
+    writer committed v{N+1} could re-acquire the freed v{N+1}.claim and
+    OVERWRITE the committed, _LATEST-visible snapshot before the
+    post-write check fired. The fix re-checks the base UNDER the claim,
+    before any byte is written — simulated here by feeding the writer a
+    stale base via monkeypatch (first latest_version call lies, the
+    under-claim re-check reads the truth)."""
+    from streaming_etl_pipeline_spark.sources import io as io_mod
+
+    tbl = str(tmp_path / "vt_stale")
+    io_mod.versioned_write(spark.range(4).selectExpr("id", "id AS x"), tbl)
+    io_mod.versioned_write(spark.range(9).selectExpr("id", "id AS x"), tbl)
+    real = io_mod.latest_version
+    calls = {"n": 0}
+
+    def stale_once(table_dir):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(table_dir)
+
+    monkeypatch.setattr(io_mod, "latest_version", stale_once)
+    with pytest.raises(io_mod.ConcurrentWriteError, match="before\\b.*write"):
+        io_mod.versioned_write(
+            spark.range(1).selectExpr("id", "id AS x"), tbl
+        )
+    monkeypatch.setattr(io_mod, "latest_version", real)
+    # the committed v2 snapshot is untouched and still current
+    assert io_mod.latest_version(tbl) == 2
+    assert io_mod.read_versioned(spark, tbl).count() == 9
+    # and the table accepts a clean new commit afterwards
+    assert io_mod.versioned_write(
+        spark.range(2).selectExpr("id", "id AS x"), tbl
+    ) == 3
+
+
+def test_table_history_empty_table(tmp_path):
+    """ADVICE r4 (low): history of a never-written table is [], matching
+    latest_version()'s graceful 0, instead of FileNotFoundError."""
+    from streaming_etl_pipeline_spark.sources.io import table_history
+
+    assert table_history(str(tmp_path / "never_written")) == []
+
+
 def test_cli_optimize_versioned_commits_snapshot(spark, tmp_path):
     from streaming_etl_pipeline_spark.pipelines.run import main as cli_main
     from streaming_etl_pipeline_spark.sources.io import (
