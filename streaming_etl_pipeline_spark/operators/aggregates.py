@@ -49,9 +49,22 @@ def windowed_stats(
     distinct_count_col: str | None = None,
     oracle_safe: bool = True,
     value_scale: int = 2,
+    skew: bool = False,
 ) -> DataFrame:
     """Tumbling-window stats — the reference's gold_sensor_5min /
     location_hourly shape (``silver_to_gold.py:44-134``).
+
+    ``skew=True`` hardens the plan against a hot (window, key) group.
+    Every aggregate here except exact percentiles is already skew-safe:
+    sum/count/min/max/avg/stddev compute mergeable partials map-side (a
+    hot key contributes one partial per upstream partition), and
+    ``countDistinct`` shuffles on (group, value) so a hot group's
+    distinct values spread across reducers. The one buffer that grows
+    with the hot group's ROW count is the exact-percentile accumulator
+    (it must see every value in one place), so ``skew=True`` forces the
+    mergeable ``percentile_approx`` sketch (bounded memory per partial)
+    regardless of ``exact_percentiles``. Measured on a 50 %-hot-key
+    fixture in ``tests/test_skew.py``; numbers in SCALE.md.
 
     Output: keys + window_start/window_end + avg/min/max/reading_count/
     stddev + pNN_value columns (+ sensor_health_pct when
@@ -64,7 +77,9 @@ def windowed_stats(
     double path (marginally cheaper, result depends on accumulation order).
     """
     v = F.col(value_col)
-    pct_fn = F.percentile if exact_percentiles else F.percentile_approx
+    pct_fn = (
+        F.percentile if exact_percentiles and not skew else F.percentile_approx
+    )
     if oracle_safe:
         avg_c = exact_avg(v, scale=value_scale)
         std_c = exact_stddev(v, scale=value_scale)

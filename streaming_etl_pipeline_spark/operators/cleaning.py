@@ -42,11 +42,23 @@ def deduplicate_latest(
     keys: Sequence[str],
     order_col: str,
     tiebreak: Sequence[str] = (),
+    skew: bool = False,
 ) -> DataFrame:
     """W1 — keep the latest row per key (latest ``order_col`` wins; the
     reference keeps the newest ``ingestion_time`` per ``(sensor_id,
     event_time)``, ``bronze_to_silver.py:40-52``). Add a unique ``tiebreak``
-    column for full determinism when ``order_col`` can tie."""
+    column for full determinism when ``order_col`` can tie.
+
+    ``skew=True`` routes to :func:`deduplicate_latest_agg`: the
+    ``row_number`` window must SORT every row of a key inside one task,
+    so one hot key (a chatty sensor, a default/null id) serializes the
+    stage; the ``max_by`` aggregation keeps only one struct per key per
+    map task and merges partials, so the hot key costs one struct per
+    upstream partition instead of a single-task sort of all its rows.
+    Same result either way (measured on a 50 %-hot-key fixture in
+    ``tests/test_skew.py``; numbers in SCALE.md)."""
+    if skew:
+        return deduplicate_latest_agg(df, keys, order_col, tiebreak)
     order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
@@ -57,13 +69,19 @@ def deduplicate_latest(
 
 
 def deduplicate_latest_agg(
-    df: DataFrame, keys: Sequence[str], order_col: str
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    """Skew-robust W1 variant: ``max_by`` over a struct of all columns.
+    """Skew-robust W1 variant: ``max_by`` over a struct of all columns,
+    ordered by ``(order_col, *tiebreak)`` (struct comparison is
+    lexicographic, matching the window variant's DESC-major order).
     Partial aggregation happens map-side, so one hot key degrades to a
     single reducer holding one struct, not all duplicate rows."""
     payload = F.struct(*[F.col(c) for c in df.columns])
-    out = df.groupBy(*keys).agg(F.max_by(payload, F.col(order_col)).alias("_p"))
+    rank = F.struct(F.col(order_col), *[F.col(c) for c in tiebreak])
+    out = df.groupBy(*keys).agg(F.max_by(payload, rank).alias("_p"))
     return out.select(*[F.col(f"_p.{c}").alias(c) for c in df.columns])
 
 
