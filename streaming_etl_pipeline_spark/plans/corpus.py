@@ -567,6 +567,22 @@ def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
 
 
+def global_metric_aggs() -> list:
+    """Aggregate columns of ``global_metrics`` — shared with the
+    metrics_overview carrier, which folds them into ONE events pass
+    alongside the quality/privacy scalars."""
+    anom = F.sum(F.when(F.col("value") > 180.0, 1).otherwise(0))
+    return [
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        exact_avg("value").alias("avg_value"),
+        anom.cast("long").alias("anomaly_count"),
+        F.round(anom.cast("double") * 100 / F.count(F.lit(1)), 6).alias(
+            "anomaly_rate_pct"
+        ),
+    ]
+
+
 @register(
     "global_metrics",
     f"""
@@ -583,16 +599,7 @@ def q_global_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 global scalar aggregates (dashboard headline metrics,
     app.py:188-201,293-300): one-row result, map-side partials only."""
     events = read_table(spark, sf_dir, "events")
-    anom = F.sum(F.when(F.col("value") > 180.0, 1).otherwise(0))
-    return events.agg(
-        F.count(F.lit(1)).alias("total_events"),
-        F.countDistinct("user_id").alias("unique_users"),
-        exact_avg("value").alias("avg_value"),
-        anom.cast("long").alias("anomaly_count"),
-        F.round(anom.cast("double") * 100 / F.count(F.lit(1)), 6).alias(
-            "anomaly_rate_pct"
-        ),
-    )
+    return events.agg(*global_metric_aggs())
 
 
 # ---------------------------------------------------------------------------
@@ -882,6 +889,26 @@ def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def quality_metric_aggs() -> list:
+    """Aggregate columns of ``quality_metrics`` (same sharing contract
+    as :func:`global_metric_aggs`)."""
+    known = ["click", "view", "purchase", "signup", "error"]
+    n = F.count(F.lit(1))
+    return [
+        n.alias("total_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("null_user_id"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("null_value"),
+        F.round(
+            F.sum(F.when(F.col("event_type").isNotNull(), 1).otherwise(0)).cast("double") / n, 6
+        ).alias("event_type_nonnull_rate"),
+        F.sum(F.when(~F.col("event_type").isin(known), 1).otherwise(0)).cast("long").alias("unknown_type_count"),
+        F.sum(
+            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
+        ).cast("long").alias("out_of_bounds_count"),
+        (n - F.countDistinct("event_id")).alias("duplicate_event_ids"),
+    ]
+
+
 @register(
     "quality_metrics",
     """
@@ -904,21 +931,7 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-scan design the quality.validate() runner uses, vs the
     reference's one-action-per-check pandas runner."""
     events = read_table(spark, sf_dir, "events")
-    known = ["click", "view", "purchase", "signup", "error"]
-    n = F.count(F.lit(1))
-    return events.agg(
-        n.alias("total_rows"),
-        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("null_user_id"),
-        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("null_value"),
-        F.round(
-            F.sum(F.when(F.col("event_type").isNotNull(), 1).otherwise(0)).cast("double") / n, 6
-        ).alias("event_type_nonnull_rate"),
-        F.sum(F.when(~F.col("event_type").isin(known), 1).otherwise(0)).cast("long").alias("unknown_type_count"),
-        F.sum(
-            F.when((F.col("value") < 0) | (F.col("value") > 1000), 1).otherwise(0)
-        ).cast("long").alias("out_of_bounds_count"),
-        (n - F.countDistinct("event_id")).alias("duplicate_event_ids"),
-    )
+    return events.agg(*quality_metric_aggs())
 
 
 # ---------------------------------------------------------------------------
@@ -2154,9 +2167,35 @@ def q_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus keyed-pseudonymization integrity — tokens stay bijective with
     the raw ids (joinability preserved) and the min token pins the HMAC
     arithmetic in both engines."""
+    events = read_table(spark, sf_dir, "events")
+    ks = privacy_k_anonymity(spark, sf_dir)
+    ps = events.agg(*privacy_token_aggs())
+    return ks.crossJoin(F.broadcast(ps)).select(
+        "n_groups", "risky_groups", "risky_rows", "min_group_size",
+        "n_users", "n_tokens",
+        (F.col("n_users") == F.col("n_tokens")).alias("pseudo_bijective"),
+        "min_token",
+    )
+
+
+def privacy_token_aggs() -> list:
+    """Pseudonymization-integrity aggregate columns of ``privacy_audit``
+    (same sharing contract as :func:`global_metric_aggs`)."""
+    from streaming_etl_pipeline_spark.quality.privacy import pseudonym
+
+    tok = pseudonym("user_id", "s3cret")
+    return [
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(tok).alias("n_tokens"),
+        F.min(tok).alias("min_token"),
+    ]
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity half of ``privacy_audit`` (one row), shared with the
+    metrics_overview carrier."""
     from streaming_etl_pipeline_spark.quality.privacy import (
         k_anonymity_summary,
-        pseudonym,
     )
 
     events = read_table(spark, sf_dir, "events")
@@ -2165,19 +2204,7 @@ def q_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         (F.col("user_id") % 10).alias("user_bucket"),
     )
-    ks = k_anonymity_summary(quasi, ("event_type", "day", "user_bucket"), k=5)
-    tok = pseudonym("user_id", "s3cret")
-    ps = events.agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct(tok).alias("n_tokens"),
-        F.min(tok).alias("min_token"),
-    )
-    return ks.crossJoin(F.broadcast(ps)).select(
-        "n_groups", "risky_groups", "risky_rows", "min_group_size",
-        "n_users", "n_tokens",
-        (F.col("n_users") == F.col("n_tokens")).alias("pseudo_bijective"),
-        "min_token",
-    )
+    return k_anonymity_summary(quasi, ("event_type", "day", "user_bucket"), k=5)
 
 
 def _cms_heavy_hitters_sql(depth: int = 4, width: int = 256) -> str:

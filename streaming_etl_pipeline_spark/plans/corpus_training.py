@@ -253,13 +253,9 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = events.filter(F.col("event_id") % 2 == 0).select("value")
     cur = events.filter(F.col("event_id") % 2 == 1).select("value")
     shifted = cur.select((F.col("value") * 1.5).alias("value"))
-    same = DR.psi(ref, cur, "value", _PSI_EDGES).select(
-        F.lit("same").alias("snapshot"), "psi", "n_ref", "n_cur", "drifted"
-    )
-    moved = DR.psi(ref, shifted, "value", _PSI_EDGES).select(
-        F.lit("scaled_1_5x").alias("snapshot"), "psi", "n_ref", "n_cur", "drifted"
-    )
-    return same.unionByName(moved)
+    return DR.psi_pairs(
+        ref, {"same": cur, "scaled_1_5x": shifted}, "value", _PSI_EDGES
+    ).select("snapshot", "psi", "n_ref", "n_cur", "drifted")
 
 
 # ---------------------------------------------------------------------------
