@@ -111,6 +111,11 @@ def exact_avg(col: Column | str, scale: int = 2, digits: int = 6) -> Column:
     """Order-independent mean: exact decimal sum / count, then round.
     DuckDB twin:
     ``round(CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / count(x), d)``.
+
+    Parity domain (all exact_* helpers): |x|·10^digits ≲ 2^53. Beyond
+    that, ``round(x, digits)`` is itself not representable as a double
+    and engines may differ in the final ulp — fuzz-verified boundary,
+    see tests/test_oracle_fuzz.py (magnitude_mix).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(exact_sum(c, scale).cast("double") / F.count(c), digits)
@@ -141,7 +146,14 @@ def exact_stddev(col: Column | str, scale: int = 2, digits: int = 6) -> Column:
 
 
 def exact_stddev_sql(col_sql: str, scale: int = 2, digits: int = 6) -> str:
-    dec = f"CAST({col_sql} AS DECIMAL(18,{scale}))"
+    # DECIMAL(19) for the squared term: same quantized values as the
+    # Spark side's DECIMAL(18) (precision widens storage, not the
+    # value), but DuckDB promotes the 19-digit operands to int128 before
+    # multiplying — DECIMAL(18)*DECIMAL(18) multiplies the int64 reps
+    # and overflows for |x| ≳ 3e9 (tests/test_oracle_fuzz.py
+    # ::test_fuzz_magnitude_mix). Both engines' products stay exact, so
+    # results are unchanged where both formulations are defined.
+    dec = f"CAST({col_sql} AS DECIMAL(19,{scale}))"
     n = f"count({col_sql})"
     s1 = f"CAST(sum({dec}) AS DOUBLE)"
     s2 = f"CAST(sum({dec} * {dec}) AS DOUBLE)"

@@ -53,7 +53,12 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     ``zip_with`` pads the shorter side with nulls and ``concat`` is
     null-propagating, so the k−1 partial tail grams become nulls and are
     filtered out. Documents shorter than k tokens contribute their whole
-    text as one shingle. DuckDB twin: :func:`shingles_sql`.
+    text as one shingle; documents with NO tokens (empty or
+    whitespace-only text) contribute none — they are exact-dedup
+    territory, and the engines disagree on joining an empty list
+    (Spark ``array_join`` → '', DuckDB ``array_to_string`` → NULL), a
+    divergence found by tests/test_oracle_fuzz.py::test_fuzz_unicode_text.
+    DuckDB twin: :func:`shingles_sql`.
     """
     from streaming_etl_pipeline_spark.functions.core import tokenize
 
@@ -69,7 +74,10 @@ def shingles(col: Column | str, k: int = 3) -> Column:
         )
     grams = F.filter(grams, lambda s: s.isNotNull())
     whole = F.array(F.array_join(toks, " "))
-    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(
+        F.when(n >= k, grams).when(n >= 1, whole).otherwise(empty)
+    )
 
 
 def shingles_sql(col_sql: str, k: int = 3) -> str:
@@ -80,7 +88,8 @@ def shingles_sql(col_sql: str, k: int = 3) -> str:
         f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
         f"list_transform(range(1, len({toks}) - {k} + 2), "
         f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
-        f"ELSE [array_to_string({toks}, ' ')] END)"
+        f"WHEN len({toks}) >= 1 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [] END)"
     )
 
 

@@ -29,11 +29,25 @@ from streaming_etl_pipeline_spark.sources.io import TABLES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Oracle connection with the corpus tables as views, normalized to
+    the engine's timestamp convention: tz-aware parquet timestamps
+    (µs-LTZ flavor) are CAST to plain TIMESTAMP under ``TimeZone='UTC'``
+    — the same UTC-wall-time normalization ``sources.io.read_table``
+    applies Spark-side — so a testdata regeneration shipping TIMESTAMPTZ
+    can't leak ``+00:00``-suffixed datetimes into the canonicalizer
+    (found by tests/test_oracle_fuzz.py::test_fuzz_ts_unit_us_tz)."""
     con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        src = f"read_parquet('{sf_dir}/{t}.parquet')"
+        cols = con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        sel = ", ".join(
+            f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+            if typ == "TIMESTAMP WITH TIME ZONE"
+            else f'"{c}"'
+            for c, typ, *_ in cols
         )
+        con.sql(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     return con
 
 

@@ -1,0 +1,184 @@
+"""Adversarial oracle-parity fuzz (judge r4 item #8).
+
+Rounds 3-4 lost debugging days to engine-representation traps that only
+bite on particular DATA, not particular queries: DuckDB HUGEINT sums,
+DECIMAL literals, ns-vs-µs parquet timestamps, knife-edge rounding.
+This suite institutionalizes them: each case rewrites one testdata
+table with a targeted perturbation class, then runs representative
+corpus queries through the SAME differential gate
+(``plans.differential.run_one``) and asserts Spark and DuckDB still
+agree bit-for-bit. A regression in any normalization layer
+(``sources.io.read_table``, ``exact_*`` decimal accumulation, the
+canonicalizer) turns a row red here before it reaches the driver gate.
+
+Perturbation classes (≥5):
+
+1. ``ts_unit_ns``     — events.ts re-encoded as TIMESTAMP(NANOS)
+                        (the round-1 PARQUET_TYPE_ILLEGAL incident);
+2. ``ts_unit_us_tz``  — events.ts re-encoded as µs WITH timezone (UTC
+                        instant semantics, the LTZ flavor);
+3. ``neg_zero``       — a slice of events.value replaced by -0.0
+                        (IEEE sign must canonicalize identically);
+4. ``rounding_ties``  — values snapped to exact .xx5 half-cent ties
+                        (decimal accumulation + round-half rules);
+5. ``magnitude_mix``  — values scaled to 1e±5 extremes (decimal
+                        accumulator range, stddev cancellation).
+                        1e5 is deliberate: the exact_* parity contract
+                        is |x|·10^digits ≲ 2^53 — beyond that,
+                        round(x, 6) itself is not representable in a
+                        double and engines legitimately differ in the
+                        last ulp (measured at |x| ≈ 3e9 when this
+                        suite probed 1e8 scaling);
+6. ``int_edge``       — user_id shifted near 2^31 (int32-overflow
+                        casts) — group keys must stay BIGINT end-to-end;
+7. ``unicode_text``   — documents.text decorated with multibyte + empty
+                        strings (md5/tokenization byte-vs-char parity).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from streaming_etl_pipeline_spark.plans.differential import (
+    TABLES,
+    duck_connect,
+    run_one,
+)
+
+SRC = "/root/testdata/sf0.001"
+
+
+def _clone_sf(tmp_path, table: str | None = None, arrow_fn=None) -> str:
+    """Copy the sf0.001 tables; optionally rewrite one through arrow_fn
+    (pyarrow Table -> pyarrow Table, plus writer kwargs via tuple)."""
+    dst = tmp_path / "sf"
+    dst.mkdir()
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        if t == table:
+            tbl = pq.read_table(src)
+            tbl, kwargs = arrow_fn(tbl)
+            pq.write_table(tbl, str(dst / f"{t}.parquet"), **kwargs)
+        else:
+            shutil.copy(src, dst / f"{t}.parquet")
+    return str(dst)
+
+
+def _gate(spark, sf_dir: str, names: list[str]) -> None:
+    con = duck_connect(sf_dir)
+    for name in names:
+        res = run_one(spark, con, sf_dir, name)
+        assert res.ok, f"{name} under perturbation: {res.detail}"
+
+
+#: events-grain queries covering decimal accumulation, exact
+#: percentiles, calendar bucketing, sessionization, and window lags
+EVENT_QUERIES = ["sensor_5min", "daily_summary", "user_sessions",
+                 "global_metrics", "inter_arrival_stats"]
+
+
+def _replace_value(tbl: pa.Table, new_value) -> pa.Table:
+    i = tbl.schema.get_field_index("value")
+    return tbl.set_column(i, "value", new_value)
+
+
+def test_fuzz_ts_unit_ns(spark, tmp_path):
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(i, "ts", pc.cast(tbl["ts"], pa.timestamp("ns")))
+        # version 2.6 permits TIMESTAMP(NANOS) — the layout the driver
+        # shipped in round 1 that plain spark.read.parquet rejects
+        return tbl, {"version": "2.6", "coerce_timestamps": None}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    _gate(spark, sf, EVENT_QUERIES)
+
+
+def test_fuzz_ts_unit_us_tz(spark, tmp_path):
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            i, "ts", pc.cast(tbl["ts"], pa.timestamp("us", tz="UTC"))
+        )
+        return tbl, {}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    _gate(spark, sf, EVENT_QUERIES)
+
+
+def test_fuzz_neg_zero(spark, tmp_path):
+    def mutate(tbl):
+        mask = pc.equal(pc.bit_wise_and(tbl["event_id"], 7), 0)
+        val = pc.if_else(mask, pa.scalar(-0.0, pa.float64()), tbl["value"])
+        return _replace_value(tbl, val), {}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    _gate(spark, sf, EVENT_QUERIES)
+
+
+def test_fuzz_rounding_ties(spark, tmp_path):
+    def mutate(tbl):
+        # snap to exact .xx5 half-way points: n/1000 with n ≡ 5 (mod 10)
+        cents = pc.add(
+            pc.multiply(pc.round(pc.multiply(tbl["value"], 100)), 10), 5
+        )
+        val = pc.divide(pc.cast(cents, pa.float64()), 1000.0)
+        return _replace_value(tbl, val), {}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    _gate(spark, sf, EVENT_QUERIES)
+
+
+def test_fuzz_magnitude_mix(spark, tmp_path):
+    def mutate(tbl):
+        big = pc.equal(pc.bit_wise_and(tbl["event_id"], 3), 0)
+        val = pc.if_else(
+            big,
+            pc.multiply(tbl["value"], 1e5),
+            pc.multiply(tbl["value"], 1e-8),
+        )
+        return _replace_value(tbl, val), {}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    _gate(spark, sf, EVENT_QUERIES)
+
+
+def test_fuzz_int_edge(spark, tmp_path):
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("user_id")
+        shifted = pc.add(tbl["user_id"], pa.scalar(2**31 - 50, pa.int64()))
+        return tbl.set_column(i, "user_id", shifted), {}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    # global_metrics countDistinct + sessions/windows keyed by user_id
+    _gate(spark, sf, ["sensor_5min", "user_sessions", "global_metrics"])
+
+
+def test_fuzz_unicode_text(spark, tmp_path):
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mod = pc.bit_wise_and(tbl["doc_id"], 7)
+        decorated = pc.binary_join_element_wise(
+            tbl["text"], pa.scalar(" héllo wörld — καλημέρα 標本 🚀"), ""
+        )
+        text = pc.if_else(
+            pc.equal(mod, 0),
+            pa.scalar("", pa.string()),          # empty docs
+            pc.if_else(pc.equal(mod, 1), decorated, tbl["text"]),
+        )
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams"])
+
+
+def test_fuzz_baseline_unperturbed(spark, tmp_path):
+    """Control: the clone path itself (no mutation) stays green, so a
+    red above is attributable to the perturbation, not the harness."""
+    sf = _clone_sf(tmp_path)
+    _gate(spark, sf, ["sensor_5min", "dedup_exact"])
