@@ -228,6 +228,27 @@ class PrometheusExporter:
         fired = self.evaluator.observe(snap)
         self._sync_alerts(fired)
 
+    def listen(self, spark):
+        """Register a live ``StreamingQueryListener`` on ``spark`` that
+        feeds every progress event straight into this exporter — the
+        push-based wiring a deployment uses (scrapes then never lag a
+        drain call). Returns the listener; detach with
+        ``spark.streams.removeListener(listener)``."""
+        from streaming_etl_pipeline_spark.streaming.ingest import (
+            MetricsListener,
+        )
+
+        exporter = self
+
+        class _Feed(MetricsListener):
+            def onQueryProgress(self, event) -> None:
+                super().onQueryProgress(event)
+                exporter.observe_progress(self.progress[-1])
+
+        listener = _Feed()
+        spark.streams.addListener(listener)
+        return listener
+
     def drain_listener(self, listener) -> int:
         """Feed every not-yet-seen progress event; returns how many."""
         events = listener.progress[self._drained :]

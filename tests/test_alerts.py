@@ -198,3 +198,47 @@ def test_prometheus_exporter_drains_metrics_listener():
     body = ex.render()
     assert 'events_ingested_total{query="q"} 35' in body
     assert "processing_latency_seconds_count 3" in body
+
+
+def test_prometheus_exporter_live_stream_feed(spark, tmp_path):
+    """exporter.listen(spark) wires a real streaming query's progress
+    into the scrape surface with no manual drain."""
+    import time as _time
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.quality.exporter import PrometheusExporter
+
+    src = str(tmp_path / "src")
+    spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).write.parquet(src)
+
+    ex = PrometheusExporter()
+    listener = ex.listen(spark)
+    server, port = ex.start_http_server()
+    try:
+        q = (
+            spark.readStream.schema("id long, g long").parquet(src)
+            .groupBy("g").count()
+            .writeStream.format("noop").outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        deadline = _time.time() + 30
+        body = ""
+        while _time.time() < deadline:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=10
+            ) as r:
+                body = r.read().decode()
+            if "events_ingested_total" in body and " 5000" in body:
+                break
+            _time.sleep(0.5)
+        assert "events_ingested_total" in body and " 5000" in body
+        assert "processing_latency_seconds_count" in body
+    finally:
+        server.shutdown()
+        spark.streams.removeListener(listener)

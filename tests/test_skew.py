@@ -50,10 +50,17 @@ def skewed(spark, tmp_path_factory):
     return df
 
 
-def _timed(df) -> float:
-    t0 = time.monotonic()
-    df.write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+def _timed(df, repeats: int = 2) -> float:
+    """min-of-N noop-sink wall time: the min is the least
+    contention-sensitive location statistic, and these tests compare
+    plan SHAPES, not absolute throughput — a transient CPU spike on one
+    run must not flip the comparison."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def test_skewed_dedup_salted_beats_plain(spark, skewed):
@@ -120,3 +127,65 @@ def test_dedup_agg_tiebreak_matches_window_variant(spark):
     want = {("a", "keep"), ("b", "only")}
     assert {(r["k"], r["payload"]) for r in w} == want
     assert {(r["k"], r["payload"]) for r in a} == want
+
+
+def test_skewed_join_aqe_splits_hot_partition(spark, tmp_path):
+    """JOIN skew is AQE's job (the groupBy knobs above are ours): with a
+    50 %-hot-key fact joined to a non-broadcastable dim, AQE's skew-join
+    rule must split the monster partition at runtime. Pins the
+    engine-level claim in SCALE.md/medallion docstrings that the
+    dedup/z-score shuffle's skew is 'handled by AQE' — as measured
+    evidence, not an assertion.
+
+    Shape caveat this test documents: OptimizeSkewedJoin only fires when
+    the join is the RESULT stage — with a downstream aggregation
+    consuming the join output, Spark declines the split (verified both
+    ways while writing this). A production pipeline whose skewed join
+    feeds another shuffle should therefore break the stage (persist /
+    write) or pre-handle the key, which is exactly what the medallion
+    pipelines do by writing Silver before Gold aggregates."""
+    n = 2_000_000
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force SMJ (no broadcast) and thresholds small enough that the
+        # ~30 MB hot partition counts as skewed at test scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        src = str(tmp_path / "fact")
+        generate_events(
+            spark, n, n_sensors=200, hot_key_fraction=HOT
+        ).select("sensor_id", "value").repartition(32).write.parquet(src)
+        fact = spark.read.parquet(src)
+        dim = spark.range(200).select(
+            F.format_string("sensor-%03d", F.col("id").cast("int")).alias(
+                "sensor_id"
+            ),
+            (F.col("id") % 5).alias("zone_id"),
+        )
+        joined = fact.join(dim, "sensor_id")
+        rows = joined.collect()
+        assert len(rows) == n  # every fact row matched exactly once
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not mark the hot partition as skewed:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
