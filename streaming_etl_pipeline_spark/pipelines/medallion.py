@@ -134,13 +134,19 @@ def silver_to_gold(
     gold_path: str,
     run_date: _dt.date | str | None = None,
     oracle_safe: bool = False,
+    skew: bool = False,
 ) -> PipelineResult:
     """Aggregate Silver into the three Gold tables.
 
     Three independent plans off one scan (scan → partial agg → shuffle →
     final agg → write each); ``oracle_safe=False`` uses the plain double
     aggregation path — the exact-decimal variant exists for differential
-    testing and costs ~20% more.
+    testing and costs ~20% more. ``skew=True`` passes the hot-key knob
+    through to the windowed aggregations (mergeable percentile sketches
+    instead of exact percentile buffers — see
+    ``operators/aggregates.windowed_stats`` and tests/test_skew.py for
+    the measured rationale); flip it when one sensor/location dominates
+    the feed.
     """
     df = spark.read.parquet(silver_path)
     if run_date is not None:
@@ -154,6 +160,7 @@ def silver_to_gold(
         value_col="value",
         expected_per_window=EXPECTED_PER_5MIN,
         oracle_safe=oracle_safe,
+        skew=skew,
     )
     location_hourly = aggregates.windowed_stats(
         df,
@@ -163,6 +170,7 @@ def silver_to_gold(
         value_col="value",
         distinct_count_col="sensor_id",
         oracle_safe=oracle_safe,
+        skew=skew,
     )
     daily = aggregates.daily_summary(
         df,

@@ -55,6 +55,11 @@ def make_parser() -> argparse.ArgumentParser:
     s2g.add_argument("--silver", required=True)
     s2g.add_argument("--gold", required=True)
     s2g.add_argument("--date", default=None)
+    s2g.add_argument(
+        "--skew", action="store_true",
+        help="hot-key hardening: mergeable percentile sketches instead of "
+             "exact percentile buffers (see tests/test_skew.py)",
+    )
 
     both = sub.add_parser("all", help="b2s then s2g")
     both.add_argument("--bronze", required=True)
@@ -62,6 +67,7 @@ def make_parser() -> argparse.ArgumentParser:
     both.add_argument("--gold", required=True)
     both.add_argument("--date", default=None)
     both.add_argument("--validate", action="store_true")
+    both.add_argument("--skew", action="store_true")
 
     dd = sub.add_parser(
         "dedup", help="incremental near-dedup of a document batch vs a store"
@@ -213,7 +219,8 @@ def main(argv: list[str] | None = None) -> int:
         metrics.update({f"b2s.{k}": v for k, v in res.metrics.items()})
     if args.cmd in ("s2g", "all"):
         res = silver_to_gold(
-            spark, args.silver, args.gold, run_date=args.date
+            spark, args.silver, args.gold, run_date=args.date,
+            skew=getattr(args, "skew", False),
         )
         metrics.update({f"s2g.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "dedup":

@@ -97,3 +97,44 @@ def test_uncast_decimal_vs_double_fails_driver_parity(spark, duck, monkeypatch):
     monkeypatch.setitem(corpus.QUERIES, "_bad_decimal_probe", good)
     res = d.run_one(spark, duck, SF_ORACLE, "_bad_decimal_probe")
     assert res.ok, res.detail
+
+
+def test_double_vs_integral_drift_fails_driver_parity(spark, duck, monkeypatch):
+    """Third guard branch (rewritten in r5 to work from the fetched
+    (types, tuples) without re-executing the oracle): an oracle DOUBLE
+    column against a Spark integral column renders '1.0' vs '1' in the
+    driver's pandas canonicalizer — must fail here first. Nullable
+    integral columns are exempt (both sides go float64+NaN)."""
+
+    def fn(sp, sf_dir):
+        from pyspark.sql import functions as F
+
+        from streaming_etl_pipeline_spark.sources.io import read_table
+
+        return (
+            read_table(sp, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))  # Spark long
+        )
+
+    bad = corpus.QuerySpec(
+        fn=fn,
+        sql=(
+            "SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+    )
+    monkeypatch.setitem(corpus.QUERIES, "_bad_drift_probe", bad)
+    res = d.run_one(spark, duck, SF_ORACLE, "_bad_drift_probe")
+    assert not res.ok and "float64" in res.detail
+
+    good = corpus.QuerySpec(
+        fn=fn,
+        sql=(
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY o_orderstatus"
+        ),
+    )
+    monkeypatch.setitem(corpus.QUERIES, "_bad_drift_probe", good)
+    res = d.run_one(spark, duck, SF_ORACLE, "_bad_drift_probe")
+    assert res.ok, res.detail
