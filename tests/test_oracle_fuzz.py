@@ -32,7 +32,15 @@ Perturbation classes (≥5):
 6. ``int_edge``       — user_id shifted near 2^31 (int32-overflow
                         casts) — group keys must stay BIGINT end-to-end;
 7. ``unicode_text``   — documents.text decorated with multibyte + empty
-                        strings (md5/tokenization byte-vs-char parity).
+                        strings (md5/tokenization byte-vs-char parity);
+8. ``null_values``    — events.value NULLed for ⅛ of rows (aggregate
+                        null-skipping parity: avg/stddev/percentile/
+                        count all ignore NULLs in both engines — real
+                        feeds have nulls, and a 100 TB pipeline can't
+                        assume clean columns);
+9. ``null_text``      — documents.text NULLed for ⅛ of rows (dedup/
+                        text operators must agree on dropping vs
+                        grouping NULL documents).
 """
 
 from __future__ import annotations
@@ -171,6 +179,27 @@ def test_fuzz_unicode_text(spark, tmp_path):
             pa.scalar("", pa.string()),          # empty docs
             pc.if_else(pc.equal(mod, 1), decorated, tbl["text"]),
         )
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams"])
+
+
+def test_fuzz_null_values(spark, tmp_path):
+    def mutate(tbl):
+        mask = pc.equal(pc.bit_wise_and(tbl["event_id"], 7), 3)
+        val = pc.if_else(mask, pa.scalar(None, pa.float64()), tbl["value"])
+        return _replace_value(tbl, val), {}
+
+    sf = _clone_sf(tmp_path, "events", mutate)
+    _gate(spark, sf, EVENT_QUERIES)
+
+
+def test_fuzz_null_text(spark, tmp_path):
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mask = pc.equal(pc.bit_wise_and(tbl["doc_id"], 7), 3)
+        text = pc.if_else(mask, pa.scalar(None, pa.string()), tbl["text"])
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
