@@ -759,3 +759,88 @@ def incremental_substring_dups(
             "append"
         ).parquet(store_path)
     return out
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source content-overlap matrix — the corpus-governance view
+    of dedup: for every pair of sources (datasets, crawls, snapshots),
+    the exact Jaccard similarity of their distinct word-``k``-gram
+    SETS. High overlap between two "independent" sources means one
+    mirrors the other — the dataset-level signal that per-document
+    near-dedup (MinHash/LSH above) doesn't surface.
+
+    Output: ``(source_a, source_b, shared_shingles, jaccard)`` for
+    ``source_a < source_b``, only pairs that share at least one shingle.
+
+    Plan/scale: one distinct (source, shingle) projection (uniform
+    md5-ish keys), a self-equi-join on the shingle (per-shingle fanout
+    bounded by the number of SOURCES sharing it — group count is small
+    by construction, so no quadratic blowup in documents), and a
+    broadcast of the per-source set sizes. Jaccard is IEEE division +
+    round(6) — engine-portable. DuckDB twin: :func:`source_overlap_sql`.
+    """
+    sh = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(shingles(text_col, k)).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    na = sizes.select(F.col("g").alias("source_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("g").alias("source_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`source_overlap`."""
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT {group_col} AS g, unnest({shingles_sql(text_col, k)}) AS sh
+      FROM {table}
+    ),
+    sizes AS (SELECT g, count(*) AS n FROM sh GROUP BY g),
+    pairs AS (
+      SELECT a.g AS source_a, b.g AS source_b,
+             CAST(count(*) AS BIGINT) AS shared_shingles
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_shingles,
+           round(CAST(shared_shingles AS DOUBLE)
+                 / (na.n + nb.n - shared_shingles), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.g = source_a
+    JOIN sizes nb ON nb.g = source_b
+    """

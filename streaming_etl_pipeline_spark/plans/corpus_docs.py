@@ -1360,3 +1360,17 @@ def q_image_dhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole-banded Hamming join, pytest-gated)."""
     assets = MM.synthesize_assets(spark, n=_MM_N)
     return MM.image_dhash(assets).select("asset_id", "dhash")
+
+
+@register(
+    "source_overlap_matrix",
+    DD.source_overlap_sql("documents"),
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (operators/dedup.py
+    ``source_overlap``): exact pairwise Jaccard of each source pair's
+    distinct word-3-gram sets — the dataset-level mirror/contamination
+    signal per-document near-dedup doesn't surface. One distinct
+    (source, shingle) shuffle + a shingle equi-join with per-shingle
+    fanout bounded by the source count."""
+    return DD.source_overlap(read_table(spark, sf_dir, "documents"))

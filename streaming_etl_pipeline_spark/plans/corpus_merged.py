@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streaming_etl_pipeline_spark.functions.core import (
+    md5_long,
+    md5_long_sql as _md5_long_sql,
+)
 from streaming_etl_pipeline_spark.operators.curation import assign_splits_sql
 from streaming_etl_pipeline_spark.plans.corpus import QUERIES, register
 
@@ -824,6 +828,11 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(translate(word, 'abcd', '0123') AS BIGINT) AS id_b,
            CAST(word_df AS DOUBLE) AS score
     FROM ({_sql("ts_discords")})
+    UNION ALL
+    SELECT 'source_overlap' AS method,
+           {_md5_long_sql("source_a")} AS id_a,
+           {_md5_long_sql("source_b")} AS id_b, jaccard AS score
+    FROM ({_sql("source_overlap_matrix")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,8 +871,18 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("word", "abcd", "0123").cast("long").alias("id_b"),
         F.col("word_df").cast("double").alias("score"),
     )
+    # source-pair identities ride as their md5_long encodings (strings
+    # don't fit the carrier's bigint id columns; md5_long is the
+    # engine-portable injective-in-practice encoding)
+    so = _run("source_overlap_matrix", spark, sf_dir).select(
+        F.lit("source_overlap").alias("method"),
+        md5_long("source_a").alias("id_a"),
+        md5_long("source_b").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
     return (
-        emb.unionByName(fz).unionByName(sd).unionByName(ts).unionByName(td)
+        emb.unionByName(fz).unionByName(sd).unionByName(ts)
+        .unionByName(td).unionByName(so)
     )
 
 
@@ -1361,6 +1380,7 @@ COVERED_BY: dict[str, str] = {
     "semantic_dedup": "neardup_pairs",
     "ts_motifs": "neardup_pairs",
     "ts_discords": "neardup_pairs",
+    "source_overlap_matrix": "neardup_pairs",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",

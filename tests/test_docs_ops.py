@@ -1195,3 +1195,30 @@ def test_ts_discords_ranks_anomalous_shape_first(spark):
     out = ts_discords(df, top_k=3).collect()
     assert out[0]["k"] == 99 and out[0]["word_df"] == 1  # rarest shape first
     assert all(r["word_df"] >= out[0]["word_df"] for r in out)
+
+
+def test_source_overlap_matrix_exact(spark):
+    """Hand-built sources with known shingle sets: A and B share half
+    their grams, C is disjoint (and pairs with no shared shingle are
+    absent from the matrix)."""
+    from streaming_etl_pipeline_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # source A: shingles over 4 tokens -> {'a b c', 'b c d'}
+            (1, "a b c d", "A"),
+            # source B: {'b c d', 'c d e'} -> shares 'b c d' with A
+            (2, "b c d e", "B"),
+            # source C: disjoint vocabulary
+            (3, "x y z w", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, k=3).collect()
+    }
+    assert set(rows) == {("A", "B")}
+    ab = rows[("A", "B")]
+    assert ab["shared_shingles"] == 1
+    assert ab["jaccard"] == round(1 / 3, 6)  # 1 shared of 3 distinct
