@@ -206,3 +206,137 @@ def weighted_sample_sql(
         f"CAST(({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD}) AS DOUBLE)"
         f" < least(greatest({weight_sql}, 0.0), 1.0) * {_SAMPLE_MOD}"
     )
+
+
+def _dyadic_pow(x: Column, alpha: float) -> Column:
+    """``x**alpha`` for dyadic ``alpha = m / 2^k`` (0 < alpha ≤ 1),
+    composed ONLY of IEEE sqrt and multiplication — both correctly
+    rounded and bit-identical across engines, unlike ``pow``/``exp·ln``
+    whose last-ulp behavior is implementation-defined (the trap noted on
+    ``functions.core``). ``x^(2^-i)`` is i nested sqrts; the binary
+    expansion of alpha picks which factors multiply in."""
+    if alpha == 1.0:
+        return x
+    out = None
+    cur = x
+    a = alpha
+    for _ in range(32):
+        cur = F.sqrt(cur)
+        a *= 2
+        if a >= 1.0:
+            out = cur if out is None else out * cur
+            a -= 1.0
+        if a == 0.0:
+            return out
+    raise ValueError(f"alpha={alpha} is not dyadic m/2^k with k <= 32")
+
+
+def _dyadic_pow_sql(x_sql: str, alpha: float) -> str:
+    """DuckDB twin of :func:`_dyadic_pow` (same factor composition)."""
+    if alpha == 1.0:
+        return x_sql
+    factors = []
+    cur = x_sql
+    a = alpha
+    for _ in range(32):
+        cur = f"sqrt({cur})"
+        a *= 2
+        if a >= 1.0:
+            factors.append(cur)
+            a -= 1.0
+        if a == 0.0:
+            return " * ".join(factors)
+    raise ValueError(f"alpha={alpha} is not dyadic m/2^k with k <= 32")
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    alpha: float,
+    total_rows: int,
+    seed: str = "temperature",
+) -> DataFrame:
+    """Temperature-based mixture resampling — the multilingual /
+    multi-source LM-data standard (UniMax-style): target share of group
+    ``g`` ∝ ``p_g^alpha`` where ``p_g`` is its corpus share. ``alpha=1``
+    keeps natural proportions, ``alpha→0`` flattens toward uniform;
+    0.3–0.7 is the usual band that up-weights tail languages without
+    letting them dominate. Unlike :func:`mixture_sample` the weights are
+    DERIVED FROM THE DATA, so the spec is one scalar instead of a
+    hand-maintained per-group table.
+
+    Same determinism contract as :func:`hash_sample` (md5 keyed
+    threshold, partition-independent); a group whose target exceeds its
+    size is taken whole (shortfall is the trainer's repetition policy).
+    ``alpha`` must be dyadic (m/2^k) — implemented as sqrt-products so
+    both engines compute bit-identical weights (``pow`` is not portable);
+    the weight normalization accumulates in DECIMAL for order
+    independence. Cost: two dimension-sized aggregations broadcast back
+    onto a per-row filter — the corpus never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_tot = counts.agg(F.sum("_n").alias("_n_tot"))
+    q = counts.crossJoin(F.broadcast(n_tot)).withColumn(
+        "_q", _dyadic_pow(F.col("_n") / F.col("_n_tot"), alpha)
+    )
+    q_tot = q.agg(
+        F.sum(F.col("_q").cast("decimal(27,18)")).cast("double").alias("_q_tot")
+    )
+    frac = q.crossJoin(F.broadcast(q_tot)).select(
+        group_col,
+        "_n",
+        F.least(
+            F.lit(1.0),
+            (F.col("_q") / F.col("_q_tot"))
+            * F.lit(float(total_rows))
+            / F.col("_n"),
+        ).alias("_frac"),
+    )
+    thresh = (F.col("_frac") * _SAMPLE_MOD).cast("long")
+    h = md5_long(key_col, seed) % _SAMPLE_MOD
+    return (
+        df.join(F.broadcast(frac), group_col)
+        .filter(h < thresh)
+        .drop("_n", "_frac")
+    )
+
+
+def temperature_sample_sql(
+    table: str,
+    key_sql: str,
+    group_col: str,
+    alpha: float,
+    total_rows: int,
+    seed: str = "temperature",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` (identical sqrt-product
+    weights, DECIMAL-accumulated normalizer, truncated threshold)."""
+    p = f"(CAST(_n AS DOUBLE) / _n_tot)"
+    return f"""
+    SELECT t.* EXCLUDE (_n, _frac)
+    FROM (
+      SELECT d.*, f._n, f._frac
+      FROM {table} d
+      JOIN (
+        SELECT {group_col}, _n,
+               least(1.0, (_q / _q_tot) * CAST({total_rows} AS DOUBLE) / _n)
+                 AS _frac
+        FROM (
+          SELECT {group_col}, _n, _q,
+                 CAST(sum(CAST(_q AS DECIMAL(27,18))) OVER () AS DOUBLE)
+                   AS _q_tot
+          FROM (
+            SELECT {group_col}, _n,
+                   {_dyadic_pow_sql(p, alpha)} AS _q
+            FROM (
+              SELECT {group_col}, _n, sum(_n) OVER () AS _n_tot
+              FROM (SELECT {group_col}, count(*) AS _n
+                    FROM {table} GROUP BY 1)
+            )
+          )
+        )
+      ) f USING ({group_col})) t
+    WHERE ({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD})
+          < CAST(_frac * {_SAMPLE_MOD} AS BIGINT)
+    """

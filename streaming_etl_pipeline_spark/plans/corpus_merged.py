@@ -416,6 +416,10 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'weighted' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
            lang AS grp, CAST(weight AS VARCHAR) AS val
     FROM ({_sql("weighted_quality_sample")})
+    UNION ALL
+    SELECT 'temperature' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
+           lang AS grp, '' AS val
+    FROM ({_sql("temperature_by_lang")})
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,9 +457,15 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("grp"),
         F.col("weight").cast("string").alias("val"),
     )
+    temp_s = _run("temperature_by_lang", spark, sf_dir).select(
+        F.lit("temperature").alias("sample_op"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("lang").alias("grp"),
+        F.lit("").alias("val"),
+    )
     return (
         hash_s.unionByName(res_s).unionByName(bud_s)
-        .unionByName(mix_s).unionByName(wt_s)
+        .unionByName(mix_s).unionByName(wt_s).unionByName(temp_s)
     )
 
 
@@ -1361,6 +1371,7 @@ COVERED_BY: dict[str, str] = {
     "char_budget_by_lang": "sampling_suite",
     "mixture_by_source": "sampling_suite",
     "weighted_quality_sample": "sampling_suite",
+    "temperature_by_lang": "sampling_suite",
     "top_orders_by_year": "order_rank_profile",
     "order_price_quartiles": "order_rank_profile",
     "top_customers": "order_rank_profile",

@@ -127,3 +127,28 @@ def q_weighted_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.weighted_sample(docs, w, key_col="doc_id").select(
         "doc_id", "lang", "n_chars", F.round(w, 6).alias("weight")
     )
+
+
+_TEMP_ALPHA = 0.5
+_TEMP_TOTAL = 250
+
+
+@register(
+    "temperature_by_lang",
+    f"""
+    SELECT doc_id, lang
+    FROM ({SP.temperature_sample_sql("documents", "doc_id", "lang",
+                                     _TEMP_ALPHA, _TEMP_TOTAL)})
+    """,
+)
+def q_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling (α=0.5, 250-row target) over
+    the skewed language distribution (en dominates ~2×): √-share
+    weights up-weight tail languages relative to natural sampling —
+    the UniMax-style knob, data-derived instead of a hand weight table.
+    Weights are sqrt-products (portable), normalizer DECIMAL-accumulated;
+    every sampled (doc_id, lang) row value-hashed."""
+    docs = read_table(spark, sf_dir, "documents")
+    return SP.temperature_sample(
+        docs, "doc_id", "lang", _TEMP_ALPHA, _TEMP_TOTAL
+    ).select("doc_id", "lang")

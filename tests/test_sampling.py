@@ -136,3 +136,65 @@ def test_weighted_sample_rate_tracks_weight_and_is_monotone(spark):
         df.withColumn("w", F.lit(-1.0)), "w", key_col="doc_id"
     ).count()
     assert all_in == n and none_in == 0
+
+
+def test_temperature_sample_flattens_toward_uniform(spark):
+    """α=0.5 up-weights tail groups relative to natural sampling: the
+    dominant group's sampled share must sit strictly between its
+    natural share and uniform; α=1 reproduces natural proportions."""
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # 800 'big' rows vs 100+100 tail rows
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 800, F.lit("big"))
+        .when(F.col("id") < 900, F.lit("mid"))
+        .otherwise(F.lit("small"))
+        .alias("g"),
+    )
+    total = 300
+    got = (
+        temperature_sample(df, "k", "g", 0.5, total)
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    shares = {r["g"]: r["count"] for r in got}
+    n = sum(shares.values())
+    # natural share of 'big' = 0.8; uniform = 1/3; α=0.5 target ≈ 0.67
+    assert 1 / 3 < shares["big"] / n < 0.8
+    assert shares["mid"] > 0 and shares["small"] > 0
+    # target arithmetic: expected counts ∝ sqrt(p_g), within hash noise
+    import math
+
+    q = {g: math.sqrt(c / 1000) for g, c in {"big": 800, "mid": 100, "small": 100}.items()}
+    zq = sum(q.values())
+    for g in shares:
+        expected = min(1.0, (q[g] / zq) * total / {"big": 800, "mid": 100, "small": 100}[g]) * {"big": 800, "mid": 100, "small": 100}[g]
+        assert abs(shares[g] - expected) < 4 * math.sqrt(expected) + 3
+
+    # α=1 → natural proportions (same fraction for every group)
+    nat = (
+        temperature_sample(df, "k", "g", 1.0, total)
+        .groupBy("g").count().collect()
+    )
+    nat_shares = {r["g"]: r["count"] for r in nat}
+    m = sum(nat_shares.values())
+    assert abs(nat_shares["big"] / m - 0.8) < 0.08
+
+
+def test_dyadic_pow_matches_float_pow(spark):
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.operators.sampling import _dyadic_pow
+
+    rows = spark.range(1, 50).select((F.col("id") / 49.0).alias("x"))
+    for alpha in (0.5, 0.25, 0.75, 0.625, 1.0):
+        got = rows.select(_dyadic_pow(F.col("x"), alpha).alias("y")).collect()
+        xs = rows.collect()
+        for rx, ry in zip(xs, got):
+            assert abs(ry["y"] - rx["x"] ** alpha) < 1e-12
