@@ -726,3 +726,52 @@ def ann_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: for every corpus
+    vector whose cosine similarity to ANY benchmark vector reaches
+    ``threshold``, emit its single most-similar benchmark neighbor —
+    ``(vec_id, bench_id, cosine_sim)``. This is the semantic complement
+    of the n-gram probe (``operators/curation.contamination_stats``):
+    paraphrased or lightly-reworded eval material shares almost no
+    5-grams but sits at high cosine, and training on it still leaks the
+    benchmark.
+
+    Plan/scale: the benchmark side (eval sets — thousands of rows) is
+    broadcast; the corpus streams through ONE scan with a per-row
+    similarity filter, and only the flagged rows (contamination is rare
+    by construction) reach the per-vector argmax shuffle. Exact by
+    design — decontamination is the one place recall losses are not
+    acceptable; for a benchmark too big to broadcast, fall back to the
+    LSH-bucketed pair join (:func:`cosine_neardup_pairs`). Ranking ties
+    break by ``bench_id`` for a deterministic result.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    b = benchmark.select(
+        F.col(bench_id_col or id_col).alias("bench_id"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    sim = F.round(cosine_similarity("c_vec", "b_vec"), 9)
+    scored = (
+        c.join(F.broadcast(b))
+        .select("vec_id", "bench_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "bench_id", "cosine_sim")
+    )

@@ -1374,3 +1374,51 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, shingle) shuffle + a shingle equi-join with per-shingle
     fanout bounded by the source count."""
     return DD.source_overlap(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_decontamination",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bench AS (
+      SELECT vec_id + 1000000 AS bench_id, list_transform(range(1, len(e) + 1),
+             i -> CASE WHEN i = 1 THEN e[i] + 0.01 ELSE e[i] END) AS e
+      FROM base WHERE vec_id % 10 = 0
+    ),
+    s AS (
+      SELECT c.vec_id, b.bench_id,
+             round(list_dot_product(c.e, b.e) /
+                   (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(b.e, b.e))), 9)
+               AS cosine_sim
+      FROM base c CROSS JOIN bench b
+    )
+    SELECT vec_id, bench_id, cosine_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine_sim DESC, bench_id) AS rn
+      FROM s WHERE cosine_sim >= 0.9
+    ) WHERE rn = 1
+    """,
+)
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (operators/similarity.py
+    ``embedding_decontamination``): the benchmark is a perturbed copy of
+    every 10th corpus vector (the same planted-twin construction as
+    ``embedding_neardup``), so each planted vector must flag against its
+    twin — plus any natural ≥0.9 neighbor of a twin — with the exact
+    best-match cosine value-hashed."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    bench = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("bench_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("e")),
+            lambda i: F.when(i == 1, F.element_at(F.col("e"), i) + 0.01).otherwise(
+                F.element_at(F.col("e"), i)
+            ),
+        ).alias("e"),
+    )
+    return SIM.embedding_decontamination(
+        base, bench, threshold=0.9, vec_col="e", bench_id_col="bench_id"
+    )

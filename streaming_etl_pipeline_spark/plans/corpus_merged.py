@@ -843,6 +843,10 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_md5_long_sql("source_a")} AS id_a,
            {_md5_long_sql("source_b")} AS id_b, jaccard AS score
     FROM ({_sql("source_overlap_matrix")})
+    UNION ALL
+    SELECT 'embed_decon' AS method, vec_id AS id_a, bench_id AS id_b,
+           cosine_sim AS score
+    FROM ({_sql("embedding_decontamination")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,9 +894,15 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long("source_b").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
+    ed = _run("embedding_decontamination", spark, sf_dir).select(
+        F.lit("embed_decon").alias("method"),
+        F.col("vec_id").alias("id_a"),
+        F.col("bench_id").alias("id_b"),
+        F.col("cosine_sim").alias("score"),
+    )
     return (
         emb.unionByName(fz).unionByName(sd).unionByName(ts)
-        .unionByName(td).unionByName(so)
+        .unionByName(td).unionByName(so).unionByName(ed)
     )
 
 
@@ -1392,6 +1402,7 @@ COVERED_BY: dict[str, str] = {
     "ts_motifs": "neardup_pairs",
     "ts_discords": "neardup_pairs",
     "source_overlap_matrix": "neardup_pairs",
+    "embedding_decontamination": "neardup_pairs",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",

@@ -1222,3 +1222,45 @@ def test_source_overlap_matrix_exact(spark):
     ab = rows[("A", "B")]
     assert ab["shared_shingles"] == 1
     assert ab["jaccard"] == round(1 / 3, 6)  # 1 shared of 3 distinct
+
+
+def test_embedding_decontamination_flags_paraphrase_twins(spark):
+    """Known geometry: a corpus vector nearly parallel to a benchmark
+    vector is flagged with its BEST match; orthogonal vectors are not;
+    ties break deterministically by bench_id."""
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        embedding_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # ~parallel to bench 10 AND 11
+            (2, [0.0, 1.0, 0.0]),     # parallel to bench 12 only
+            (3, [0.0, 0.0, 1.0]),     # orthogonal to every benchmark
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, [0.99, 0.01, 0.0]),
+            (11, [0.98, 0.02, 0.0]),
+            (12, [0.01, 0.99, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in embedding_decontamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["bench_id"] == 10  # closest of the two candidates
+    assert rows[2]["bench_id"] == 12
+    assert rows[1]["cosine_sim"] > 0.9 and rows[2]["cosine_sim"] > 0.9
+
+    # exact-duplicate benchmark rows: deterministic tie -> smaller id
+    bench_tie = spark.createDataFrame(
+        [(20, [1.0, 0.0, 0.0]), (21, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tied = embedding_decontamination(corpus, bench_tie, threshold=0.9).collect()
+    assert {(r["vec_id"], r["bench_id"]) for r in tied} == {(1, 20)}
