@@ -767,11 +767,17 @@ def embedding_decontamination(
         .select("vec_id", "bench_id", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("bench_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "bench_id", "cosine_sim")
+    # Per-vector argmax as max(struct) — unlike a row_number window this
+    # gets map-side partial aggregation, so the (already rare) flagged
+    # rows combine before the shuffle; (-bench_id) makes ties pick the
+    # smallest bench_id under lexicographic struct max.
+    best = F.max(
+        F.struct(
+            F.col("cosine_sim"),
+            (-F.col("bench_id")).alias("_neg_id"),
+            F.col("bench_id"),
+        )
+    ).alias("m")
+    return scored.groupBy("vec_id").agg(best).select(
+        "vec_id", "m.bench_id", "m.cosine_sim"
     )

@@ -1406,11 +1406,15 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_neardup``), so each planted vector must flag against its
     twin — plus any natural ≥0.9 neighbor of a twin — with the exact
     best-match cosine value-hashed."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
-    base = emb.select(
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    bench = base.filter(F.col("vec_id") % 10 == 0).select(
+    # The bench side is broadcast whole — no point paying a spread
+    # shuffle to parallelize a frame that collapses to the driver anyway.
+    bench = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("bench_id"),
         F.transform(
             F.sequence(F.lit(1), F.size("e")),
