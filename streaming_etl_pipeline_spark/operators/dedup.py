@@ -777,31 +777,60 @@ def source_overlap(
     Output: ``(source_a, source_b, shared_shingles, jaccard)`` for
     ``source_a < source_b``, only pairs that share at least one shingle.
 
-    Plan/scale: one distinct (source, shingle) projection (uniform
-    md5-ish keys), a self-equi-join on the shingle (per-shingle fanout
-    bounded by the number of SOURCES sharing it — group count is small
-    by construction, so no quadratic blowup in documents), and a
-    broadcast of the per-source set sizes. Jaccard is IEEE division +
-    round(6) — engine-portable. DuckDB twin: :func:`source_overlap_sql`.
+    Plan/scale: ONE pass over the corpus builds the inverted index —
+    ``groupBy(shingle).agg(collect_set(source))`` (partial-merged
+    map-side; each set is bounded by the number of SOURCES, so no
+    per-shingle blowup). A single array expression over that index
+    emits both the per-source size rows and the ``a < b`` pair rows, so
+    the index is referenced once and the corpus is never rescanned or
+    self-joined; the follow-up count aggregate map-side-combines down
+    to (#sources + #pairs) rows before its shuffle. Jaccard is IEEE
+    division + round(6) — engine-portable. DuckDB twin:
+    :func:`source_overlap_sql` (kept in the two-reference DISTINCT +
+    self-join shape — same values, and the oracle doesn't pay Spark's
+    scan costs).
     """
-    sh = docs.select(
-        F.col(group_col).alias("g"),
-        F.explode(shingles(text_col, k)).alias("sh"),
-    ).distinct()
-    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.g") < F.col("b.g")),
+    from pyspark import StorageLevel
+
+    per_shingle = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(shingles(text_col, k)).alias("sh"),
         )
-        .groupBy(
-            F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .groupBy("sh")
+        .agg(F.array_sort(F.collect_set("g")).alias("gs"))
     )
-    na = sizes.select(F.col("g").alias("source_a"), F.col("n").alias("_na"))
-    nb = sizes.select(F.col("g").alias("source_b"), F.col("n").alias("_nb"))
+    singles = F.transform(
+        "gs",
+        lambda x: F.struct(
+            x.alias("a"), F.lit(None).cast("string").alias("b")
+        ),
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "gs",
+                lambda x: F.transform(
+                    "gs", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    counts = (
+        per_shingle.select(F.explode(F.concat(singles, pair_structs)).alias("c"))
+        .groupBy(F.col("c.a").alias("a"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = counts.filter(F.col("b").isNull())
+    pairs = counts.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("n").alias("shared_shingles"),
+    )
+    na = sizes.select(F.col("a").alias("source_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("a").alias("source_b"), F.col("n").alias("_nb"))
     return (
         pairs.join(F.broadcast(na), "source_a")
         .join(F.broadcast(nb), "source_b")

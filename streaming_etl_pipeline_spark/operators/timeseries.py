@@ -110,6 +110,13 @@ def sax_words(
             F.round((F.col("v") - F.col("_mean")) / F.col("_std"), 6).alias("z"),
         )
     )
+    # persist BEFORE deriving paa/words: every consumer (the word chain
+    # here, the z-vector agg and any caller branch downstream) then
+    # references the cached relation instead of embedding its own copy
+    # of the row_number + analytic-stats chain in the plan
+    from pyspark import StorageLevel
+
+    z = z.persist(StorageLevel.MEMORY_AND_DISK)
     paa = z.groupBy(
         "k", "win", (F.col("pos") / seg_len).cast("int").alias("seg")
     ).agg(
@@ -157,12 +164,9 @@ def similar_windows(
     from pyspark import StorageLevel
 
     wins = ts_windows(df, key_col, ts_col, value_col, window_len)
+    # sax_words persists z internally, so the window chain runs once
+    # across the PAA/word branch and the z-vector agg below
     words, z = sax_words(wins, window_len, paa_segments)
-    # z fans out twice (PAA inside sax_words + the z-vector agg below) —
-    # persist so the window chain runs once, not per branch
-    # (un-persisted, the plan re-executes the full upstream per
-    # consumer: measured 44 exchanges vs 7).
-    z = z.persist(StorageLevel.MEMORY_AND_DISK)
     # words stays persisted even though this plan consumes it once: a
     # ts_discords run in the same session builds the identical
     # words subtree and the cache manager substitutes this cache into
@@ -181,34 +185,45 @@ def similar_windows(
         ).alias("zv")
     )
     # words and zarr are both grouped on (k, win) — the join reuses that
-    # partitioning; wz then fans out 3× (rarity count + both pair sides)
-    wz = words.join(zarr, ["k", "win"]).persist(StorageLevel.MEMORY_AND_DISK)
-    rare = (
+    # partitioning
+    wz = words.join(zarr, ["k", "win"])
+    # Candidate pairs via ONE word-keyed aggregation instead of the
+    # former rarity-count + two repartition-on-word self-join sides
+    # (3 exchanges → 1): collect each word's windows into a sorted
+    # array (bounded by max_word_df — the same index-then-verify cap
+    # that keeps hot words from exploding), then expand the strictly
+    # i<j combinations in-array. array_sort on (k, win, zv) structs
+    # orders by the unique (k, win), so pair orientation matches the
+    # old (k_a, win_a) < (k_b, win_b) join predicate exactly.
+    byword = (
         wz.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= max_word_df)
-        .select("word")
+        .agg(F.array_sort(F.collect_list(F.struct("k", "win", "zv"))).alias("ws"))
+        .filter(F.size("ws") <= max_word_df)
     )
-    pairs = (
-        wz.join(rare, "word")
-        .alias("a")
-        .join(
-            wz.join(rare, "word").alias("b"),
-            (F.col("a.word") == F.col("b.word"))
-            & (
-                (F.col("a.k") < F.col("b.k"))
-                | ((F.col("a.k") == F.col("b.k")) & (F.col("a.win") < F.col("b.win")))
+    combos = F.flatten(
+        F.transform(
+            "ws",
+            lambda x, i: F.transform(
+                F.slice(F.col("ws"), i + F.lit(2), F.size("ws")),
+                lambda y: F.struct(
+                    x["k"].alias("k_a"),
+                    x["win"].alias("win_a"),
+                    y["k"].alias("k_b"),
+                    y["win"].alias("win_b"),
+                    x["zv"].alias("zv_a"),
+                    y["zv"].alias("zv_b"),
+                ),
             ),
         )
-        .select(
-            F.col("a.k").alias("k_a"),
-            F.col("a.win").alias("win_a"),
-            F.col("b.k").alias("k_b"),
-            F.col("b.win").alias("win_b"),
-            F.col("a.word").alias("word"),
-            F.col("a.zv").alias("zv_a"),
-            F.col("b.zv").alias("zv_b"),
-        )
+    )
+    pairs = byword.select("word", F.explode(combos).alias("p")).select(
+        F.col("p.k_a").alias("k_a"),
+        F.col("p.win_a").alias("win_a"),
+        F.col("p.k_b").alias("k_b"),
+        F.col("p.win_b").alias("win_b"),
+        "word",
+        F.col("p.zv_a").alias("zv_a"),
+        F.col("p.zv_b").alias("zv_b"),
     )
     # exact z-normalized Euclidean distance as an array fold — decimal
     # accumulation in array (= pos) order; decimal addition is exact and

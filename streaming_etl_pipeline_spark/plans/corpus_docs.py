@@ -1407,7 +1407,12 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin — plus any natural ≥0.9 neighbor of a twin — with the exact
     best-match cosine value-hashed."""
     emb = read_table(spark, sf_dir, "embeddings")
-    base = spread(emb).select(
+    # parallelize the probe scan by hash-partitioning on vec_id (not
+    # round-robin spread): the operator's per-vector argmax then reuses
+    # this partitioning — one shuffle serves both purposes
+    base = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     # The bench side is broadcast whole — no point paying a spread

@@ -843,10 +843,6 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_md5_long_sql("source_a")} AS id_a,
            {_md5_long_sql("source_b")} AS id_b, jaccard AS score
     FROM ({_sql("source_overlap_matrix")})
-    UNION ALL
-    SELECT 'embed_decon' AS method, vec_id AS id_a, bench_id AS id_b,
-           cosine_sim AS score
-    FROM ({_sql("embedding_decontamination")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,15 +890,9 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long("source_b").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
-    ed = _run("embedding_decontamination", spark, sf_dir).select(
-        F.lit("embed_decon").alias("method"),
-        F.col("vec_id").alias("id_a"),
-        F.col("bench_id").alias("id_b"),
-        F.col("cosine_sim").alias("score"),
-    )
     return (
         emb.unionByName(fz).unionByName(sd).unionByName(ts)
-        .unionByName(td).unionByName(so).unionByName(ed)
+        .unionByName(td).unionByName(so)
     )
 
 
@@ -931,6 +921,11 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            pooled_x AS m1, renormed_x AS m2, CAST(n_vecs AS DOUBLE) AS m3,
            CAST(0 AS DOUBLE) AS m4
     FROM ({_sql("embedding_pooling")})
+    UNION ALL
+    SELECT 'decon' AS emb_op, vec_id AS k1, CAST(bench_id AS VARCHAR) AS k2,
+           cosine_sim AS m1, CAST(0 AS DOUBLE) AS m2,
+           CAST(0 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
+    FROM ({_sql("embedding_decontamination")})
     """,
 )
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,7 +960,16 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs").cast("double").alias("m3"),
         F.lit(0.0).alias("m4"),
     )
-    return dims.unionByName(quant).unionByName(pool)
+    decon = _run("embedding_decontamination", spark, sf_dir).select(
+        F.lit("decon").alias("emb_op"),
+        F.col("vec_id").alias("k1"),
+        F.col("bench_id").cast("string").alias("k2"),
+        F.col("cosine_sim").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
+    return dims.unionByName(quant).unionByName(pool).unionByName(decon)
 
 
 # ---------------------------------------------------------------------------
@@ -1402,7 +1406,7 @@ COVERED_BY: dict[str, str] = {
     "ts_motifs": "neardup_pairs",
     "ts_discords": "neardup_pairs",
     "source_overlap_matrix": "neardup_pairs",
-    "embedding_decontamination": "neardup_pairs",
+    "embedding_decontamination": "embedding_profile",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",
