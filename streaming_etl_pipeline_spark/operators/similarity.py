@@ -781,3 +781,102 @@ def embedding_decontamination(
     return scored.groupBy("vec_id").agg(best).select(
         "vec_id", "m.bench_id", "m.cosine_sim"
     )
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tgt_id_col: str | None = None,
+) -> DataFrame:
+    """Parallel-corpus (bitext) mining with the ratio-margin criterion
+    (Artetxe & Schwenk 2019, arXiv:1811.01136 — the CCMatrix/LASER
+    recipe): a source/target sentence pair is emitted when each side is
+    the other's nearest neighbor (mutual top-1) AND the margin
+    ``cos(x,y) / ((avgk(x) + avgk(y)) / 2)`` — best cosine relative to
+    the mean of each side's ``k`` nearest cosines — clears ``threshold``.
+    Raw cosine alone over-selects "hubness" vectors that are near
+    everything; dividing by the local neighborhood density is what makes
+    mined pairs usable as training bitext.
+
+    Output: ``(src_id, tgt_id, cosine_sim, margin)``.
+
+    Plan/scale: the target side is broadcast (one language's candidate
+    pool); the pair grid is ONE scan of the source side, then exactly two
+    shuffles — a per-src and a per-tgt top-k window; each side's
+    neighborhood average AND its argmax ride the same partitioning into
+    a map-side-combined aggregate, so nothing data-sized shuffles again
+    (the mutual join broadcasts the one-row-per-target stats). For
+    corpus-scale × corpus-scale mining swap the pair grid for the IVF
+    candidate generator (:func:`ivf_ann_topk`) and keep the identical
+    margin tail. Determinism for the differential oracle: cosines round
+    to 9 dp, neighborhood sums accumulate in DECIMAL(38,9) (exact, so
+    partial-aggregation order can't leak), ties break by partner id.
+    """
+    from pyspark import StorageLevel
+
+    s = src.select(
+        F.col(id_col).alias("src_id"), F.col(vec_col).alias("s_vec")
+    )
+    t = tgt.select(
+        F.col(tgt_id_col or id_col).alias("tgt_id"),
+        F.col(vec_col).alias("t_vec"),
+    )
+    cos = F.round(cosine_similarity("s_vec", "t_vec"), 9)
+    pairs = (
+        s.join(F.broadcast(t))
+        .select("src_id", "tgt_id", cos.alias("cos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ws = Window.partitionBy("src_id").orderBy(
+        F.col("cos").desc(), F.col("tgt_id")
+    )
+    wt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos").desc(), F.col("src_id")
+    )
+
+    def _side_stats(ranked, key, partner):
+        avg = (
+            F.sum(F.col("cos").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cos")
+        best = F.max(
+            F.struct(
+                F.col("cos"),
+                (-F.col(partner)).alias("_neg"),
+                F.col(partner),
+            )
+        ).alias("b")
+        return ranked.filter(F.col("_rn") <= k).groupBy(key).agg(avg, best)
+
+    stats_s = _side_stats(
+        pairs.withColumn("_rn", F.row_number().over(ws)), "src_id", "tgt_id"
+    )
+    stats_t = _side_stats(
+        pairs.withColumn("_rn", F.row_number().over(wt)), "tgt_id", "src_id"
+    )
+    # mutual top-1: src's best target must name this src back
+    mutual = (
+        stats_s.alias("s")
+        .join(
+            F.broadcast(stats_t).alias("t"),
+            (F.col("s.b")["tgt_id"] == F.col("t.tgt_id"))
+            & (F.col("t.b")["src_id"] == F.col("s.src_id")),
+        )
+    )
+    margin = F.round(
+        F.col("s.b")["cos"] / ((F.col("s.avg_cos") + F.col("t.avg_cos")) / 2.0),
+        9,
+    )
+    return (
+        mutual.select(
+            F.col("s.src_id").alias("src_id"),
+            F.col("t.tgt_id").alias("tgt_id"),
+            F.col("s.b")["cos"].alias("cosine_sim"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= threshold)
+    )

@@ -1431,3 +1431,58 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_decontamination(
         base, bench, threshold=0.9, vec_col="e", bench_id_col="bench_id"
     )
+
+
+@register(
+    "bitext_mining",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                  FROM embeddings),
+    s AS (SELECT vec_id AS src_id, e FROM base WHERE label % 2 = 0),
+    t AS (SELECT vec_id AS tgt_id, e FROM base WHERE label % 2 = 1),
+    p AS (
+      SELECT src_id, tgt_id,
+             round(list_dot_product(s.e, t.e) /
+                   (sqrt(list_dot_product(s.e, s.e)) *
+                    sqrt(list_dot_product(t.e, t.e))), 9) AS cos
+      FROM s CROSS JOIN t
+    ),
+    rs AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                                        ORDER BY cos DESC, tgt_id) AS rn FROM p),
+    rt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                        ORDER BY cos DESC, src_id) AS rn FROM p),
+    ss AS (SELECT src_id, CAST(sum(CAST(cos AS DECIMAL(38,9))) AS DOUBLE)
+                          / count(*) AS avg_s
+           FROM rs WHERE rn <= 4 GROUP BY src_id),
+    tt AS (SELECT tgt_id, CAST(sum(CAST(cos AS DECIMAL(38,9))) AS DOUBLE)
+                          / count(*) AS avg_t
+           FROM rt WHERE rn <= 4 GROUP BY tgt_id),
+    bs AS (SELECT src_id, tgt_id, cos FROM rs WHERE rn = 1),
+    bt AS (SELECT tgt_id, src_id FROM rt WHERE rn = 1)
+    SELECT bs.src_id, bs.tgt_id, bs.cos AS cosine_sim,
+           round(bs.cos / ((ss.avg_s + tt.avg_t) / 2.0), 9) AS margin
+    FROM bs
+    JOIN bt ON bs.src_id = bt.src_id AND bs.tgt_id = bt.tgt_id
+    JOIN ss ON ss.src_id = bs.src_id
+    JOIN tt ON tt.tgt_id = bs.tgt_id
+    WHERE round(bs.cos / ((ss.avg_s + tt.avg_t) / 2.0), 9) >= 1.05
+    """,
+)
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (operators/similarity.py ``bitext_margin_pairs``):
+    even labels play the source language, odd labels the target; mutual
+    top-1 pairs whose ratio margin over each side's top-4 neighborhood
+    clears 1.05 are the mined "parallel sentences", every cosine and
+    margin value-hashed against the DuckDB twin."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        "label",
+    )
+    return SIM.bitext_margin_pairs(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        k=4,
+        threshold=1.05,
+        vec_col="e",
+    )

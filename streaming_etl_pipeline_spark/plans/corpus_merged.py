@@ -926,6 +926,11 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            cosine_sim AS m1, CAST(0 AS DOUBLE) AS m2,
            CAST(0 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
     FROM ({_sql("embedding_decontamination")})
+    UNION ALL
+    SELECT 'bitext' AS emb_op, src_id AS k1, CAST(tgt_id AS VARCHAR) AS k2,
+           cosine_sim AS m1, margin AS m2,
+           CAST(0 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
+    FROM ({_sql("bitext_mining")})
     """,
 )
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,7 +974,19 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m3"),
         F.lit(0.0).alias("m4"),
     )
-    return dims.unionByName(quant).unionByName(pool).unionByName(decon)
+    bitext = _run("bitext_mining", spark, sf_dir).select(
+        F.lit("bitext").alias("emb_op"),
+        F.col("src_id").alias("k1"),
+        F.col("tgt_id").cast("string").alias("k2"),
+        F.col("cosine_sim").alias("m1"),
+        F.col("margin").alias("m2"),
+        F.lit(0.0).alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
+    return (
+        dims.unionByName(quant).unionByName(pool)
+        .unionByName(decon).unionByName(bitext)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1407,6 +1424,7 @@ COVERED_BY: dict[str, str] = {
     "ts_discords": "neardup_pairs",
     "source_overlap_matrix": "neardup_pairs",
     "embedding_decontamination": "embedding_profile",
+    "bitext_mining": "embedding_profile",
     "embedding_dim_stats": "embedding_profile",
     "embedding_quantization": "embedding_profile",
     "embedding_pooling": "embedding_profile",

@@ -1264,3 +1264,50 @@ def test_embedding_decontamination_flags_paraphrase_twins(spark):
     )
     tied = embedding_decontamination(corpus, bench_tie, threshold=0.9).collect()
     assert {(r["vec_id"], r["bench_id"]) for r in tied} == {(1, 20)}
+
+
+def test_bitext_margin_mutual_top1_only(spark):
+    """Known geometry: near-parallel src/tgt twins are mined; a vector
+    whose best target prefers another source (non-mutual) is not; the
+    margin equals best-cos over the mean of the two neighborhood
+    averages."""
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.8, 0.6, 0.0]),  # best tgt is 10 or 11 — both taken
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (10, [0.99, 0.01, 0.0]),
+            (11, [0.01, 0.99, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        (r["src_id"], r["tgt_id"]): r
+        for r in bitext_margin_pairs(src, tgt, k=2, threshold=1.0).collect()
+    }
+    assert set(rows) == {(1, 10), (2, 11)}
+    r = rows[(1, 10)]
+    # margin definition: cos(best) / mean(avg_top2_src, avg_top2_tgt)
+    import math
+
+    cos_1_10 = round(0.99 / math.sqrt(0.99**2 + 0.01**2), 9)
+    cos_1_11 = round(0.01 / math.sqrt(0.01**2 + 0.99**2), 9)
+    cos_3_10 = round(
+        (0.8 * 0.99 + 0.6 * 0.01)
+        / (math.sqrt(0.8**2 + 0.6**2) * math.sqrt(0.99**2 + 0.01**2)),
+        9,
+    )
+    avg_s = (cos_1_10 + cos_1_11) / 2
+    avg_t = (cos_1_10 + cos_3_10) / 2
+    assert r["cosine_sim"] == cos_1_10
+    assert abs(r["margin"] - cos_1_10 / ((avg_s + avg_t) / 2)) < 1e-6
+    assert r["margin"] > 1.0  # best clears its neighborhood average
