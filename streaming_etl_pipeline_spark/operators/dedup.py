@@ -80,6 +80,41 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def ngrams_list(col: Column | str, k: int = 2) -> Column:
+    """Word k-grams WITH multiplicity (same construction as
+    :func:`shingles` minus the final distinct) — for operators whose
+    statistics are count-based (DSIR hashed-n-gram features) rather
+    than set-based (Jaccard/minhash). DuckDB twin:
+    :func:`ngrams_list_sql`."""
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+
+    toks = tokenize(norm_text(col))
+    n = F.size(toks)
+    grams = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, F.lit(j + 1), n)
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.filter(grams, lambda s: s.isNotNull())
+    whole = F.array(F.array_join(toks, " "))
+    empty = F.array().cast("array<string>")
+    return F.when(n >= k, grams).when(n >= 1, whole).otherwise(empty)
+
+
+def ngrams_list_sql(col_sql: str, k: int = 2) -> str:
+    """DuckDB twin of :func:`ngrams_list`."""
+    norm = norm_text_sql(col_sql)
+    toks = TOKEN_SQL.format(norm=norm)
+    return (
+        f"(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"WHEN len({toks}) >= 1 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE [] END)"
+    )
+
+
 def shingles_sql(col_sql: str, k: int = 3) -> str:
     """DuckDB twin of :func:`shingles` (1-based list slicing)."""
     norm = norm_text_sql(col_sql)

@@ -340,3 +340,149 @@ def temperature_sample_sql(
     WHERE ({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD})
           < CAST(_frac * {_SAMPLE_MOD} AS BIGINT)
     """
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    top_m: int = 100,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by how much its hashed-n-gram distribution looks
+    like the TARGET corpus rather than the raw corpus, and keep the
+    ``top_m`` highest-scoring docs. Features are word uni+bigrams WITH
+    multiplicity, hashed into ``buckets`` cells; the per-doc score is
+    the summed log importance ratio
+    ``Σ_g  ln p̂[h(g)] − ln q̂[h(g)]``  (p̂ = add-1-smoothed target
+    bucket distribution, q̂ = raw's).
+
+    Plan/scale: two count passes (raw + target) each collapse map-side
+    to ≤ ``buckets`` rows before their shuffle; the ratio table is
+    bucket-sized and broadcast, so scoring is one more raw scan with a
+    per-doc map-side-combined sum — three corpus-scale stages, nothing
+    data-sized ever sits on the driver. Determinism for the
+    differential oracle: Spark's ``Math.log`` and DuckDB's ``std::log``
+    can differ in the last ulp (measured ~3% of inputs), so each
+    bucket's log-ratio is rounded to 6 dp BEFORE the per-doc
+    DECIMAL(38,6) sum — exact and order-independent from there on; the
+    final ranking ties break by doc id.
+
+    Output: ``(doc_id, n_grams, log_weight, rank)`` for the selected
+    ``top_m`` docs.
+    """
+    from streaming_etl_pipeline_spark.operators.dedup import ngrams_list
+
+    grams = F.concat(ngrams_list(text_col, 1), ngrams_list(text_col, 2))
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(grams).alias("g"))
+            .select((md5_long("g") % buckets).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    q = bucket_counts(raw, "q_cnt")
+    p = bucket_counts(target, "p_cnt")
+    joined = q.join(p, "b", "full_outer").select(
+        "b",
+        F.coalesce("q_cnt", F.lit(0)).alias("q_cnt"),
+        F.coalesce("p_cnt", F.lit(0)).alias("p_cnt"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    llr = F.round(
+        F.log(
+            (F.col("p_cnt") + 1.0)
+            / (F.sum("p_cnt").over(w_all) + float(buckets))
+        )
+        - F.log(
+            (F.col("q_cnt") + 1.0)
+            / (F.sum("q_cnt").over(w_all) + float(buckets))
+        ),
+        6,
+    )
+    ratio = joined.select("b", llr.alias("llr"))
+    scored = (
+        raw.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, (md5_long("g") % buckets).alias("b"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("llr").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("log_weight").desc(), F.col(id_col).asc()
+    ).limit(top_m)
+    w_rank = Window.orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    ).select(id_col, "n_grams", "log_weight", "rank")
+
+
+def dsir_select_sql(
+    raw_where: str,
+    target_where: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    top_m: int = 100,
+) -> str:
+    """DuckDB twin of :func:`dsir_select` (raw/target as WHERE clauses
+    over the same table)."""
+    from streaming_etl_pipeline_spark.operators.dedup import ngrams_list_sql
+
+    grams = (
+        f"list_concat({ngrams_list_sql(text_col, 1)}, "
+        f"{ngrams_list_sql(text_col, 2)})"
+    )
+    bucket = f"({md5_long_sql('g')} % {buckets})"
+    return f"""
+    WITH rawg AS (
+      SELECT {id_col}, unnest({grams}) AS g FROM {table} WHERE {raw_where}
+    ),
+    tgtg AS (
+      SELECT unnest({grams}) AS g FROM {table} WHERE {target_where}
+    ),
+    q AS (SELECT {bucket} AS b, CAST(count(*) AS BIGINT) AS q_cnt
+          FROM rawg GROUP BY 1),
+    p AS (SELECT {bucket} AS b, CAST(count(*) AS BIGINT) AS p_cnt
+          FROM tgtg GROUP BY 1),
+    j AS (
+      SELECT COALESCE(q.b, p.b) AS b,
+             COALESCE(q_cnt, 0) AS q_cnt, COALESCE(p_cnt, 0) AS p_cnt
+      FROM q FULL OUTER JOIN p ON q.b = p.b
+    ),
+    ratio AS (
+      SELECT b,
+             round(ln((p_cnt + 1.0) /
+                      (CAST(sum(p_cnt) OVER () AS BIGINT) + {buckets}.0))
+                 - ln((q_cnt + 1.0) /
+                      (CAST(sum(q_cnt) OVER () AS BIGINT) + {buckets}.0)),
+                   6) AS llr
+      FROM j
+    ),
+    scored AS (
+      SELECT rawg.{id_col},
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CAST(llr AS DECIMAL(38,6))) AS DOUBLE) AS log_weight
+      FROM (SELECT {id_col}, {bucket} AS b FROM rawg) rawg
+      JOIN ratio ON rawg.b = ratio.b
+      GROUP BY 1
+    )
+    SELECT {id_col}, n_grams, log_weight,
+           CAST(row_number() OVER (ORDER BY log_weight DESC, {id_col})
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY log_weight DESC, {id_col}
+    LIMIT {top_m}
+    """

@@ -1486,3 +1486,46 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=1.05,
         vec_col="e",
     )
+
+
+def _dsir_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.sampling import dsir_select_sql
+
+    return dsir_select_sql(
+        raw_where="source <> 'src0'",
+        target_where="source = 'src0'",
+        buckets=4096,
+        top_m=100,
+    )
+
+
+@register("dsir_selection", None)  # SQL patched below (needs operator import)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py ``dsir_select``):
+    treat source 'src0' as the curated target distribution and select
+    the 100 raw docs (all other sources) whose hashed uni+bigram
+    profile has the highest summed log importance ratio — every
+    log-weight and rank value-hashed against the DuckDB twin."""
+    from streaming_etl_pipeline_spark.operators.sampling import dsir_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    # spread only the raw side (two CPU-heavy gram passes); the target
+    # slice is one source's docs — a spread there is a wasted shuffle
+    return dsir_select(
+        spread(docs.filter(F.col("source") != "src0")),
+        docs.filter(F.col("source") == "src0"),
+        buckets=4096,
+        top_m=100,
+    )
+
+
+def _patch_dsir_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    spec = QUERIES["dsir_selection"]
+    QUERIES["dsir_selection"] = spec.__class__(
+        fn=spec.fn, sql=_dsir_sql(), bench=spec.bench
+    )
+
+
+_patch_dsir_sql()

@@ -420,6 +420,10 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'temperature' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
            lang AS grp, '' AS val
     FROM ({_sql("temperature_by_lang")})
+    UNION ALL
+    SELECT 'dsir' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
+           CAST(rank AS VARCHAR) AS grp, CAST(n_grams AS VARCHAR) AS val
+    FROM ({_sql("dsir_selection")})
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,9 +467,16 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("grp"),
         F.lit("").alias("val"),
     )
+    dsir_s = _run("dsir_selection", spark, sf_dir).select(
+        F.lit("dsir").alias("sample_op"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("rank").cast("string").alias("grp"),
+        F.col("n_grams").cast("string").alias("val"),
+    )
     return (
         hash_s.unionByName(res_s).unionByName(bud_s)
         .unionByName(mix_s).unionByName(wt_s).unionByName(temp_s)
+        .unionByName(dsir_s)
     )
 
 
@@ -1398,6 +1409,7 @@ COVERED_BY: dict[str, str] = {
     "rollup_event_counts": "grouping_sets_profile",
     "cube_orders_profile": "grouping_sets_profile",
     "sample_docs_hash": "sampling_suite",
+    "dsir_selection": "sampling_suite",
     "reservoir_events_per_type": "sampling_suite",
     "char_budget_by_lang": "sampling_suite",
     "mixture_by_source": "sampling_suite",

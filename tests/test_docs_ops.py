@@ -1311,3 +1311,31 @@ def test_bitext_margin_mutual_top1_only(spark):
     assert r["cosine_sim"] == cos_1_10
     assert abs(r["margin"] - cos_1_10 / ((avg_s + avg_t) / 2)) < 1e-6
     assert r["margin"] > 1.0  # best clears its neighborhood average
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """A raw doc sharing the target's n-gram vocabulary must outscore a
+    raw doc of out-of-target vocabulary; n_grams counts multiplicity
+    (uni + bigrams)."""
+    from streaming_etl_pipeline_spark.operators.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta gamma"), (101, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),     # in-distribution
+            (2, "zzz qqq www rrr"),      # out-of-distribution
+            (3, "alpha beta"),           # in-distribution, shorter
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_select(raw, target, top_m=3).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["log_weight"] > rows[2]["log_weight"]
+    assert rows[3]["log_weight"] > rows[2]["log_weight"]
+    assert rows[1]["rank"] < rows[2]["rank"]
+    # "alpha beta gamma": 3 unigrams + 2 bigrams
+    assert rows[1]["n_grams"] == 5
+    assert rows[3]["n_grams"] == 3  # 2 unigrams + 1 bigram
