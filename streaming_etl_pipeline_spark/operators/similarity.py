@@ -880,3 +880,55 @@ def bitext_margin_pairs(
         )
         .filter(F.col("margin") >= threshold)
     )
+
+
+def hard_negative_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the E5/GTE/DPR
+    data recipe): per anchor, the ``k`` most-similar corpus vectors with
+    a DIFFERENT label — the negatives that actually move a contrastive
+    loss, as opposed to random negatives which are trivially separable.
+
+    Output: ``(anchor_id, rank, neighbor_id, neighbor_label,
+    cosine_sim)``, rank 1 = hardest.
+
+    Plan/scale: same shape as :func:`cosine_topk` — the anchor batch is
+    the broadcast side, the corpus streams through one scan, and only
+    (anchor, candidate) survivors of the label-inequality predicate
+    reach the per-anchor top-k window. The label filter lives IN the
+    join condition, so pruned pairs never materialize. For mining over
+    the full corpus as anchors, batch the anchor side (every batch is
+    one corpus scan) or swap in the IVF candidate generator.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    sim = F.round(cosine_similarity("a_vec", "c_vec"), 9)
+    scored = c.join(
+        F.broadcast(a),
+        (F.col("a_label") != F.col("neighbor_label"))
+        & (F.col("anchor_id") != F.col("neighbor_id")),
+    ).select("anchor_id", "neighbor_id", "neighbor_label", sim.alias("cosine_sim"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id", "rank", "neighbor_id", "neighbor_label", "cosine_sim"
+        )
+    )

@@ -1529,3 +1529,37 @@ def _patch_dsir_sql() -> None:
 
 
 _patch_dsir_sql()
+
+
+@register(
+    "hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS a_label
+               FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 label AS neighbor_label
+          FROM embeddings)
+    SELECT anchor_id, rank, neighbor_id, neighbor_label, cosine_sim FROM (
+      SELECT anchor_id, neighbor_id, neighbor_label, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON a_label <> neighbor_label
+                   AND anchor_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py
+    ``hard_negative_mining``): every 25th vector is an anchor; its 5
+    most-cosine-similar DIFFERENT-label vectors are the mined negatives,
+    all similarity values hash-pinned."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    return SIM.hard_negative_mining(
+        dbl.filter(F.col("vec_id") % 25 == 0), dbl, k=5
+    )

@@ -327,6 +327,10 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'rerank' AS method, query_id, rank, neighbor_id, cosine_sim
     FROM ({_sql("ann_topk_rerank")})
+    UNION ALL
+    SELECT 'hard_neg' AS method, anchor_id AS query_id, rank,
+           neighbor_id, cosine_sim
+    FROM ({_sql("hard_negatives")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +345,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "rank", "neighbor_id", "cosine_sim",
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    hn = _run("hard_negatives", spark, sf_dir).select(
+        F.lit("hard_neg").alias("method"),
+        F.col("anchor_id").alias("query_id"),
+        "rank", "neighbor_id", "cosine_sim",
+    )
+    return out.unionByName(hn)
 
 
 # ---------------------------------------------------------------------------
@@ -1403,6 +1412,7 @@ COVERED_BY: dict[str, str] = {
     "leakage_safe_splits": "metrics_overview",
     "privacy_audit": "metrics_overview",
     "ann_topk_bruteforce": "ann_topk",
+    "hard_negatives": "ann_topk",
     "ann_topk_lsh": "ann_topk",
     "ann_topk_ivf": "ann_topk",
     "simhash_docs": "dedup_simhash",

@@ -1339,3 +1339,26 @@ def test_dsir_select_prefers_target_like_docs(spark):
     # "alpha beta gamma": 3 unigrams + 2 bigrams
     assert rows[1]["n_grams"] == 5
     assert rows[3]["n_grams"] == 3  # 2 unigrams + 1 bigram
+
+
+def test_hard_negative_mining_label_inequality(spark):
+    """Negatives must be the most-similar DIFFERENT-label vectors: the
+    nearest same-label twin is skipped, ranks order by cosine."""
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),    # anchor
+            (2, [0.99, 0.1], 0),   # same label — excluded however close
+            (3, [0.9, 0.3], 1),    # hardest negative
+            (4, [0.0, 1.0], 1),    # easy negative
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = hard_negative_mining(
+        vecs.filter(F.col("vec_id") == 1), vecs, k=2
+    ).collect()
+    assert [(r["rank"], r["neighbor_id"]) for r in out] == [(1, 3), (2, 4)]
+    assert all(r["neighbor_label"] == 1 for r in out)
