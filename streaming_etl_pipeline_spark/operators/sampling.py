@@ -486,3 +486,135 @@ def dsir_select_sql(
     ORDER BY log_weight DESC, {id_col}
     LIMIT {top_m}
     """
+
+
+def epoch_allocation(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Budget-constrained epoch allocation across groups — the UniMax
+    recipe (Chung et al. 2023, arXiv:2304.09151) with the repetition cap
+    motivated by data-constrained scaling (Muennighoff et al. 2023,
+    arXiv:2305.16264): spread a token ``budget`` as evenly as possible
+    over groups (languages/sources), but never take more than
+    ``max_epochs`` passes over any group's unique data; a capped group's
+    unused share spills to the others.
+
+    Closed form instead of the paper's per-round loop: this is
+    water-filling — find the level L with Σ_g min(capacity_g, L) =
+    budget, where capacity_g = unique_tokens_g × max_epochs. Sorting
+    groups by capacity ascending with a running prefix sum, the first
+    row i whose capacity reaches ``(budget − prefix_before_i) /
+    (G − i + 1)`` pins L exactly; no iteration, no driver loop. If the
+    budget exceeds total capacity every group is simply capped.
+
+    Output: ``(group, unique_toks, capacity, allocation, epochs,
+    capped)`` — Σ allocation = min(budget, Σ capacity).
+
+    Plan/scale: ONE corpus aggregation (map-side combined to G rows);
+    everything after operates on the G-row frame (single-partition
+    windows are G-sized by construction) and the scalar level broadcasts
+    back. All inputs to the IEEE divisions are exact integers, so the
+    DuckDB twin matches bit-for-bit.
+    """
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(size_col).cast("long").alias("unique_toks")
+    )
+    caps = counts.withColumn(
+        "capacity", F.col("unique_toks") * F.lit(max_epochs)
+    )
+    w_ord = Window.orderBy(F.col("capacity").asc(), F.col("grp").asc())
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        caps.withColumn("i", F.row_number().over(w_ord))
+        .withColumn(
+            "s_before",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("g_total", F.count(F.lit(1)).over(w_all))
+    )
+    cand = (F.lit(budget) - F.col("s_before")).cast("double") / (
+        F.col("g_total") - F.col("i") + 1
+    )
+    ranked = ranked.withColumn("cand", cand)
+    level = ranked.filter(
+        F.col("capacity").cast("double") >= F.col("cand")
+    ).agg(F.min_by("cand", "i").alias("level"))
+    alloc = F.round(
+        F.least(
+            F.col("capacity").cast("double"),
+            F.coalesce("level", F.col("capacity").cast("double")),
+        ),
+        6,
+    )
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "grp",
+            "unique_toks",
+            "capacity",
+            alloc.alias("allocation"),
+            F.round(alloc / F.col("unique_toks"), 6).alias("epochs"),
+            (
+                F.col("capacity").cast("double")
+                <= F.coalesce("level", F.col("capacity").cast("double"))
+            ).alias("capped"),
+        )
+    )
+
+
+def epoch_allocation_sql(
+    budget: int,
+    max_epochs: int = 4,
+    table: str = "documents",
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`epoch_allocation`."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp,
+             CAST(sum({size_col}) AS BIGINT) AS unique_toks
+      FROM {table} GROUP BY 1
+    ),
+    caps AS (SELECT grp, unique_toks,
+                    unique_toks * {max_epochs} AS capacity FROM counts),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY capacity, grp) AS i,
+             COALESCE(CAST(sum(capacity) OVER (ORDER BY capacity, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS s_before,
+             CAST(count(*) OVER () AS BIGINT) AS g_total
+      FROM caps
+    ),
+    cands AS (
+      SELECT *, CAST({budget} - s_before AS DOUBLE) / (g_total - i + 1)
+                AS cand
+      FROM ranked
+    ),
+    lvl AS (
+      SELECT min_by(cand, i) AS level FROM cands
+      WHERE CAST(capacity AS DOUBLE) >= cand
+    )
+    SELECT grp, unique_toks, capacity,
+           round(least(CAST(capacity AS DOUBLE),
+                       COALESCE(level, CAST(capacity AS DOUBLE))), 6)
+             AS allocation,
+           round(round(least(CAST(capacity AS DOUBLE),
+                       COALESCE(level, CAST(capacity AS DOUBLE))), 6)
+                 / unique_toks, 6) AS epochs,
+           CAST(capacity AS DOUBLE)
+             <= COALESCE(level, CAST(capacity AS DOUBLE)) AS capped
+    FROM cands CROSS JOIN lvl
+    """

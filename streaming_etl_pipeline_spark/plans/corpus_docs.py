@@ -1563,3 +1563,37 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negative_mining(
         dbl.filter(F.col("vec_id") % 25 == 0), dbl, k=5
     )
+
+
+def _epoch_alloc_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        epoch_allocation_sql,
+    )
+
+    return epoch_allocation_sql(budget=450_000, max_epochs=4)
+
+
+@register("epoch_allocation", None)  # SQL patched below
+def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style epoch allocation (operators/sampling.py
+    ``epoch_allocation``): water-fill a 450k-char budget across
+    languages with a 4-epoch repetition cap — every allocation, epoch
+    count, and capped flag value-hashed against the DuckDB twin."""
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        epoch_allocation,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_allocation(docs, budget=450_000, max_epochs=4)
+
+
+def _patch_epoch_alloc_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    spec = QUERIES["epoch_allocation"]
+    QUERIES["epoch_allocation"] = spec.__class__(
+        fn=spec.fn, sql=_epoch_alloc_sql(), bench=spec.bench
+    )
+
+
+_patch_epoch_alloc_sql()

@@ -433,6 +433,10 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'dsir' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
            CAST(rank AS VARCHAR) AS grp, CAST(n_grams AS VARCHAR) AS val
     FROM ({_sql("dsir_selection")})
+    UNION ALL
+    SELECT 'epochs' AS sample_op, grp AS id,
+           CAST(capped AS VARCHAR) AS grp, CAST(unique_toks AS VARCHAR) AS val
+    FROM ({_sql("epoch_allocation")})
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,10 +486,16 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("string").alias("grp"),
         F.col("n_grams").cast("string").alias("val"),
     )
+    ep_s = _run("epoch_allocation", spark, sf_dir).select(
+        F.lit("epochs").alias("sample_op"),
+        F.col("grp").alias("id"),
+        F.col("capped").cast("string").alias("grp"),
+        F.col("unique_toks").cast("string").alias("val"),
+    )
     return (
         hash_s.unionByName(res_s).unionByName(bud_s)
         .unionByName(mix_s).unionByName(wt_s).unionByName(temp_s)
-        .unionByName(dsir_s)
+        .unionByName(dsir_s).unionByName(ep_s)
     )
 
 
@@ -1420,6 +1430,7 @@ COVERED_BY: dict[str, str] = {
     "cube_orders_profile": "grouping_sets_profile",
     "sample_docs_hash": "sampling_suite",
     "dsir_selection": "sampling_suite",
+    "epoch_allocation": "sampling_suite",
     "reservoir_events_per_type": "sampling_suite",
     "char_budget_by_lang": "sampling_suite",
     "mixture_by_source": "sampling_suite",

@@ -1362,3 +1362,33 @@ def test_hard_negative_mining_label_inequality(spark):
     ).collect()
     assert [(r["rank"], r["neighbor_id"]) for r in out] == [(1, 3), (2, 4)]
     assert all(r["neighbor_label"] == 1 for r in out)
+
+
+def test_epoch_allocation_water_filling(spark):
+    """Hand-checked water-filling: T=[10,100] chars, budget 100, cap 4
+    → small group capped at 4 epochs (40), the rest (60) spills to the
+    big group; budget ≥ total capacity → everything capped."""
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        epoch_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", 10), ("b", 60), ("b", 40)],
+        "lang string, n_chars long",
+    )
+    rows = {
+        r["grp"]: r
+        for r in epoch_allocation(docs, budget=100, max_epochs=4).collect()
+    }
+    assert rows["a"]["capacity"] == 40 and rows["b"]["capacity"] == 400
+    assert rows["a"]["allocation"] == 40.0 and rows["a"]["epochs"] == 4.0
+    assert rows["b"]["allocation"] == 60.0 and rows["b"]["epochs"] == 0.6
+    assert rows["a"]["capped"] and not rows["b"]["capped"]
+    assert sum(r["allocation"] for r in rows.values()) == 100.0
+
+    over = {
+        r["grp"]: r
+        for r in epoch_allocation(docs, budget=10_000, max_epochs=4).collect()
+    }
+    assert all(r["capped"] for r in over.values())
+    assert over["a"]["allocation"] == 40.0 and over["b"]["allocation"] == 400.0
