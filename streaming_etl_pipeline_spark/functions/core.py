@@ -89,8 +89,17 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity of two vector columns. DuckDB twin:
     ``list_dot_product(a,b) / (sqrt(list_dot_product(a,a)) * sqrt(list_dot_product(b,b)))``
-    (NOT list_cosine_similarity, which reduces in float32)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    (NOT list_cosine_similarity, which reduces in float32).
+
+    Zero-norm vectors: ``try_divide`` yields NULL — matching DuckDB,
+    whose DOUBLE division by zero is NULL — instead of the ANSI
+    DIVIDE_BY_ZERO error that would otherwise kill a whole job over one
+    degenerate embedding (found by
+    tests/test_oracle_fuzz.py::test_fuzz_zero_embedding). NULL cosines
+    fall out of every ≥-threshold filter and sort NULLS-LAST under the
+    DESC rankings in BOTH engines, so downstream semantics stay
+    engine-identical."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def exact_sum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:

@@ -211,3 +211,54 @@ def test_fuzz_baseline_unperturbed(spark, tmp_path):
     red above is attributable to the perturbation, not the harness."""
     sf = _clone_sf(tmp_path)
     _gate(spark, sf, ["sensor_5min", "dedup_exact"])
+
+
+def test_fuzz_zero_embedding(spark, tmp_path):
+    """Zero-norm vectors make cosine 0/0 = NaN: both engines must agree
+    on NaN's fate through the ≥-threshold filters and DESC rankings of
+    every embedding-similarity operator (Spark and DuckDB both order
+    NaN above any value — this pins that assumption)."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("embedding")
+        mask = pc.equal(pc.bit_wise_and(tbl["vec_id"], 15), 5)
+        dim = len(tbl["embedding"][0])
+        zero = pa.scalar([0.0] * dim, pa.list_(pa.float32()))
+        emb = pc.if_else(mask, zero, tbl["embedding"].combine_chunks())
+        return tbl.set_column(i, "embedding", emb), {}
+
+    sf = _clone_sf(tmp_path, "embeddings", mutate)
+    _gate(
+        spark,
+        sf,
+        [
+            "embedding_decontamination",
+            "bitext_mining",
+            "hard_negatives",
+            "ann_topk_bruteforce",
+        ],
+    )
+
+
+def test_fuzz_dsir_text_perturbations(spark, tmp_path):
+    """DSIR under empty/NULL/unicode documents: the gram pipeline and
+    the log-ratio accumulation must stay engine-identical when docs
+    contribute zero grams or multibyte tokens."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mod = pc.bit_wise_and(tbl["doc_id"], 7)
+        decorated = pc.binary_join_element_wise(
+            tbl["text"], pa.scalar(" héllo wörld — καλημέρα 標本 🚀"), ""
+        )
+        text = pc.if_else(
+            pc.equal(mod, 0),
+            pa.scalar("", pa.string()),
+            pc.if_else(
+                pc.equal(mod, 1),
+                pa.scalar(None, pa.string()),
+                pc.if_else(pc.equal(mod, 2), decorated, tbl["text"]),
+            ),
+        )
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["dsir_selection", "source_overlap_matrix"])
