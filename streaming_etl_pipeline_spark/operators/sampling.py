@@ -564,7 +564,12 @@ def epoch_allocation(
             "unique_toks",
             "capacity",
             alloc.alias("allocation"),
-            F.round(alloc / F.col("unique_toks"), 6).alias("epochs"),
+            # try_divide: an all-empty group (0 unique tokens) reports
+            # NULL epochs instead of an ANSI error; DuckDB DOUBLE/0 is
+            # NULL, so the twin agrees
+            F.round(F.try_divide(alloc, F.col("unique_toks")), 6).alias(
+                "epochs"
+            ),
             (
                 F.col("capacity").cast("double")
                 <= F.coalesce("level", F.col("capacity").cast("double"))

@@ -867,8 +867,14 @@ def bitext_margin_pairs(
             & (F.col("t.b")["src_id"] == F.col("s.src_id")),
         )
     )
+    # try_divide: a zero neighborhood average (orthogonal pools) yields
+    # NULL — filtered below — instead of an ANSI divide-by-zero error;
+    # DuckDB's DOUBLE/0 is NULL, so the twin agrees
     margin = F.round(
-        F.col("s.b")["cos"] / ((F.col("s.avg_cos") + F.col("t.avg_cos")) / 2.0),
+        F.try_divide(
+            F.col("s.b")["cos"],
+            (F.col("s.avg_cos") + F.col("t.avg_cos")) / 2.0,
+        ),
         9,
     )
     return (

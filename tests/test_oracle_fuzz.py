@@ -261,4 +261,4 @@ def test_fuzz_dsir_text_perturbations(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["dsir_selection", "source_overlap_matrix"])
+    _gate(spark, sf, ["dsir_selection", "source_overlap_matrix", "gopher_quality"])
