@@ -329,7 +329,11 @@ def gopher_filter(
     2.66 s → 0.91 s (2.9×) on 80k docs.
     """
     in_cols = list(df.columns)
-    norm = norm_text(text_col)
+    # NULL text canonicalizes to '' so every flag is a definite boolean
+    # (NULL-propagated flags diverge between engines: Spark's NULL & x
+    # stays NULL where the twin's CASE-summed stop_hits=0 forces
+    # keep=false — found by test_fuzz_dsir_text_perturbations)
+    norm = norm_text(F.coalesce(F.col(text_col), F.lit("")))
     s = df.select("*", norm.alias("_g_norm"))
     s = s.select("*", F.split(F.col("_g_norm"), " ").alias("_g_words"))
     n_words = F.size(F.col("_g_words"))
@@ -387,7 +391,7 @@ def gopher_filter(
 
 def gopher_filter_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB oracle twin of :func:`gopher_filter`."""
-    norm = norm_text_sql(text_col)
+    norm = norm_text_sql(f"COALESCE({text_col}, '')")
     stop_sum = " + ".join(
         f"CASE WHEN ' ' || {norm} || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
         for w in GOPHER_STOPWORDS
