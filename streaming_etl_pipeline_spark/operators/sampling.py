@@ -342,20 +342,18 @@ def temperature_sample_sql(
     """
 
 
-def dsir_select(
+def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
-    top_m: int = 100,
 ) -> DataFrame:
-    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
-    every raw document by how much its hashed-n-gram distribution looks
-    like the TARGET corpus rather than the raw corpus, and keep the
-    ``top_m`` highest-scoring docs. Features are word uni+bigrams WITH
-    multiplicity, hashed into ``buckets`` cells; the per-doc score is
-    the summed log importance ratio
+    """DSIR importance scores (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much its hashed-n-gram distribution
+    looks like the TARGET corpus rather than the raw corpus. Features
+    are word uni+bigrams WITH multiplicity, hashed into ``buckets``
+    cells; the per-doc score is the summed log importance ratio
     ``Σ_g  ln p̂[h(g)] − ln q̂[h(g)]``  (p̂ = add-1-smoothed target
     bucket distribution, q̂ = raw's).
 
@@ -367,11 +365,10 @@ def dsir_select(
     differential oracle: Spark's ``Math.log`` and DuckDB's ``std::log``
     can differ in the last ulp (measured ~3% of inputs), so each
     bucket's log-ratio is rounded to 6 dp BEFORE the per-doc
-    DECIMAL(38,6) sum — exact and order-independent from there on; the
-    final ranking ties break by doc id.
+    DECIMAL(38,6) sum — exact and order-independent from there on.
 
-    Output: ``(doc_id, n_grams, log_weight, rank)`` for the selected
-    ``top_m`` docs.
+    Output: one row per raw doc with ≥1 gram —
+    ``(doc_id, n_grams, log_weight)``.
     """
     from streaming_etl_pipeline_spark.operators.dedup import ngrams_list
 
@@ -407,7 +404,7 @@ def dsir_select(
         6,
     )
     ratio = joined.select("b", llr.alias("llr"))
-    scored = (
+    return (
         raw.select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, (md5_long("g") % buckets).alias("b"))
         .join(F.broadcast(ratio), "b")
@@ -419,6 +416,21 @@ def dsir_select(
             .alias("log_weight"),
         )
     )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    top_m: int = 100,
+) -> DataFrame:
+    """Top-``top_m`` DSIR selection (see :func:`dsir_log_weights` for
+    the scoring): the highest-log-weight raw docs under a strict
+    (log_weight DESC, id ASC) total order. Output:
+    ``(doc_id, n_grams, log_weight, rank)``."""
+    scored = dsir_log_weights(raw, target, text_col, id_col, buckets)
     top = scored.orderBy(
         F.col("log_weight").desc(), F.col(id_col).asc()
     ).limit(top_m)

@@ -121,6 +121,14 @@ def make_parser() -> argparse.ArgumentParser:
         help="drop docs whose cross-doc duplicated-span fraction exceeds this",
     )
     cr.add_argument(
+        "--dsir-target", default=None,
+        help="target-corpus parquet (text) for the DSIR relevance gate",
+    )
+    cr.add_argument(
+        "--dsir-keep-frac", type=float, default=None,
+        help="fraction of highest-DSIR-weight docs to keep (with --dsir-target)",
+    )
+    cr.add_argument(
         "--cc-algorithm", choices=("label_prop", "star"),
         default="label_prop",
         help="near-dup cluster canonicalization: label_prop (clique-ish "
@@ -279,6 +287,12 @@ def main(argv: list[str] | None = None) -> int:
             charlm_drop_frac=args.charlm_drop_frac,
             substring_dup_max=args.substring_dup_max,
             cc_algorithm=args.cc_algorithm,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target)
+                if args.dsir_target
+                else None
+            ),
+            dsir_keep_frac=args.dsir_keep_frac,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

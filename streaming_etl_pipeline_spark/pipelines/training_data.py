@@ -54,6 +54,8 @@ def curate_corpus(
     charlm_drop_frac: float | None = None,
     substring_dup_max: float | None = None,
     cc_algorithm: str = "label_prop",
+    dsir_target: DataFrame | None = None,
+    dsir_keep_frac: float | None = None,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -80,6 +82,14 @@ def curate_corpus(
     spans: documents whose 64-char chunk-fingerprint ``dup_frac``
     exceeds the threshold (templated/boilerplate-heavy docs that
     survived whole-document near-dedup) are dropped.
+
+    ``dsir_target`` + ``dsir_keep_frac`` (optional) enable the DSIR
+    relevance gate (``sampling.dsir_log_weights``): documents are scored
+    by how much their hashed uni+bigram profile matches the target
+    corpus, and the top ``dsir_keep_frac`` fraction survives (quantile
+    cut via one ``approxQuantile`` sketch probe, like the charlm gate).
+    Documents with zero grams (empty/whitespace text) carry no weight
+    row and are dropped by this gate — they are junk by definition.
 
     ``cc_algorithm`` selects how near-dup pairs are canonicalized:
     ``"label_prop"`` (default, O(diameter) rounds — right for clique-ish
@@ -124,6 +134,29 @@ def curate_corpus(
             StorageLevel.MEMORY_AND_DISK
         )
         metrics["after_charlm"] = float(gated.count())
+        kept.unpersist()
+        kept = gated
+
+    # 2c. DSIR relevance gate (optional) — keep the fraction of docs
+    #     whose hashed-n-gram profile best matches the target corpus.
+    #     Runs AFTER exact dedup so mass duplication can't tilt the raw
+    #     distribution q̂ toward its own boilerplate.
+    if dsir_target is not None and dsir_keep_frac is not None:
+        from streaming_etl_pipeline_spark.operators.sampling import (
+            dsir_log_weights,
+        )
+
+        weights = dsir_log_weights(
+            kept, dsir_target, text_col=text_col, id_col=id_col
+        )
+        cut = weights.approxQuantile(
+            "log_weight", [1.0 - dsir_keep_frac], 0.001
+        )[0]
+        sel = weights.filter(F.col("log_weight") >= cut).select(id_col)
+        gated = kept.join(sel, id_col, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        metrics["after_dsir"] = float(gated.count())
         kept.unpersist()
         kept = gated
 

@@ -243,3 +243,27 @@ def test_curate_corpus_charlm_and_substring_gates(spark, tmp_path):
     }
     assert 50 not in kept_ids and 60 not in kept_ids and 61 not in kept_ids
     assert 0 in kept_ids
+
+
+def test_curate_corpus_dsir_gate(spark, tmp_path):
+    """With a DSIR target resembling doc 5's vocabulary and keep_frac
+    0.5, the gate drops the least-target-like survivor and the audit
+    records the stage."""
+    out = str(tmp_path / "training_dsir")
+    target = spark.createDataFrame(
+        [(" ".join(_base_tokens(5)),)], "text string"
+    )
+    res = curate_corpus(
+        spark,
+        _corpus(spark),
+        out,
+        dsir_target=target,
+        dsir_keep_frac=0.5,
+    )
+    m = res.metrics
+    assert "after_dsir" in m
+    assert m["after_dsir"] < m["after_exact_dedup"]
+    assert m["after_dsir"] >= 1
+    # doc 5 (the target twin) must survive to the output
+    written = spark.read.parquet(out)
+    assert written.filter(F.col("doc_id") == 5).count() > 0
