@@ -195,10 +195,17 @@ def similar_windows(
     # i<j combinations in-array. array_sort on (k, win, zv) structs
     # orders by the unique (k, win), so pair orientation matches the
     # old (k_a, win_a) < (k_b, win_b) join predicate exactly.
+    # Hot words are dropped BEFORE the array build (an analytic count
+    # over the same word partitioning — no extra shuffle): filtering on
+    # size(collect_list(...)) would first materialize a flat/periodic
+    # signal's word as one giant per-row array. The window count spills
+    # rows, never builds arrays, so the cutoff is skew-safe.
+    w_word = Window.partitionBy("word")
     byword = (
-        wz.groupBy("word")
+        wz.withColumn("_df", F.count(F.lit(1)).over(w_word))
+        .filter(F.col("_df") <= max_word_df)
+        .groupBy("word")
         .agg(F.array_sort(F.collect_list(F.struct("k", "win", "zv"))).alias("ws"))
-        .filter(F.size("ws") <= max_word_df)
     )
     combos = F.flatten(
         F.transform(
