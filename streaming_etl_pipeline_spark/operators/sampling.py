@@ -137,11 +137,14 @@ def mixture_sample(
         )
     w = (w.otherwise(F.lit(0.0)) if w is not None else F.lit(0.0)).alias("_wt")
     frac = F.least(F.lit(1.0), w * F.lit(float(total_rows)) / F.col("_grp_cnt"))
-    thresh = (frac * _SAMPLE_MOD).cast("long")
+    # Compare in DOUBLE on both engines: Spark's cast-to-long truncates
+    # while DuckDB's CAST(x AS BIGINT) rounds-to-nearest, so an integral
+    # threshold is a cross-engine parity trap whenever frac·MOD has a
+    # fractional part > 0.5 (fuzz-pinned in test_oracle_fuzz).
     h = md5_long(key_col, seed) % _SAMPLE_MOD
     return (
         df.join(F.broadcast(counts), group_col)
-        .filter(h < thresh)
+        .filter(h.cast("double") < frac * _SAMPLE_MOD)
         .drop("_grp_cnt")
     )
 
@@ -155,7 +158,9 @@ def mixture_sample_sql(
     seed: str = "mixture",
 ) -> str:
     """DuckDB twin of :func:`mixture_sample` (identical float arithmetic:
-    least(1.0, wt·total/cnt)·MOD truncated to BIGINT)."""
+    the keyed hash compared in DOUBLE against least(1.0, wt·total/cnt)·MOD
+    — no integral cast, whose truncate-vs-round semantics differ between
+    the engines)."""
     values = ", ".join(f"('{g}', {float(wt)!r})" for g, wt in weights.items())
     return f"""
     SELECT t.* EXCLUDE (_wt, _grp_cnt)
@@ -166,9 +171,9 @@ def mixture_sample_sql(
         USING ({group_col})
       JOIN (SELECT * FROM (VALUES {values}) AS v({group_col}, wt))
         w USING ({group_col})) t
-    WHERE ({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD})
-          < CAST(least(1.0, _wt * CAST({total_rows} AS DOUBLE) / _grp_cnt)
-                 * {_SAMPLE_MOD} AS BIGINT)
+    WHERE CAST(({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD}) AS DOUBLE)
+          < least(1.0, _wt * CAST({total_rows} AS DOUBLE) / _grp_cnt)
+            * {_SAMPLE_MOD}
     """
 
 
@@ -293,11 +298,12 @@ def temperature_sample(
             / F.col("_n"),
         ).alias("_frac"),
     )
-    thresh = (F.col("_frac") * _SAMPLE_MOD).cast("long")
+    # Double-vs-double comparison on both engines (see mixture_sample:
+    # integral casts truncate in Spark but round in DuckDB).
     h = md5_long(key_col, seed) % _SAMPLE_MOD
     return (
         df.join(F.broadcast(frac), group_col)
-        .filter(h < thresh)
+        .filter(h.cast("double") < F.col("_frac") * _SAMPLE_MOD)
         .drop("_n", "_frac")
     )
 
@@ -311,7 +317,7 @@ def temperature_sample_sql(
     seed: str = "temperature",
 ) -> str:
     """DuckDB twin of :func:`temperature_sample` (identical sqrt-product
-    weights, DECIMAL-accumulated normalizer, truncated threshold)."""
+    weights, DECIMAL-accumulated normalizer, DOUBLE threshold compare)."""
     p = f"(CAST(_n AS DOUBLE) / _n_tot)"
     return f"""
     SELECT t.* EXCLUDE (_n, _frac)
@@ -337,8 +343,8 @@ def temperature_sample_sql(
           )
         )
       ) f USING ({group_col})) t
-    WHERE ({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD})
-          < CAST(_frac * {_SAMPLE_MOD} AS BIGINT)
+    WHERE CAST(({md5_long_sql(key_sql, seed)} % {_SAMPLE_MOD}) AS DOUBLE)
+          < _frac * {_SAMPLE_MOD}
     """
 
 

@@ -300,6 +300,74 @@ def ivf_ann_topk(
     )
 
 
+def ivf_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+    centroid_id: str = "centroid_id",
+    cent_id_col: str = "vec_id",
+    cent_vec_col: str | None = None,
+) -> DataFrame:
+    """Corpus-scale candidate-pair generator: score only (left, right)
+    pairs co-located in an IVF cell, instead of the full |left|×|right|
+    grid. The left side probes its ``nprobe`` nearest-centroid cells
+    (:func:`ivf_probe_cells` semantics); the right side sits in exactly
+    one cell (:func:`ivf_assign` semantics), so each pair appears at
+    most once and ``nprobe = |centroids|`` degenerates to the exact
+    grid. Output: ``(left_id, right_id, *left_cols, *right_cols,
+    cosine_sim)`` with the cosine rounded to 9 dp, ready to feed the
+    ``candidates=`` hook of :func:`embedding_decontamination`,
+    :func:`bitext_margin_pairs`, or :func:`hard_negative_mining` when
+    NEITHER side fits in a broadcast.
+
+    Plan/scale: centroid assignment is a shuffle-free literal-scoring
+    projection on both sides (see :func:`_centroid_candidates`); the
+    only data-sized exchange is the equi-join on the cell id — the
+    optimizer picks the strategy (AQE handles skewed cells), so a
+    100M × 100M mining run costs two hash-partitioned scans instead of
+    an impossible 10¹⁶-row grid. Self-pairs are NOT filtered here (the
+    consumers' tails own that). Recall < 1 when ``nprobe`` is capped:
+    a true neighbor in an unprobed cell is never scored — the standard
+    IVF trade, measured in SCALE.md.
+    """
+    cells_l = _centroid_candidates(
+        centroids, F.col(vec_col), cent_id_col, cent_vec_col or vec_col
+    )
+    top = F.slice(F.sort_array(cells_l, asc=False), 1, nprobe)
+    lhs = left.select(
+        F.col(left_id),
+        F.col(vec_col).alias("_l_vec"),
+        *[F.col(c) for c in left_cols],
+        F.explode(top).alias("_c"),
+    ).withColumn(centroid_id, F.col("_c")["cid"]).drop("_c")
+    cells_r = _centroid_candidates(
+        centroids, F.col(vec_col), cent_id_col, cent_vec_col or vec_col
+    )
+    rhs = right.select(
+        F.col(right_id),
+        F.col(vec_col).alias("_r_vec"),
+        *[F.col(c) for c in right_cols],
+        F.array_max(cells_r)["cid"].alias(centroid_id),
+    )
+    sim = F.round(cosine_similarity("_l_vec", "_r_vec"), 9)
+    return (
+        lhs.join(rhs, centroid_id)
+        .select(
+            left_id,
+            right_id,
+            *left_cols,
+            *right_cols,
+            sim.alias("cosine_sim"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -735,6 +803,7 @@ def embedding_decontamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bench_id_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: for every corpus
     vector whose cosine similarity to ANY benchmark vector reaches
@@ -750,23 +819,31 @@ def embedding_decontamination(
     similarity filter, and only the flagged rows (contamination is rare
     by construction) reach the per-vector argmax shuffle. Exact by
     design — decontamination is the one place recall losses are not
-    acceptable; for a benchmark too big to broadcast, fall back to the
-    LSH-bucketed pair join (:func:`cosine_neardup_pairs`). Ranking ties
-    break by ``bench_id`` for a deterministic result.
+    acceptable. For a benchmark too big to broadcast, pass
+    ``candidates=`` — a ``(vec_id, bench_id, cosine_sim)`` frame from
+    :func:`ivf_candidate_pairs` (probe all cells for exact recall, cap
+    ``nprobe`` to trade recall for cost) — and only the threshold filter
+    + argmax tail runs here. Ranking ties break by ``bench_id`` for a
+    deterministic result.
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    )
-    b = benchmark.select(
-        F.col(bench_id_col or id_col).alias("bench_id"),
-        F.col(vec_col).alias("b_vec"),
-    )
-    sim = F.round(cosine_similarity("c_vec", "b_vec"), 9)
-    scored = (
-        c.join(F.broadcast(b))
-        .select("vec_id", "bench_id", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    if candidates is not None:
+        scored = candidates.select(
+            F.col(id_col).alias("vec_id"), "bench_id", "cosine_sim"
+        ).filter(F.col("cosine_sim") >= threshold)
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
+        b = benchmark.select(
+            F.col(bench_id_col or id_col).alias("bench_id"),
+            F.col(vec_col).alias("b_vec"),
+        )
+        sim = F.round(cosine_similarity("c_vec", "b_vec"), 9)
+        scored = (
+            c.join(F.broadcast(b))
+            .select("vec_id", "bench_id", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
     # Per-vector argmax as max(struct) — unlike a row_number window this
     # gets map-side partial aggregation, so the (already rare) flagged
     # rows combine before the shuffle; (-bench_id) makes ties pick the
@@ -791,6 +868,7 @@ def bitext_margin_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tgt_id_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Parallel-corpus (bitext) mining with the ratio-margin criterion
     (Artetxe & Schwenk 2019, arXiv:1811.01136 — the CCMatrix/LASER
@@ -810,27 +888,41 @@ def bitext_margin_pairs(
     neighborhood average AND its argmax ride the same partitioning into
     a map-side-combined aggregate, so nothing data-sized shuffles again
     (the mutual join broadcasts the one-row-per-target stats). For
-    corpus-scale × corpus-scale mining swap the pair grid for the IVF
-    candidate generator (:func:`ivf_ann_topk`) and keep the identical
-    margin tail. Determinism for the differential oracle: cosines round
-    to 9 dp, neighborhood sums accumulate in DECIMAL(38,9) (exact, so
-    partial-aggregation order can't leak), ties break by partner id.
+    corpus-scale × corpus-scale mining pass ``candidates=`` — a
+    ``(src_id, tgt_id, cosine_sim)`` frame from
+    :func:`ivf_candidate_pairs` — and the identical margin tail runs
+    over cell-local pairs instead of the grid (neighborhood averages
+    then use each side's k best CANDIDATES; with capped ``nprobe`` that
+    is the standard IVF recall trade). Memory discipline: the pair
+    frame is cached only while the two side-stats aggregates
+    materialize (eagerly, inside this call) and unpersisted before
+    returning — the returned frame is a cheap join over the
+    checkpointed per-side stats, so the |src|×|tgt| grid is never
+    pinned past the call. Determinism for the differential oracle:
+    cosines round to 9 dp, neighborhood sums accumulate in
+    DECIMAL(38,9) (exact, so partial-aggregation order can't leak),
+    ties break by partner id.
     """
     from pyspark import StorageLevel
 
-    s = src.select(
-        F.col(id_col).alias("src_id"), F.col(vec_col).alias("s_vec")
-    )
-    t = tgt.select(
-        F.col(tgt_id_col or id_col).alias("tgt_id"),
-        F.col(vec_col).alias("t_vec"),
-    )
-    cos = F.round(cosine_similarity("s_vec", "t_vec"), 9)
-    pairs = (
-        s.join(F.broadcast(t))
-        .select("src_id", "tgt_id", cos.alias("cos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if candidates is not None:
+        pairs = candidates.select(
+            "src_id", "tgt_id", F.col("cosine_sim").alias("cos")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        s = src.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("s_vec")
+        )
+        t = tgt.select(
+            F.col(tgt_id_col or id_col).alias("tgt_id"),
+            F.col(vec_col).alias("t_vec"),
+        )
+        cos = F.round(cosine_similarity("s_vec", "t_vec"), 9)
+        pairs = (
+            s.join(F.broadcast(t))
+            .select("src_id", "tgt_id", cos.alias("cos"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     ws = Window.partitionBy("src_id").orderBy(
         F.col("cos").desc(), F.col("tgt_id")
     )
@@ -852,12 +944,16 @@ def bitext_margin_pairs(
         ).alias("b")
         return ranked.filter(F.col("_rn") <= k).groupBy(key).agg(avg, best)
 
+    # Materialize both side-stats (one row per src / per tgt) eagerly,
+    # then release the data-squared pair cache: the ADVICE-r5 leak was
+    # this persist outliving the call for the session lifetime.
     stats_s = _side_stats(
         pairs.withColumn("_rn", F.row_number().over(ws)), "src_id", "tgt_id"
-    )
+    ).localCheckpoint(eager=True)
     stats_t = _side_stats(
         pairs.withColumn("_rn", F.row_number().over(wt)), "tgt_id", "src_id"
-    )
+    ).localCheckpoint(eager=True)
+    pairs.unpersist()
     # mutual top-1: src's best target must name this src back
     mutual = (
         stats_s.alias("s")
@@ -895,6 +991,7 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the E5/GTE/DPR
     data recipe): per anchor, the ``k`` most-similar corpus vectors with
@@ -909,25 +1006,37 @@ def hard_negative_mining(
     (anchor, candidate) survivors of the label-inequality predicate
     reach the per-anchor top-k window. The label filter lives IN the
     join condition, so pruned pairs never materialize. For mining over
-    the full corpus as anchors, batch the anchor side (every batch is
-    one corpus scan) or swap in the IVF candidate generator.
+    the full corpus as anchors pass ``candidates=`` — an
+    ``(anchor_id, neighbor_id, a_label, neighbor_label, cosine_sim)``
+    frame from :func:`ivf_candidate_pairs` (carry both labels via
+    ``left_cols``/``right_cols``) — and only the label/self filters +
+    per-anchor top-k run here; capped ``nprobe`` trades recall for
+    never materializing the corpus² grid.
     """
-    a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(vec_col).alias("a_vec"),
-        F.col(label_col).alias("a_label"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(label_col).alias("neighbor_label"),
-    )
-    sim = F.round(cosine_similarity("a_vec", "c_vec"), 9)
-    scored = c.join(
-        F.broadcast(a),
-        (F.col("a_label") != F.col("neighbor_label"))
-        & (F.col("anchor_id") != F.col("neighbor_id")),
-    ).select("anchor_id", "neighbor_id", "neighbor_label", sim.alias("cosine_sim"))
+    if candidates is not None:
+        scored = candidates.filter(
+            (F.col("a_label") != F.col("neighbor_label"))
+            & (F.col("anchor_id") != F.col("neighbor_id"))
+        ).select("anchor_id", "neighbor_id", "neighbor_label", "cosine_sim")
+    else:
+        a = anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("a_vec"),
+            F.col(label_col).alias("a_label"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col(label_col).alias("neighbor_label"),
+        )
+        sim = F.round(cosine_similarity("a_vec", "c_vec"), 9)
+        scored = c.join(
+            F.broadcast(a),
+            (F.col("a_label") != F.col("neighbor_label"))
+            & (F.col("anchor_id") != F.col("neighbor_id")),
+        ).select(
+            "anchor_id", "neighbor_id", "neighbor_label", sim.alias("cosine_sim")
+        )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

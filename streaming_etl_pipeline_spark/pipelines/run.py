@@ -212,7 +212,14 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = make_parser().parse_args(argv)
+    parser = make_parser()
+    args = parser.parse_args(argv)
+    if args.cmd == "curate" and (
+        (args.dsir_target is None) != (args.dsir_keep_frac is None)
+    ):
+        parser.error(
+            "--dsir-target and --dsir-keep-frac must be given together"
+        )
     spark = build_session(app_name=f"pipeline-{args.cmd}")
     metrics: dict[str, float] = {}
     if args.cmd in ("b2s", "all"):

@@ -99,6 +99,12 @@ def curate_corpus(
     """
     from pyspark import StorageLevel
 
+    if (dsir_target is None) != (dsir_keep_frac is None):
+        raise ValueError(
+            "dsir_target and dsir_keep_frac must be given together — "
+            "supplying only one would silently skip the DSIR gate"
+        )
+
     metrics: dict[str, float] = {"input_docs": float(docs.count())}
 
     # 1. Quality gate — per-row flags carried inline (keep_cols), so the
@@ -128,14 +134,15 @@ def curate_corpus(
     #     duplication can't drag the model toward its own boilerplate.
     if charlm_drop_frac is not None and charlm_drop_frac > 0:
         scores = TX.charlm_scores(kept, id_col, text_col)
-        cut = scores.approxQuantile("avg_tri_p", [charlm_drop_frac], 0.001)[0]
-        low = scores.filter(F.col("avg_tri_p") < cut).select(id_col)
-        gated = kept.join(low, id_col, "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        metrics["after_charlm"] = float(gated.count())
-        kept.unpersist()
-        kept = gated
+        q = scores.approxQuantile("avg_tri_p", [charlm_drop_frac], 0.001)
+        if q:  # no scored docs (empty survivors) → nothing to cut
+            low = scores.filter(F.col("avg_tri_p") < q[0]).select(id_col)
+            gated = kept.join(low, id_col, "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            metrics["after_charlm"] = float(gated.count())
+            kept.unpersist()
+            kept = gated
 
     # 2c. DSIR relevance gate (optional) — keep the fraction of docs
     #     whose hashed-n-gram profile best matches the target corpus.
@@ -149,9 +156,19 @@ def curate_corpus(
         weights = dsir_log_weights(
             kept, dsir_target, text_col=text_col, id_col=id_col
         )
-        cut = weights.approxQuantile(
+        q = weights.approxQuantile(
             "log_weight", [1.0 - dsir_keep_frac], 0.001
-        )[0]
+        )
+        if not q:
+            # every surviving doc produced zero n-grams (e.g. a
+            # whitespace-only corpus) — there is no distribution to
+            # gate on; fail loudly rather than keep-all or keep-none.
+            raise ValueError(
+                "DSIR gate: no surviving document produced any n-gram, "
+                "so no keep threshold exists — check the text column "
+                "and upstream filters, or drop the DSIR flags"
+            )
+        cut = q[0]
         sel = weights.filter(F.col("log_weight") >= cut).select(id_col)
         gated = kept.join(sel, id_col, "left_semi").persist(
             StorageLevel.MEMORY_AND_DISK

@@ -162,7 +162,12 @@ class PrometheusExporter:
     def __init__(self, rules=None) -> None:
         self.registry = MetricsRegistry()
         self.evaluator = AlertEvaluator(rules=rules or reference_rules())
-        self._drained = 0
+        # per-listener drain offsets (ADVICE r5: a single shared offset
+        # double-counts or skips events when two listeners — or the
+        # push wiring of listen() plus a manual drain — feed one
+        # exporter). Keyed by id(listener); the push path advances its
+        # own offset so mixed wiring can't re-observe pushed events.
+        self._drained: dict[int, int] = {}
         r = self.registry
         r.declare(
             "events_produced_total", "counter",
@@ -244,17 +249,24 @@ class PrometheusExporter:
             def onQueryProgress(self, event) -> None:
                 super().onQueryProgress(event)
                 exporter.observe_progress(self.progress[-1])
+                # mark as consumed so a drain_listener() on this same
+                # listener can never observe the pushed event twice
+                exporter._drained[id(self)] = len(self.progress)
 
         listener = _Feed()
         spark.streams.addListener(listener)
         return listener
 
     def drain_listener(self, listener) -> int:
-        """Feed every not-yet-seen progress event; returns how many."""
-        events = listener.progress[self._drained :]
+        """Feed every not-yet-seen progress event from THIS listener
+        (offsets are tracked per listener, so several listeners — or a
+        drain on a listener that also pushes via :meth:`listen` — never
+        double-count); returns how many were fed."""
+        start = self._drained.get(id(listener), 0)
+        events = listener.progress[start:]
         for p in events:
             self.observe_progress(p)
-        self._drained += len(events)
+        self._drained[id(listener)] = start + len(events)
         return len(events)
 
     def _sync_alerts(self, fired) -> None:

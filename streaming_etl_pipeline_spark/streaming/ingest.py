@@ -295,7 +295,16 @@ def start_dedup_ingest_sink(
     Batch-internal near-dups are resolved keep-min within the trigger;
     cross-batch dups are whatever matches the store. All of the batch's
     signatures (kept and dropped) join the store, so later re-sends of a
-    dropped document still match."""
+    dropped document still match.
+
+    Partitions are namespaced by a token tied to the CHECKPOINT's
+    lifetime (``<token>-<epoch>``), not the bare epoch id: if the
+    checkpoint is deleted or relocated while ``path``/``store_path`` are
+    kept (a common ops reset), epoch ids restart at 0 — with bare ids
+    each new batch would silently replace previously ingested
+    partitions, while the fresh token makes the new run append beside
+    the old data instead."""
+    token = _ingest_run_token(docs.sparkSession, checkpoint)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         dedup_ingest_batch(
@@ -306,6 +315,7 @@ def start_dedup_ingest_sink(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            run_token=token,
         )
 
     writer = (
@@ -317,6 +327,35 @@ def start_dedup_ingest_sink(
     return writer.start()
 
 
+def _ingest_run_token(spark, checkpoint: str) -> str:
+    """Token tied to the LIFETIME of a checkpoint directory: read the
+    ``INGEST_RUN_TOKEN-<hex>`` marker file if one exists, else mint one.
+    Deleting the checkpoint (which resets streaming epoch ids to 0)
+    also deletes the marker, so the next run gets a fresh token and its
+    ``<token>-<epoch>`` partitions can never collide with — or silently
+    overwrite — a previous run's. Uses the Hadoop FileSystem API so the
+    checkpoint may live on any supported scheme (local/HDFS/S3)."""
+    import uuid
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(checkpoint)
+    fs = root.getFileSystem(conf)
+    prefix = "INGEST_RUN_TOKEN-"
+    if fs.exists(root):
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith(prefix):
+                return name[len(prefix):]
+    else:
+        fs.mkdirs(root)
+    token = uuid.uuid4().hex[:12]
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(root, prefix + token), False
+    ).close()
+    return token
+
+
 def dedup_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -325,11 +364,14 @@ def dedup_ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    run_token: str | None = None,
 ) -> None:
     """One idempotent micro-batch of :func:`start_dedup_ingest_sink`
     (module-level so a crash-replay — same ``batch_id`` twice — can be
     exercised deterministically in tests). See the sink docstring for
-    the replay contract."""
+    the replay contract. ``run_token`` namespaces the partition value
+    (``<token>-<epoch>``) so a checkpoint reset cannot replay over a
+    previous run's partitions; ``None`` keeps the bare epoch id."""
     from pyspark.errors import AnalysisException
 
     from streaming_etl_pipeline_spark.operators.dedup import (
@@ -340,21 +382,27 @@ def dedup_ingest_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    part_val = f"{run_token}-{batch_id}" if run_token else str(batch_id)
     batch_df = batch_df.localCheckpoint(eager=True)
     sigs = build_signatures(
         batch_df, id_col=id_col, text_col=text_col
     ).localCheckpoint(eager=True)
     try:
-        store = (
-            spark.read.parquet(store_path)
+        store = spark.read.parquet(store_path)
+        if "ingest_batch_id" in store.columns:
             # exclude our own partition: on a replay the store may
             # already hold this batch's signatures from a partial
             # first attempt, and probing them would flip the
             # keep-min choice (both ids of a within-batch pair
-            # appear "in the store" → both dropped)
-            .where(F.col("ingest_batch_id") != F.lit(batch_id))
-            .drop("ingest_batch_id")
-        )
+            # appear "in the store" → both dropped). Compare as
+            # STRING: a legacy store has integer partition values and
+            # an int-typed column would cast a namespaced value to
+            # NULL, silently excluding the whole store.
+            store = store.where(
+                F.col("ingest_batch_id").cast("string") != F.lit(part_val)
+            ).drop("ingest_batch_id")
+        # else: store written by a pre-partitioning version — nothing
+        # of ours can be in it, probe it whole.
     except AnalysisException as exc:
         if (
             "PATH_NOT_FOUND" not in str(exc)
@@ -381,7 +429,7 @@ def dedup_ingest_batch(
     )
     for frame, dest in ((novel, path), (sigs, store_path)):
         (
-            frame.withColumn("ingest_batch_id", F.lit(batch_id))
+            frame.withColumn("ingest_batch_id", F.lit(part_val))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch_id")

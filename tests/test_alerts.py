@@ -200,6 +200,32 @@ def test_prometheus_exporter_drains_metrics_listener():
     assert "processing_latency_seconds_count 3" in body
 
 
+def test_prometheus_exporter_drains_per_listener():
+    """ADVICE r5: offsets are tracked PER listener — two listeners
+    feeding one exporter each drain fully, with no skips (the shared-
+    offset bug made listener B start at listener A's offset)."""
+    from streaming_etl_pipeline_spark.quality.exporter import PrometheusExporter
+
+    def fake(n, qid):
+        class L:
+            progress = [
+                {"id": qid, "numInputRows": 10,
+                 "durationMs": {"triggerExecution": 500}}
+            ] * n
+        return L()
+
+    ex = PrometheusExporter()
+    a, b = fake(2, "qa"), fake(3, "qb")
+    assert ex.drain_listener(a) == 2
+    assert ex.drain_listener(b) == 3  # NOT 1: b has its own offset
+    assert ex.drain_listener(a) == 0
+    assert ex.drain_listener(b) == 0
+    body = ex.render()
+    assert 'events_ingested_total{query="qa"} 20' in body
+    assert 'events_ingested_total{query="qb"} 30' in body
+    assert "processing_latency_seconds_count 5" in body
+
+
 def test_prometheus_exporter_live_stream_feed(spark, tmp_path):
     """exporter.listen(spark) wires a real streaming query's progress
     into the scrape surface with no manual drain."""
@@ -239,6 +265,10 @@ def test_prometheus_exporter_live_stream_feed(spark, tmp_path):
             _time.sleep(0.5)
         assert "events_ingested_total" in body and " 5000" in body
         assert "processing_latency_seconds_count" in body
+        # mixed wiring: a manual drain on the push-fed listener must be
+        # a no-op — the push path already marked its events consumed
+        assert ex.drain_listener(listener) == 0
+        assert "events_ingested_total" in ex.render() and " 5000" in ex.render()
     finally:
         server.shutdown()
         spark.streams.removeListener(listener)

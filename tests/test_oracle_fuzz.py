@@ -262,3 +262,88 @@ def test_fuzz_dsir_text_perturbations(spark, tmp_path):
 
     sf = _clone_sf(tmp_path, "documents", mutate)
     _gate(spark, sf, ["dsir_selection", "source_overlap_matrix", "gopher_quality"])
+
+
+def test_fuzz_sample_threshold_boundary(spark, tmp_path):
+    """ADVICE r5 (medium): plant the inclusion threshold EXACTLY at a
+    row's keyed hash, with a fractional part > 0.5 — the class where
+    Spark's cast-to-long (truncate) and DuckDB's CAST AS BIGINT
+    (round-to-nearest) produced thresholds one apart, so the boundary
+    row was kept by one engine and dropped by the other. Both engines
+    now compare in DOUBLE; the kept sets must be identical and include
+    the boundary row (h < h + 0.7)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_etl_pipeline_spark.functions.core import md5_long_sql
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        _SAMPLE_MOD,
+        mixture_sample,
+        mixture_sample_sql,
+        temperature_sample,
+        temperature_sample_sql,
+    )
+
+    n = 64
+    tbl = pa.table(
+        {
+            "doc_id": [f"doc-{i}" for i in range(n)],
+            "source": ["web"] * n,
+            "lang": ["en"] * n,
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    sdf = spark.read.parquet(path)
+
+    hashes = dict(
+        con.execute(
+            f"SELECT doc_id, {md5_long_sql('doc_id', 'mixture')}"
+            f" % {_SAMPLE_MOD} FROM documents"
+        ).fetchall()
+    )
+    for key, h in sorted(hashes.items())[:6]:
+        # mixture: frac = min(1, wt·total/|grp|); with |grp| = total = n
+        # the weight IS the fraction → plant frac·MOD = h + 0.7
+        wt = (h + 0.7) / _SAMPLE_MOD
+        kept_spark = {
+            r.doc_id
+            for r in mixture_sample(
+                sdf, "doc_id", "source", {"web": wt}, n
+            ).collect()
+        }
+        kept_duck = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM ("
+                + mixture_sample_sql("documents", "doc_id", "source", {"web": wt}, n)
+                + ")"
+            ).fetchall()
+        }
+        assert kept_spark == kept_duck, f"mixture diverged at hash {h}"
+        assert key in kept_spark  # the boundary row: h < h + 0.7
+
+    # temperature: one group → _frac = min(1, total_rows/n); sweep
+    # total_rows so frac·MOD lands on every fractional-part class
+    # around real hash magnitudes (including > 0.5)
+    for total in (1, 3, 7, 13, 29, 45, 63):
+        kept_spark = {
+            r.doc_id
+            for r in temperature_sample(
+                sdf, "doc_id", "lang", 0.5, total
+            ).collect()
+        }
+        kept_duck = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM ("
+                + temperature_sample_sql("documents", "doc_id", "lang", 0.5, total)
+                + ")"
+            ).fetchall()
+        }
+        assert kept_spark == kept_duck, f"temperature diverged at total={total}"

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -1270,3 +1271,67 @@ def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
             r.doc_id for r in spark.read.parquet(out).collect()
         ) == [1, 2, 5]
         assert spark.read.parquet(store).count() == 5
+
+
+def test_dedup_ingest_checkpoint_reset_does_not_clobber(spark, tmp_path):
+    """ADVICE r5: deleting/relocating the checkpoint while keeping
+    path/store (a common ops reset) restarts epoch ids at 0. The
+    partition value is namespaced ``<run-token>-<epoch>``, so the new
+    run's epoch 0 lands BESIDE the old run's epoch 0 instead of
+    silently dynamic-overwriting it."""
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        _ingest_run_token,
+        dedup_ingest_batch,
+    )
+
+    out = str(tmp_path / "clean")
+    store = str(tmp_path / "sig_store")
+    schema = "doc_id long, text string"
+    b_old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")], schema
+    )
+    dedup_ingest_batch(b_old, 0, out, store, run_token="run-a")
+
+    # checkpoint wiped → epoch restarts at 0 under a NEW token
+    b_new = spark.createDataFrame(
+        [(2, "completely different words about spark shuffles here")], schema
+    )
+    dedup_ingest_batch(b_new, 0, out, store, run_token="run-b")
+
+    got = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+    assert {r.ingest_batch_id for r in got.select("ingest_batch_id").collect()} == {
+        "run-a-0", "run-b-0",
+    }
+
+    # and the token helper itself: stable for a live checkpoint dir,
+    # fresh after the dir is removed
+    ck = str(tmp_path / "ck")
+    t1 = _ingest_run_token(spark, ck)
+    assert _ingest_run_token(spark, ck) == t1
+    shutil.rmtree(ck)
+    assert _ingest_run_token(spark, ck) != t1
+
+
+def test_dedup_ingest_tolerates_legacy_store(spark, tmp_path):
+    """ADVICE r5: a signature store written by the pre-partitioning
+    (append-mode) code has no ``ingest_batch_id`` column; the own-
+    partition exclusion must skip rather than fail, and the legacy
+    signatures must still be probed."""
+    from streaming_etl_pipeline_spark.operators.dedup import build_signatures
+    from streaming_etl_pipeline_spark.streaming.ingest import dedup_ingest_batch
+
+    out = str(tmp_path / "clean")
+    store = str(tmp_path / "sig_store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string"
+
+    legacy = spark.createDataFrame([(1, base)], schema)
+    build_signatures(legacy).write.parquet(store)  # no partition column
+
+    b0 = spark.createDataFrame(
+        [(4, base), (5, "a wholly novel document about parquet files")], schema
+    )
+    dedup_ingest_batch(b0, 0, out, store, run_token="run-c")
+    # 4 near-dups the legacy store entry → dropped; 5 is novel
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [5]
