@@ -6,7 +6,10 @@ reference's only string ops are regex extract/validate (F4,
 a corpus-scale pipeline also needs token counting, quality scoring,
 language ID and fingerprinting. Everything here is a pure built-in
 composition (no UDFs — SURVEY.md §2.10), so it stays inside whole-stage
-codegen and has an exact DuckDB-SQL twin for the correctness oracle.
+codegen and has an exact DuckDB-SQL twin for the correctness oracle —
+with ONE documented exception: :func:`canonicalize`'s NFC step is an
+Arrow-batched ``pandas_udf`` because Spark has no JVM unicode-
+normalization builtin (collations change comparison, not bytes).
 
 Scale notes (100 TB): every operator is a narrow per-row projection —
 no shuffle, no state — so it scales linearly with input splits and
@@ -19,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from streaming_etl_pipeline_spark.functions.core import md5_long, tokenize
 
@@ -38,6 +42,63 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 STOPWORDS = LANG_PROFILES["en"]
+
+
+# StringType() (not the "string" DDL shorthand): parsing a DDL string at
+# decoration time needs an active SparkContext, which this module must
+# not require at import.
+@F.pandas_udf(T.StringType())
+def _nfc(s):  # pragma: no cover — executes on executors
+    import unicodedata
+
+    return s.map(
+        lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+    )
+
+
+def canonicalize(
+    col: Column | str, casefold: bool = True, strip_punct: bool = False
+) -> Column:
+    """Unicode canonicalization: NFC normalization (combining sequences
+    compose to their precomposed forms, so ``Cafe`` + U+0301 and
+    ``Café`` hash identically) + optional case-fold + optional ASCII
+    punctuation collapse + whitespace collapse/trim — the standard text
+    cleanup that runs BEFORE content hashing in a dedup pipeline, so
+    byte-level encoding variants of the same text land in one group.
+
+    NFC is the one step Spark has no JVM builtin for (checked 4.1:
+    collations affect comparison, not bytes), so it is an Arrow-batched
+    ``pandas_udf`` over ``unicodedata.normalize`` — a documented
+    exception to this module's no-UDF rule, vectorized per batch, still
+    a 0-shuffle projection. NFC output is identical across Unicode
+    versions (the normalization stability policy), so CPython's UCD and
+    DuckDB's utf8proc agree — pinned by the oracle row and the
+    combining-character fuzz class. Case-fold and the collapses stay
+    built-in (``lower`` / ``regexp_replace``). DuckDB twin:
+    :func:`canonicalize_sql` (``nfc_normalize``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = _nfc(c)
+    if casefold:
+        c = F.lower(c)
+    if strip_punct:
+        # ASCII punctuation runs → one space; the four ranges cover
+        # 0x21-0x2F, 0x3A-0x40, 0x5B-0x60, 0x7B-0x7E identically in
+        # Java regex and RE2
+        c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]+", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonicalize_sql(
+    col_sql: str, casefold: bool = True, strip_punct: bool = False
+) -> str:
+    """DuckDB twin of :func:`canonicalize`."""
+    s = f"nfc_normalize({col_sql})"
+    if casefold:
+        s = f"lower({s})"
+    if strip_punct:
+        s = f"regexp_replace({s}, '[!-/:-@\\[-`{{-~]+', ' ', 'g')"
+    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
 
 
 def norm_text(col: Column | str) -> Column:

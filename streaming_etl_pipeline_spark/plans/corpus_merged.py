@@ -645,23 +645,29 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS ({_sql("boilerplate_chunks")}),
          g AS ({_sql("gopher_quality")}),
          c AS ({_sql("dedup_clusters")}),
-         s AS ({_sql("substring_dupes")})
+         s AS ({_sql("substring_dupes")}),
+         cn AS ({_sql("canonical_dedup")})
     SELECT b.doc_id, b.n_chunks, b.n_kept, b.n_removed, b.clean_md5,
            g.n_words, g.mean_word_len, g.stop_hits, g.keep,
            c.canonical_id, c.cluster_size,
            s.n_chunks AS sub_chunks, s.shared_chunks AS sub_shared,
-           s.dup_frac AS sub_dup_frac
+           s.dup_frac AS sub_dup_frac,
+           cn.canon_md5, cn.canon_group_size, cn.canon_keeper_id,
+           cn.nfc_folds
     FROM b LEFT JOIN g ON b.doc_id = g.doc_id
            LEFT JOIN c ON b.doc_id = c.doc_id
            LEFT JOIN s ON b.doc_id = s.doc_id
+           LEFT JOIN cn ON b.doc_id = cn.doc_id
     """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-3 curation surface in one doc-grain result: boilerplate
     removal counts + Gopher quality flags + near-dup cluster canonical
-    ids + substring-level duplicated-span profile. LEFT joins: synthetic
-    twins have no gopher row (plain-corpus scope), unpaired docs no
-    cluster row, sub-64-char docs no chunk row."""
+    ids + substring-level duplicated-span profile + unicode-canonical
+    dedup columns (r6: NFC hash, group size/keeper, per-row NFC-folding
+    proof). LEFT joins: synthetic twins have no gopher/canonical row
+    (plain-corpus scope), unpaired docs no cluster row, sub-64-char docs
+    no chunk row."""
     b = _run("boilerplate_chunks", spark, sf_dir)
     g = _run("gopher_quality", spark, sf_dir).select(
         "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
@@ -673,15 +679,19 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared_chunks").alias("sub_shared"),
         F.col("dup_frac").alias("sub_dup_frac"),
     )
+    cn = _run("canonical_dedup", spark, sf_dir)
     return (
         b.join(g, "doc_id", "left")
         .join(c, "doc_id", "left")
         .join(s, "doc_id", "left")
+        .join(cn, "doc_id", "left")
         .select(
             "doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5",
             "n_words", "mean_word_len", "stop_hits", "keep",
             "canonical_id", "cluster_size",
             "sub_chunks", "sub_shared", "sub_dup_frac",
+            "canon_md5", "canon_group_size", "canon_keeper_id",
+            "nfc_folds",
         )
     )
 
@@ -1468,6 +1478,7 @@ COVERED_BY: dict[str, str] = {
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
     "substring_dupes": "corpus_curation",
+    "canonical_dedup": "corpus_curation",
     "charlm_quality": "text_profile",
     "sequence_packing": "training_assembly",
     "packed_blocks": "training_assembly",

@@ -36,6 +36,34 @@ def test_norm_text_collapses_case_and_whitespace(spark, docs):
     assert out[1] == out[2] == "the quick brown fox jumps over the lazy dog"
 
 
+def test_canonicalize_nfc_casefold_collapse(spark):
+    """Unicode canonicalization: a combining-accent spelling, a
+    precomposed spelling, and case/whitespace noise all map to ONE
+    canonical string; NULL passes through; punctuation collapse is
+    opt-in; width variants (NFKC territory) are deliberately preserved."""
+    rows = [
+        (1, "Cafe\u0301  DEJA  VU"),   # e + U+0301, double spaces
+        (2, "café deja vu"),        # precomposed é
+        (3, None),
+        (4, "café, deja; vu!!"),
+        (5, "ｃａｆｅ"),  # full-width 'cafe'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.c, r.cp)
+        for r in df.select(
+            "doc_id",
+            TX.canonicalize("text").alias("c"),
+            TX.canonicalize("text", strip_punct=True).alias("cp"),
+        ).collect()
+    }
+    assert out[1][0] == out[2][0] == "café deja vu"
+    assert out[3] == (None, None)
+    assert out[4][0] == "café, deja; vu!!"   # punct kept by default
+    assert out[4][1] == "café deja vu"       # collapsed on request
+    assert out[5][0] == "ｃａｆｅ"  # NFC keeps width forms
+
+
 def test_text_stats_golden(spark, docs):
     row = {r.doc_id: r for r in TX.text_stats(docs).collect()}
     r1 = row[1]
