@@ -6,6 +6,16 @@ Usage:
     python scripts/bench_regress.py BENCH_rN.json   # compares a recorded file
                                                     # (raw driver file or the
                                                     # one-line bench output)
+    python scripts/bench_regress.py --ab OLD_REF    # A/B: bench OLD_REF in a
+                                                    # scratch worktree, then
+                                                    # HEAD, back-to-back on
+                                                    # the same machine state
+
+The --ab mode exists because single-run cross-session comparisons are
+meaningless here: the sandbox's wall-clock speed drifts ~25% between
+sessions (round 4's commit recorded 15.7 s and re-benched at 19.1 s the
+same day). Benching both commits in ONE invocation removes the
+machine-state variable; only the printed A/B ratios are comparable.
 
 Compares each query's wall time (and the total) against
 ``BENCH_BASELINE.json`` (snapshot of round 1 at sf0.1) and exits 1 on any
@@ -45,7 +55,59 @@ def load_run(arg: str | None) -> dict:
     return data
 
 
+def _bench_in(repo: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, check=True, cwd=repo,
+    ).stdout
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def ab_compare(old_ref: str) -> int:
+    """Bench ``old_ref`` (scratch detached worktree) then HEAD in one
+    invocation and print per-query old/new/ratio — the only bench
+    comparison that survives the sandbox's session-to-session jitter."""
+    import tempfile
+
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, old_ref],
+        cwd=REPO, check=True, capture_output=True,
+    )
+    try:
+        print(f"== benching {old_ref} (worktree {wt}) ==", flush=True)
+        old = _bench_in(wt)
+        print("== benching HEAD ==", flush=True)
+        new = _bench_in(REPO)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    names = sorted(set(old["queries"]) | set(new["queries"]))
+    worse = []
+    for name in names:
+        o, n = old["queries"].get(name), new["queries"].get(name)
+        if o is None or n is None:
+            tag = "OLD-ONLY" if n is None else "NEW-ONLY"
+            print(f"{tag:8s} {name:28s} old={o} new={n}")
+            continue
+        ratio = n / o if o else float("inf")
+        flag = "SLOWER" if ratio > 1.10 and n > FLOOR_SEC else "ok    "
+        print(f"{flag} {name:28s} {o:7.3f}s -> {n:7.3f}s ({ratio:4.2f}x)")
+        if flag == "SLOWER":
+            worse.append(name)
+    t = new["value"] / old["value"]
+    print(f"\ntotal: {old['value']:.3f}s -> {new['value']:.3f}s ({t:.2f}x)")
+    if worse:
+        print(f"SLOWER (>1.10x, > {FLOOR_SEC}s): {worse}")
+    return 0 if t <= 1.10 else 1
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--ab":
+        return ab_compare(sys.argv[2])
     run = load_run(sys.argv[1] if len(sys.argv) > 1 else None)
     base = json.load(open(BASELINE))
     failures = []
