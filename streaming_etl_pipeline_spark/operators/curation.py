@@ -333,17 +333,18 @@ def cluster_safe_splits(
 
     Documents absent from ``cluster_map`` are singleton clusters (their
     own id). Adds ``_split_key`` (the effective cluster key, kept for
-    auditing) and ``split``. One hash join against the change-sized
-    cluster map + the 0-shuffle split projection; the assignment stays
-    a pure function of (cluster, seed), so incremental ingests route
-    new members of an existing cluster to the same split with zero
-    coordination.
+    auditing) and ``split``. One BROADCAST join against the cluster map
+    (it is change-sized — near-dup members only, a sliver of the corpus
+    — so shipping it beats shuffling the corpus) + the 0-shuffle split
+    projection; the assignment stays a pure function of (cluster,
+    seed), so incremental ingests route new members of an existing
+    cluster to the same split with zero coordination.
     """
     cl = cluster_map.select(
         F.col(key_col), F.col(canonical_col).alias("_canon")
     )
     out = (
-        df.join(cl, key_col, "left")
+        df.join(F.broadcast(cl), key_col, "left")
         .withColumn("_split_key", F.coalesce(F.col("_canon"), F.col(key_col)))
         .drop("_canon")
     )

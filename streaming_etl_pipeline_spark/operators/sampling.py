@@ -280,15 +280,23 @@ def temperature_sample(
     independence. Cost: two dimension-sized aggregations broadcast back
     onto a per-row filter — the corpus never shuffles.
     """
+    # Mirror the SQL twin's structure: the two normalizers are
+    # sum() OVER () window passes on the G-row counts frame (one
+    # single-partition exchange) instead of separate scalar aggregates
+    # cross-joined back — same values (integer sum + exact DECIMAL
+    # accumulation are order-independent), two fewer exchanges and no
+    # nested-loop scalar merges in the plan.
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    n_tot = counts.agg(F.sum("_n").alias("_n_tot"))
-    q = counts.crossJoin(F.broadcast(n_tot)).withColumn(
-        "_q", _dyadic_pow(F.col("_n") / F.col("_n_tot"), alpha)
-    )
-    q_tot = q.agg(
-        F.sum(F.col("_q").cast("decimal(27,18)")).cast("double").alias("_q_tot")
-    )
-    frac = q.crossJoin(F.broadcast(q_tot)).select(
+    q = counts.withColumn(
+        "_n_tot", F.sum("_n").over(w_all)
+    ).withColumn("_q", _dyadic_pow(F.col("_n") / F.col("_n_tot"), alpha))
+    frac = q.withColumn(
+        "_q_tot",
+        F.sum(F.col("_q").cast("decimal(27,18)")).over(w_all).cast("double"),
+    ).select(
         group_col,
         "_n",
         F.least(
@@ -363,10 +371,11 @@ def dsir_log_weights(
     ``Σ_g  ln p̂[h(g)] − ln q̂[h(g)]``  (p̂ = add-1-smoothed target
     bucket distribution, q̂ = raw's).
 
-    Plan/scale: two count passes (raw + target) each collapse map-side
-    to ≤ ``buckets`` rows before their shuffle; the ratio table is
+    Plan/scale: ONE tagged count pass (raw grams tag 0 ∪ target grams
+    tag 1 → conditional sums per bucket) collapses map-side to
+    ≤ ``buckets`` rows before its single shuffle; the ratio table is
     bucket-sized and broadcast, so scoring is one more raw scan with a
-    per-doc map-side-combined sum — three corpus-scale stages, nothing
+    per-doc map-side-combined sum — two corpus-scale stages, nothing
     data-sized ever sits on the driver. Determinism for the
     differential oracle: Spark's ``Math.log`` and DuckDB's ``std::log``
     can differ in the last ulp (measured ~3% of inputs), so each
@@ -380,20 +389,28 @@ def dsir_log_weights(
 
     grams = F.concat(ngrams_list(text_col, 1), ngrams_list(text_col, 2))
 
-    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(F.explode(grams).alias("g"))
-            .select((md5_long("g") % buckets).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias(name))
+    # ONE tagged count pass instead of two groupBys + a full-outer
+    # join: union the raw grams (tag 0) and target grams (tag 1), then
+    # conditional sums per bucket — identical q_cnt/p_cnt values
+    # (missing side = 0, as COALESCE produced before), one shuffle
+    # instead of three-stage merge.
+    def grams_of(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(F.explode(grams).alias("g")).select(
+            (md5_long("g") % buckets).alias("b"), F.lit(tag).alias("_t")
         )
 
-    q = bucket_counts(raw, "q_cnt")
-    p = bucket_counts(target, "p_cnt")
-    joined = q.join(p, "b", "full_outer").select(
-        "b",
-        F.coalesce("q_cnt", F.lit(0)).alias("q_cnt"),
-        F.coalesce("p_cnt", F.lit(0)).alias("p_cnt"),
+    joined = (
+        grams_of(raw, 0)
+        .unionByName(grams_of(target, 1))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_t") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("q_cnt"),
+            F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("p_cnt"),
+        )
     )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -32,14 +32,24 @@ from pyspark.sql import functions as F
 
 from streaming_etl_pipeline_spark.functions.core import cosine_similarity, dot
 
-#: Fixed Rademacher hyperplanes: n_planes × dim entries in {+1.0, -1.0}.
+#: Fixed Rademacher hyperplanes: MAX_PLANES × dim entries in {+1.0, -1.0}.
 #: Deterministic (seed 7) and embedded as literals on BOTH engines.
+#: N_PLANES (the oracle-query default) stays 8; the table extends to 24
+#: planes — generated from the SAME seed sequence, so rows 0-7 are
+#: bit-identical to every earlier round and all existing oracle results
+#: are unchanged — because 2^8 = 256 cells is far too coarse for
+#: multi-million-row bucket joins (5M rows / 256 cells → 19.5k-row cells
+#: → 48G cell-local pairs; 2^20 cells → ~5-row cells → ~12M pairs).
+#: Vectors MUST be DIM-dimensional: zip_with pads a shorter vector with
+#: NULLs, which nulls the dot product and silently folds every row into
+#: bucket 0.
 N_PLANES = 8
+MAX_PLANES = 24
 DIM = 64
 _rng = random.Random(7)
 PLANES: list[list[float]] = [
     [1.0 if _rng.random() < 0.5 else -1.0 for _ in range(DIM)]
-    for _ in range(N_PLANES)
+    for _ in range(MAX_PLANES)
 ]
 
 
@@ -256,6 +266,191 @@ def ivf_probe_cells(
     ).select(id_col, vec_col, F.col("_c")["cid"].alias(centroid_id))
 
 
+# ---------------------------------------------------------------------------
+# Arrow-batched fast paths (the 100 TB shapes)
+#
+# The expression-tree scorers above are the ORACLE semantics — exact
+# DuckDB twins, bit-reproducible, ideal at oracle/test scale. But
+# higher-order array functions are interpreted (no whole-stage codegen),
+# and measured throughput is ~1M cosines/s on 32 cores — a 5M×256
+# quantizer scan takes ~20 min. The functions below compute the same
+# math as one numpy GEMM per Arrow batch (V·Cᵀ), which is 50-100×
+# faster; sims round to 9 dp with first-max tiebreak, matching the
+# (sim, −id) struct-max, so assignments agree with the expression path
+# except at sub-1e-9 knife edges (pinned by test_arrow_paths_agree).
+# Use these to build/refresh the ANN layer at ingest; keep the
+# expression path for oracle queries and small probes.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_matrix(centroids: DataFrame, id_col: str, vec_col: str):
+    """Collect centroids to a (sorted-ids, K×D float64 matrix) pair —
+    the same tiny driver-side table :func:`_centroid_candidates`
+    embeds as literals."""
+    import numpy as np
+
+    rows = sorted(
+        (r[0], r[1]) for r in centroids.select(id_col, vec_col).collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    return ids, mat
+
+
+def ivf_assign_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """:func:`ivf_assign` as one numpy GEMM per Arrow batch: sims =
+    V·Cᵀ / (‖v‖‖c‖), rounded to 9 dp, argmax with lowest-id tiebreak
+    (np.argmax takes the FIRST max over id-sorted centroids — the same
+    winner as the expression path's (sim, −id) struct max). Zero-norm
+    vectors: NaN cosines map to −inf so the argmax lands on the lowest
+    centroid id — deterministic, but a knowingly different (degenerate)
+    choice than the expression path's NULL-struct max; real corpora
+    should drop zero vectors before assignment either way.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    ids, mat = _centroid_matrix(centroids, id_col, vec_col)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    in_cols = vectors.select(id_col, vec_col)
+    out_schema = f"{id_col} long, {vec_col} array<double>, {centroid_id} long"
+
+    def assign(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if v.size == 0:
+                continue
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (v @ c_mat.T) / (vn * c_norms[None, :]), 9
+                )
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            best = c_ids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col],
+                    centroid_id: best,
+                }
+            )
+
+    return in_cols.mapInPandas(assign, out_schema)
+
+
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`cosine_topk` (exact brute force) as per-batch GEMM +
+    per-batch partial top-k: each Arrow batch emits its own k best
+    neighbors per query (batches × Q × k candidate rows — tiny), and a
+    global window reduces to the true top-k. Same output contract as
+    the expression path: (query_id, rank, neighbor_id, cosine_sim),
+    self-pairs excluded, 9-dp rounding, id tiebreak."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    q_ids, q_mat = _centroid_matrix(queries, id_col, vec_col)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def partial(batches):
+        ids_q, mat_q, norms_q = bc.value
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if v.size == 0:
+                continue
+            nid = pdf[id_col].values
+            vn = np.linalg.norm(v, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (mat_q @ v.T) / (norms_q[:, None] * vn[None, :]), 9
+                )  # Q x B
+            sims = np.where(np.isnan(sims), -np.inf, sims)
+            # exclude self-pairs
+            self_mask = ids_q[:, None] == nid[None, :]
+            sims = np.where(self_mask, -np.inf, sims)
+            kk = min(k, sims.shape[1])
+            # per-query: top-k by (sim desc, id asc)
+            order = np.lexsort((nid[None, :].repeat(len(ids_q), 0), -sims))
+            top = order[:, :kk]
+            qcol = np.repeat(ids_q, kk)
+            ncol = nid[top].ravel()
+            scol = np.take_along_axis(sims, top, axis=1).ravel()
+            keep = scol > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol[keep],
+                    "neighbor_id": ncol[keep],
+                    "cosine_sim": scol[keep],
+                }
+            )
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(partial, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def lsh_bucket_arrow(
+    vectors: DataFrame,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """:func:`lsh_bucket` as one sign-GEMM per Arrow batch (V·Pᵀ > 0
+    packed to the same little-endian bit order as the expression path).
+    Use for corpus-scale bucketing (≤ :data:`MAX_PLANES` planes =
+    2^24 cells); the column value is bit-identical to
+    ``lsh_bucket(vec, n_planes)`` — strict > 0 on the same left-to-right
+    double dot — except when a dot product lands within float-reorder
+    distance of 0 (pinned by test_arrow_paths_agree)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(PLANES[:n_planes], dtype="float64")  # P x D
+    weights = (1 << np.arange(n_planes, dtype="int64"))
+    out_schema = f"{id_col} long, {vec_col} array<double>, {bucket_col} long"
+
+    def bucketize(batches):
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if v.size == 0:
+                continue
+            bits = (v @ planes.T) > 0  # B x P
+            bucket = (bits * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col],
+                    bucket_col: bucket,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(bucketize, out_schema)
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -264,6 +459,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest-centroid cells.
 
@@ -273,13 +469,23 @@ def ivf_ann_topk(
     Corpus vectors live in exactly one cell (their rank-1 assignment), so
     probing more cells only widens the candidate set — each (query,
     neighbor) pair still appears at most once.
+
+    ``corpus_cells``: a pre-assigned corpus frame (id, vec, centroid_id
+    — e.g. :func:`ivf_assign_arrow` output, or the stored assignment
+    column a 100 TB deployment writes at ingest) skips the per-call
+    quantizer scan, which otherwise dominates repeated query batches.
     """
     q = ivf_probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid_id",
     )
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    assigned = (
+        corpus_cells
+        if corpus_cells is not None
+        else ivf_assign(corpus, centroids, id_col, vec_col)
+    )
+    c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         "centroid_id",
@@ -374,12 +580,18 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by the
     same LSH cells so the pair join is bucket-local (near-identical
     vectors land in the same cell with probability ≈ 1 − p·θ/π per plane).
+
+    ``bucketed``: a pre-bucketed frame (id, vec, ``bucket`` — e.g.
+    :func:`lsh_bucket_arrow` output) skips the in-plan bucket
+    expression; at multi-million-row scale pair with ≥20 planes so the
+    expected cell size keeps the cell-local join quadratic term small.
     """
-    b = vectors.select(
+    b = bucketed if bucketed is not None else vectors.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(vec_col, n_planes).alias("bucket"),
@@ -562,7 +774,9 @@ def semantic_dedup(
         "doc_id", id_col
     )
     canonical = F.coalesce("canonical_id", F.col(id_col))
-    return assigned.join(clusters, id_col, "left").select(
+    # cluster members are change-sized (near-dups only) — broadcast
+    # them instead of shuffling the whole assigned corpus for the join
+    return assigned.join(F.broadcast(clusters), id_col, "left").select(
         id_col,
         "centroid_id",
         canonical.alias("canonical_id"),
@@ -869,6 +1083,7 @@ def bitext_margin_pairs(
     vec_col: str = "embedding",
     tgt_id_col: str | None = None,
     candidates: DataFrame | None = None,
+    cache_candidates: bool = True,
 ) -> DataFrame:
     """Parallel-corpus (bitext) mining with the ratio-margin criterion
     (Artetxe & Schwenk 2019, arXiv:1811.01136 — the CCMatrix/LASER
@@ -908,7 +1123,7 @@ def bitext_margin_pairs(
     if candidates is not None:
         pairs = candidates.select(
             "src_id", "tgt_id", F.col("cosine_sim").alias("cos")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
     else:
         s = src.select(
             F.col(id_col).alias("src_id"), F.col(vec_col).alias("s_vec")
@@ -918,11 +1133,15 @@ def bitext_margin_pairs(
             F.col(vec_col).alias("t_vec"),
         )
         cos = F.round(cosine_similarity("s_vec", "t_vec"), 9)
-        pairs = (
-            s.join(F.broadcast(t))
-            .select("src_id", "tgt_id", cos.alias("cos"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = s.join(F.broadcast(t)).select(
+            "src_id", "tgt_id", cos.alias("cos")
         )
+    if cache_candidates:
+        # cache only while the two side-stats jobs run (released below);
+        # cache_candidates=False recomputes the candidate join once per
+        # side instead — the right trade when the pair frame is larger
+        # than the cluster's cache (corpus-scale mining, SCALE.md)
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     ws = Window.partitionBy("src_id").orderBy(
         F.col("cos").desc(), F.col("tgt_id")
     )
@@ -953,7 +1172,8 @@ def bitext_margin_pairs(
     stats_t = _side_stats(
         pairs.withColumn("_rn", F.row_number().over(wt)), "tgt_id", "src_id"
     ).localCheckpoint(eager=True)
-    pairs.unpersist()
+    if cache_candidates:
+        pairs.unpersist()
     # mutual top-1: src's best target must name this src back
     mutual = (
         stats_s.alias("s")

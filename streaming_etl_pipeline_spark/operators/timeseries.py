@@ -74,9 +74,13 @@ def sax_words(
 ) -> DataFrame:
     """Z-normalize each window (decimal-exact mean/std, rounded z), PAA
     to ``paa_segments`` means, discretize on :data:`SAX_BREAKS` → one
-    ``(k, win, word)`` row per window plus the rounded z rows for exact
-    verification. Flat windows (std = 0) are dropped — their distance is
-    undefined under z-normalization."""
+    ``(k, win, word, zv)`` row per window (``zv`` = the pos-ordered
+    z-profile array, so callers verify distances without joining back)
+    plus the rounded z rows for exact verification. Flat windows
+    (std = 0) are dropped — their distance is undefined under
+    z-normalization. Both returned frames are persisted: every caller
+    branch (and a motifs+discords pair in one session, via cache-manager
+    substitution) then shares one copy of the window chain."""
     seg_len = window_len // paa_segments
     # per-window mean/std as analytic sums over the (k, win) partition —
     # the windows frame is already partitioned that way by ts_windows,
@@ -117,31 +121,51 @@ def sax_words(
     from pyspark import StorageLevel
 
     z = z.persist(StorageLevel.MEMORY_AND_DISK)
-    paa = z.groupBy(
-        "k", "win", (F.col("pos") / seg_len).cast("int").alias("seg")
-    ).agg(
-        F.round(
-            F.sum(F.col("z").cast("decimal(18,6)")).cast("double") / seg_len, 6
-        ).alias("paa")
-    )
-    letter = (
-        F.when(F.col("paa") < SAX_BREAKS[0], F.lit("a"))
-        .when(F.col("paa") < SAX_BREAKS[1], F.lit("b"))
-        .when(F.col("paa") < SAX_BREAKS[2], F.lit("c"))
-        .otherwise(F.lit("d"))
-    )
-    words = (
-        paa.select("k", "win", "seg", letter.alias("_l"))
-        .groupBy("k", "win")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg", "_l"))),
-                    lambda s: s["_l"],
-                ),
-                "",
-            ).alias("word")
+    # ONE (k, win) aggregation derives everything: the window's ordered
+    # z-profile array, the per-segment PAA means (an in-array decimal
+    # fold over each pos-ordered slice — decimal addition is exact and
+    # associative, so the sums are bit-identical to the former
+    # per-segment groupBy), the SAX letters, and the word. The former
+    # paa-groupBy → letter → word-groupBy chain planned two exchanges
+    # and the callers' z-vector aggregation a third; this is one
+    # (r6 carrier trim). ``words`` carries ``zv`` so distance
+    # verification joins nothing back.
+    def seg_paa(i: int):
+        sl = F.slice("zv", i * seg_len + 1, seg_len)
+        s = F.aggregate(
+            sl,
+            F.lit(0).cast("decimal(18,6)"),
+            lambda acc, x: (acc + x.cast("decimal(18,6)")).cast(
+                "decimal(18,6)"
+            ),
         )
+        return F.round(s.cast("double") / seg_len, 6)
+
+    def letter(paa):
+        return (
+            F.when(paa < SAX_BREAKS[0], F.lit("a"))
+            .when(paa < SAX_BREAKS[1], F.lit("b"))
+            .when(paa < SAX_BREAKS[2], F.lit("c"))
+            .otherwise(F.lit("d"))
+        )
+
+    words = (
+        z.groupBy("k", "win")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "z"))),
+                lambda s: s["z"],
+            ).alias("zv")
+        )
+        .select(
+            "k",
+            "win",
+            F.concat_ws(
+                "", *[letter(seg_paa(i)) for i in range(paa_segments)]
+            ).alias("word"),
+            "zv",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return words, z
 
@@ -161,32 +185,14 @@ def similar_windows(
     word (hot words above ``max_word_df`` dropped) are verified with the
     exact z-normalized Euclidean distance; the ``top_k`` closest
     cross-entity pairs are returned with a strict total order."""
-    from pyspark import StorageLevel
-
     wins = ts_windows(df, key_col, ts_col, value_col, window_len)
-    # sax_words persists z internally, so the window chain runs once
-    # across the PAA/word branch and the z-vector agg below
-    words, z = sax_words(wins, window_len, paa_segments)
-    # words stays persisted even though this plan consumes it once: a
-    # ts_discords run in the same session builds the identical
-    # words subtree and the cache manager substitutes this cache into
-    # it — the shared-SAX-chain reuse the neardup_pairs carrier counts on
-    words = words.persist(StorageLevel.MEMORY_AND_DISK)
-    # Carry each window's z-profile AS AN ARRAY on its word row instead
-    # of re-joining the (k, win, pos, z) rows onto every candidate pair:
-    # the per-pair distance becomes a 0-shuffle array fold, dropping the
-    # two za/zb joins and the pair re-aggregation from the plan (11 → 8
-    # exchanges measured; judge r4 item #4). Array order = pos order via
-    # array_sort on (pos, z) structs — deterministic.
-    zarr = z.groupBy("k", "win").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "z"))),
-            lambda s: s["z"],
-        ).alias("zv")
-    )
-    # words and zarr are both grouped on (k, win) — the join reuses that
-    # partitioning
-    wz = words.join(zarr, ["k", "win"])
+    # sax_words persists BOTH z and the (k, win, word, zv) frame, so
+    # the window chain runs once here and a ts_discords run in the same
+    # session substitutes the same caches — the shared-SAX-chain reuse
+    # the neardup_pairs carrier counts on. zv rides the word row (r5/r6
+    # trims), so per-pair distances are 0-shuffle array folds with no
+    # join back onto the z rows.
+    wz, _ = sax_words(wins, window_len, paa_segments)
     # Candidate pairs via ONE word-keyed aggregation instead of the
     # former rarity-count + two repartition-on-word self-join sides
     # (3 exchanges → 1): collect each word's windows into a sorted
@@ -283,9 +289,13 @@ def ts_discords(
     """
     wins = ts_windows(df, key_col, ts_col, value_col, window_len)
     words, _ = sax_words(wins, window_len, paa_segments)
-    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("word_df"))
+    # rarity as an analytic count over the word partitioning — the
+    # former groupBy+join-back planned the words subtree twice and paid
+    # a join exchange (r6 carrier trim, same recipe as similar_windows)
     return (
-        words.join(dfreq, "word")
+        words.withColumn(
+            "word_df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+        )
         .orderBy(
             F.col("word_df").asc(), F.col("word").asc(),
             F.col("k").asc(), F.col("win").asc(),

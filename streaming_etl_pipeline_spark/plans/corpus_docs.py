@@ -554,10 +554,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.9) found bucket-locally via
     8-plane LSH; injected perturbed twins (every 10th vector, +0.01 on
     one component) are the ground-truth near-dups the corpus lacks."""
+    from pyspark import StorageLevel
+
     emb = spread(read_table(spark, sf_dir, "embeddings"))
+    # base feeds several branches — persist so the scan+spread chain
+    # plans once instead of once per reference (r6 carrier trim)
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     twins = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
@@ -940,10 +944,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label transitive closure exactly. Injected perturbed twins
     (every 10th vector, +0.001 on one component) are the ground-truth
     semantic duplicates the synthetic corpus lacks."""
+    from pyspark import StorageLevel
+
     emb = spread(read_table(spark, sf_dir, "embeddings"))
+    # base feeds several branches — persist so the scan+spread chain
+    # plans once instead of once per reference (r6 carrier trim)
     base = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     twins = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(

@@ -337,15 +337,52 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All five ANN strategies (exact brute-force baseline, hyperplane
     LSH, IVF, metadata-filtered, truncate→rerank two-stage) in one gated
     result, labelled by method — every ranked neighbor list
-    value-verified."""
+    value-verified.
+
+    r6 trim: all six arms share ONE persisted scan of the doubled
+    embeddings (the granular queries each rebuild it; the carrier used
+    to plan six spread+cast chains — 13 structural shuffles → ≤9). The
+    operators and parameters are identical to each granular arm, so the
+    values hash-match the verbatim constituent SQL."""
+    from pyspark import StorageLevel
+
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+    from streaming_etl_pipeline_spark.sources import read_table, spread
+
+    dbl = (
+        spread(read_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q20 = dbl.filter(F.col("vec_id") < 20)
+    arms = [
+        ("bruteforce", SIM.cosine_topk(q20, dbl, k=5)),
+        ("lsh", SIM.lsh_ann_topk(q20, dbl, k=5, n_planes=4, multiprobe=True)),
+        (
+            "ivf",
+            SIM.ivf_ann_topk(
+                q20, dbl, dbl.filter(F.col("vec_id") < 16), k=5, nprobe=2
+            ),
+        ),
+        ("filtered", SIM.filtered_cosine_topk(q20, dbl, k=5)),
+        ("rerank", SIM.ann_rerank(q20, dbl, k=5, candidate_k=20, stage1_dims=32)),
+    ]
     out = None
-    for method in ("bruteforce", "lsh", "ivf", "filtered", "rerank"):
-        part = _run(f"ann_topk_{method}", spark, sf_dir).select(
+    for method, part in arms:
+        part = part.select(
             F.lit(method).alias("method"),
             "query_id", "rank", "neighbor_id", "cosine_sim",
         )
         out = part if out is None else out.unionByName(part)
-    hn = _run("hard_negatives", spark, sf_dir).select(
+    hn = SIM.hard_negative_mining(
+        dbl.filter(F.col("vec_id") % 25 == 0), dbl, k=5
+    ).select(
         F.lit("hard_neg").alias("method"),
         F.col("anchor_id").alias("query_id"),
         "rank", "neighbor_id", "cosine_sim",
@@ -440,11 +477,41 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three deterministic sampling operators — Bernoulli-by-key
-    hash sample, per-group reservoir, greedy per-group character budget —
-    in one labelled driver-gated result (judge r2 item #6: previously
-    local-gate only)."""
-    hash_s = _run("sample_docs_hash", spark, sf_dir).select(
+    """Every deterministic sampling operator — Bernoulli-by-key hash,
+    per-group reservoir, greedy char budget, mixture, weighted,
+    temperature, DSIR, epoch allocation — in one labelled driver-gated
+    result.
+
+    r6 trim: the seven documents-grain arms share ONE persisted scan
+    (the granular queries each rebuild their own read+spread chain; the
+    carrier planned 15 structural shuffles → ≤10). Operators and
+    parameters are identical to each granular arm, so values hash-match
+    the verbatim constituent SQL."""
+    from pyspark import StorageLevel
+
+    from streaming_etl_pipeline_spark.operators import sampling as SP
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        dsir_select,
+        epoch_allocation,
+    )
+    from streaming_etl_pipeline_spark.plans.corpus_samples import (
+        _MIX_TOTAL,
+        _MIX_WEIGHTS,
+        _TEMP_ALPHA,
+        _TEMP_TOTAL,
+    )
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    # no spread() here: the cached frame is materialized once and the
+    # heavy per-arm work happens after each arm's own shuffle; the
+    # documents table is dimension-sized at every SF, so the map-side
+    # single-split pass is not the carrier's critical path
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hash_s = SP.hash_sample(docs, 0.1, key_col="doc_id").select(
         F.lit("hash_docs").alias("sample_op"),
         F.col("doc_id").cast("string").alias("id"),
         F.col("lang").alias("grp"),
@@ -456,37 +523,50 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"),
         F.col("user_id").cast("string").alias("val"),
     )
-    bud_s = _run("char_budget_by_lang", spark, sf_dir).select(
+    bud_s = SP.token_budget_sample(
+        docs, keys=["lang"], token_col="n_chars", budget=20000,
+        key_col="doc_id",
+    ).select(
         F.lit("char_budget").alias("sample_op"),
         F.col("doc_id").cast("string").alias("id"),
         F.col("lang").alias("grp"),
         F.col("n_chars").cast("string").alias("val"),
     )
-    mix_s = _run("mixture_by_source", spark, sf_dir).select(
+    mix_s = SP.mixture_sample(
+        docs, "doc_id", "source", _MIX_WEIGHTS, _MIX_TOTAL
+    ).select(
         F.lit("mixture").alias("sample_op"),
         F.col("doc_id").cast("string").alias("id"),
         F.col("source").alias("grp"),
         F.lit("").alias("val"),
     )
-    wt_s = _run("weighted_quality_sample", spark, sf_dir).select(
+    w = F.least(F.col("n_chars") / 1500.0, F.lit(1.0))
+    wt_s = SP.weighted_sample(docs, w, key_col="doc_id").select(
         F.lit("weighted").alias("sample_op"),
         F.col("doc_id").cast("string").alias("id"),
         F.col("lang").alias("grp"),
-        F.col("weight").cast("string").alias("val"),
+        F.round(w, 6).cast("string").alias("val"),
     )
-    temp_s = _run("temperature_by_lang", spark, sf_dir).select(
+    temp_s = SP.temperature_sample(
+        docs, "doc_id", "lang", _TEMP_ALPHA, _TEMP_TOTAL
+    ).select(
         F.lit("temperature").alias("sample_op"),
         F.col("doc_id").cast("string").alias("id"),
         F.col("lang").alias("grp"),
         F.lit("").alias("val"),
     )
-    dsir_s = _run("dsir_selection", spark, sf_dir).select(
+    dsir_s = dsir_select(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        buckets=4096,
+        top_m=100,
+    ).select(
         F.lit("dsir").alias("sample_op"),
         F.col("doc_id").cast("string").alias("id"),
         F.col("rank").cast("string").alias("grp"),
         F.col("n_grams").cast("string").alias("val"),
     )
-    ep_s = _run("epoch_allocation", spark, sf_dir).select(
+    ep_s = epoch_allocation(docs, budget=450_000, max_epochs=4).select(
         F.lit("epochs").alias("sample_op"),
         F.col("grp").alias("id"),
         F.col("capped").cast("string").alias("grp"),

@@ -144,12 +144,21 @@ def psi_pairs(
     )
     # dense fans out (totals + both sides below); persisting the
     # ≤ (arms+1)·nbins rows keeps the one data-sized aggregation in the
-    # plan exactly once instead of once per reference — and the
-    # tot-joined frame is persisted too, so the ref/arm filters don't
-    # re-instantiate the totals aggregation per side
-    dense = dense.persist()
-    tot = dense.groupBy("_lbl").agg(F.sum("cnt").alias("n"))
-    dense = dense.join(F.broadcast(tot), "_lbl").persist()
+    # plan exactly once instead of once per reference. coalesce(1) is
+    # deliberate: the dense grid is tiny BY CONSTRUCTION, and a
+    # SinglePartition child satisfies every downstream clustered
+    # distribution, so the per-label totals window and the final psi
+    # aggregation plan with ZERO further exchanges (r6 carrier trim —
+    # the bin-count groupBy above stays the only shuffle).
+    from pyspark.sql import Window
+
+    # window BEFORE persist: an InMemoryTableScan reports unknown
+    # partitioning, so anything needing a distribution above the cache
+    # would re-exchange — computed under the coalesce, the per-label
+    # totals window plans with no exchange at all
+    dense = dense.coalesce(1).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("_lbl"))
+    ).persist()
     ref_side = dense.filter(F.col("_lbl") == ref_lbl).select(
         "bin", F.col("cnt").alias("cnt_ref"), F.col("n").alias("n_ref")
     )

@@ -1392,6 +1392,56 @@ def test_hard_negative_mining_label_inequality(spark):
     assert all(r["neighbor_label"] == 1 for r in out)
 
 
+def test_arrow_paths_agree(spark, sf_dir):
+    """The Arrow-batched scale paths (numpy GEMM per batch) must
+    reproduce the expression-tree oracle semantics on the real test
+    embeddings: identical IVF assignments, identical brute-force top-k,
+    identical LSH buckets (both at the 8-plane oracle default and the
+    extended 20-plane corpus scale)."""
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+        ivf_assign,
+        ivf_assign_arrow,
+        lsh_bucket,
+        lsh_bucket_arrow,
+    )
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 66))
+
+    expr = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+    arrow = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_arrow(emb, cents).collect()
+    }
+    assert expr == arrow
+
+    q = emb.filter(F.col("vec_id") < 20)
+    t_expr = {tuple(r) for r in cosine_topk(q, emb, k=5).collect()}
+    t_arrow = {tuple(r) for r in cosine_topk_arrow(q, emb, k=5).collect()}
+    assert t_expr == t_arrow
+
+    for planes in (8, 20):
+        e = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id", lsh_bucket("embedding", planes).alias("b")
+            ).collect()
+        }
+        a = {
+            r.vec_id: r.bucket
+            for r in lsh_bucket_arrow(emb, planes).collect()
+        }
+        assert e == a, f"bucket mismatch at {planes} planes"
+        if planes == 20:
+            assert len(set(e.values())) > len(e) // 3  # cells actually split
+
+
 def test_ivf_candidates_match_exact_paths(spark, sf_dir):
     """VERDICT r5 #1: the IVF ``candidates=`` hook must reproduce the
     broadcast-grid output EXACTLY when every cell is probed (nprobe =
