@@ -122,6 +122,195 @@ def bpe_tokens_sql(col_sql: str) -> str:
     return f"regexp_extract_all({norm_text_sql(col_sql)}, '{BPE_RE}', 0)"
 
 
+#: Gopher repetition-filter thresholds (Rae et al. 2021, arXiv:
+#: 2112.11446 §A1.1): documents above any of these are repetition junk.
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_TOP2GRAM_CHAR_FRAC = 0.20
+REP_MAX_DUP_5GRAM_FRAC = 0.15
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) — the
+    quality-rule family :func:`gopher_filter` does NOT cover (that one
+    is length/word-shape/stopwords): per document,
+
+    - ``dup_line_frac`` — fraction of non-empty trimmed lines that are
+      repeats of an earlier line (1 − distinct/total);
+    - ``dup_line_char_frac`` — fraction of line characters carried by
+      those repeated copies (1 − distinct-line chars / total line
+      chars; the first occurrence counts as original);
+    - ``top2gram_char_frac`` — characters covered by occurrences of the
+      single most frequent word 2-gram ÷ normalized-text length (the
+      boilerplate-phrase signal);
+    - ``dup_5gram_frac`` — fraction of word 5-grams that are repeats
+      within the document (count-fraction variant of the paper's
+      duplicated-n-gram character fraction — rank-equivalent, exactly
+      portable);
+    - ``rep_keep`` — all four under the Gopher thresholds
+      (:data:`REP_MAX_DUP_LINE_FRAC` …).
+
+    NULL text canonicalizes to empty (degenerate docs get 0 fractions
+    and keep=True here — length junk is :func:`gopher_filter`'s job),
+    matching the engine-divergent-NULL lesson fuzz found in r5.
+
+    Plan/scale: the line and 5-gram statistics are pure in-array
+    expressions — 0 shuffles, linear per row. The top-2-gram mode needs
+    per-(doc, gram) counts: explode → map-side-combined count → per-doc
+    struct-max argmax (ties break toward the lexicographically LARGER
+    gram in both engines via struct/tuple max) → broadcast-free join
+    back on the doc key. DuckDB twin: :func:`repetition_stats_sql`.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # lambda, NOT bare F.trim: transform() inspects the callable's
+    # arity, and F.trim's optional second parameter makes it pass the
+    # ELEMENT INDEX as the trim-character set — silently trimming
+    # nothing (caught via the two-parameter-TRIM deprecation warning)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    dlines = F.array_distinct(lines)
+    n_lines = F.size(lines)
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.round((n_lines - F.size(dlines)).cast("double") / n_lines, 6),
+    ).otherwise(F.lit(0.0))
+    line_chars = chars(lines)
+    dup_line_char_frac = F.when(
+        line_chars > 0,
+        F.round(
+            (line_chars - chars(dlines)).cast("double") / line_chars, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    from streaming_etl_pipeline_spark.operators.dedup import ngrams_list
+
+    g5 = ngrams_list(c, 5)
+    dup_5gram_frac = F.when(
+        F.size(g5) > 0,
+        F.round(
+            (F.size(g5) - F.size(F.array_distinct(g5))).cast("double")
+            / F.size(g5),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        dup_5gram_frac.alias("dup_5gram_frac"),
+        F.length(norm_text(c)).alias("_norm_chars"),
+        ngrams_list(c, 2).alias("_g2"),
+    )
+    top2 = (
+        base.select(id_col, F.explode("_g2").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("cnt"), F.col("g"))).alias("m"))
+        .select(
+            id_col,
+            F.col("m.cnt").alias("_top_cnt"),
+            F.length(F.col("m.g")).alias("_top_len"),
+        )
+    )
+    top_frac = F.when(
+        F.col("_norm_chars") > 0,
+        F.round(
+            F.coalesce(F.col("_top_cnt") * F.col("_top_len"), F.lit(0))
+            .cast("double")
+            / F.col("_norm_chars"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    out = base.join(top2, id_col, "left").select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        top_frac.alias("top2gram_char_frac"),
+        "dup_5gram_frac",
+    )
+    return out.withColumn(
+        "rep_keep",
+        (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= REP_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("top2gram_char_frac") <= REP_MAX_TOP2GRAM_CHAR_FRAC)
+        & (F.col("dup_5gram_frac") <= REP_MAX_DUP_5GRAM_FRAC),
+    )
+
+
+def repetition_stats_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`repetition_stats`. ``extra_ctes`` (e.g.
+    ``"docs_rep AS (...), "``) is spliced into the WITH list so callers
+    can feed a derived table without nesting two WITH clauses."""
+    from streaming_etl_pipeline_spark.operators.dedup import ngrams_list_sql
+
+    c = f"coalesce({text_col}, '')"
+    lines = (
+        f"list_filter(list_transform(string_split({c}, chr(10)), "
+        f"l -> trim(l)), l -> l <> '')"
+    )
+    g5 = ngrams_list_sql(c, 5)
+    g2 = ngrams_list_sql(c, 2)
+    lchars = "coalesce(list_sum(list_transform(ln, l -> length(l))), 0)"
+    dchars = "coalesce(list_sum(list_transform(dln, l -> length(l))), 0)"
+    return f"""
+    WITH {extra_ctes}base AS (
+      SELECT {id_col}, {lines} AS ln, list_distinct({lines}) AS dln,
+             {g5} AS g5, {g2} AS g2,
+             length({norm_text_sql(c)}) AS norm_chars
+      FROM {table}
+    ),
+    linestats AS (
+      SELECT {id_col},
+        CASE WHEN len(ln) > 0 THEN
+          round((len(ln) - len(dln))::DOUBLE / len(ln), 6) ELSE 0.0 END
+          AS dup_line_frac,
+        CASE WHEN {lchars} > 0 THEN
+          round(({lchars} - {dchars})::DOUBLE / {lchars}, 6) ELSE 0.0 END
+          AS dup_line_char_frac,
+        CASE WHEN len(g5) > 0 THEN
+          round((len(g5) - len(list_distinct(g5)))::DOUBLE / len(g5), 6)
+          ELSE 0.0 END AS dup_5gram_frac,
+        norm_chars, g2
+      FROM base
+    ),
+    top2 AS (
+      SELECT {id_col},
+             max(struct_pack(cnt := cnt, g := g)) AS m
+      FROM (SELECT {id_col}, g, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT {id_col}, unnest(g2) AS g FROM base)
+            GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    joined AS (
+      SELECT l.{id_col}, l.dup_line_frac, l.dup_line_char_frac,
+        CASE WHEN l.norm_chars > 0 THEN
+          round(coalesce(t.m.cnt * length(t.m.g), 0)::DOUBLE
+                / l.norm_chars, 6)
+        ELSE 0.0 END AS top2gram_char_frac,
+        l.dup_5gram_frac
+      FROM linestats l LEFT JOIN top2 t ON l.{id_col} = t.{id_col}
+    )
+    SELECT *,
+           dup_line_frac <= {REP_MAX_DUP_LINE_FRAC}
+           AND dup_line_char_frac <= {REP_MAX_DUP_LINE_CHAR_FRAC}
+           AND top2gram_char_frac <= {REP_MAX_TOP2GRAM_CHAR_FRAC}
+           AND dup_5gram_frac <= {REP_MAX_DUP_5GRAM_FRAC} AS rep_keep
+    FROM joined
+    """
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: char/token/BPE counts, average token
     length, punctuation & stopword & digit ratios, and a composite quality

@@ -238,6 +238,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup_groups(_docs_with_dups(spark, sf_dir))
 
 
+@register(
+    "repetition_stats",
+    TX.repetition_stats_sql(
+        table="docs_rep",
+        extra_ctes=(
+            "docs_rep AS (SELECT doc_id, CASE WHEN doc_id % 13 = 3 "
+            "THEN text || chr(10) || text ELSE text END AS text "
+            "FROM documents), "
+        ),
+    ),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (operators/text.py
+    ``repetition_stats``): duplicate-line / duplicate-line-char /
+    top-2-gram-char / duplicate-5-gram fractions with the paper's
+    thresholds. Every 13th document is decorated into a self-duplicate
+    (text + newline + text) so the duplicate-line and duplicate-n-gram
+    branches are exercised, not vacuously zero — same injection
+    expression on both engines."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 3,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TX.repetition_stats(docs)
+
+
 #: Unicode prefixes proving NFC folding inside the oracle: the same
 #: "café" spelled with a combining acute (e + U+0301) and precomposed
 #: (U+00E9), plus case/whitespace noise — after canonicalize() they are

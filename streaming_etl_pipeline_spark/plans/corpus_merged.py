@@ -60,28 +60,33 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          li AS ({_sql("language_id")}),
          fp AS ({_sql("doc_fingerprint")}),
          hf AS ({_sql("hashed_features_profile")}),
-         lm AS ({_sql("charlm_quality")})
+         lm AS ({_sql("charlm_quality")}),
+         rp AS ({_sql("repetition_stats")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
            fp.n_shingles,
            hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5,
-           lm.n_trigrams, lm.avg_tri_p
+           lm.n_trigrams, lm.avg_tri_p,
+           rp.dup_line_frac, rp.dup_line_char_frac,
+           rp.top2gram_char_frac, rp.dup_5gram_frac, rp.rep_keep
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
             JOIN hf USING (doc_id) JOIN lm USING (doc_id)
+            JOIN rp USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: token/quality stats + language ID +
-    content fingerprint + char-trigram LM typicality in one row per doc
-    — the full text-analysis surface driver-gated as a single 500-row
-    hash."""
+    content fingerprint + char-trigram LM typicality + Gopher
+    repetition fractions (r6) in one row per doc — the full
+    text-analysis surface driver-gated as a single 500-row hash."""
     return (
         _run("text_stats", spark, sf_dir)
         .join(_run("language_id", spark, sf_dir), "doc_id")
         .join(_run("doc_fingerprint", spark, sf_dir), "doc_id")
         .join(_run("hashed_features_profile", spark, sf_dir), "doc_id")
         .join(_run("charlm_quality", spark, sf_dir), "doc_id")
+        .join(_run("repetition_stats", spark, sf_dir), "doc_id")
     )
 
 
@@ -1560,6 +1565,7 @@ COVERED_BY: dict[str, str] = {
     "substring_dupes": "corpus_curation",
     "canonical_dedup": "corpus_curation",
     "charlm_quality": "text_profile",
+    "repetition_stats": "text_profile",
     "sequence_packing": "training_assembly",
     "packed_blocks": "training_assembly",
     "distinct_users_kmv": "sketch_suite",

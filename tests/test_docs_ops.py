@@ -36,6 +36,39 @@ def test_norm_text_collapses_case_and_whitespace(spark, docs):
     assert out[1] == out[2] == "the quick brown fox jumps over the lazy dog"
 
 
+def test_repetition_stats_gopher_filters(spark):
+    """Known geometry for the Gopher repetition family: a clean doc
+    keeps; a doc that repeats one line keeps proportional dup-line
+    fractions; a boilerplate-phrase doc trips the top-2-gram rule; a
+    5-gram self-repeat trips the dup-n-gram rule; NULL/empty stay 0."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta\nunique second line here"),
+        # 3 lines, one repeated WITH whitespace noise (lines must trim
+        # before comparing — pinned after the F.trim-arity bug):
+        # dup_line_frac=1/3; chars of the extra copy over line chars
+        (2, "  same line again\nsame line again  \nanother line"),
+        # "spam ham" covers nearly all chars as the top 2-gram
+        (3, "spam ham spam ham spam ham spam ham"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.repetition_stats(df).collect()}
+    assert out[1].dup_line_frac == 0.0 and out[1].rep_keep
+    assert out[2].dup_line_frac == round(1 / 3, 6)
+    dup_chars = len("same line again")
+    tot_chars = 2 * dup_chars + len("another line")
+    assert out[2].dup_line_char_frac == round(dup_chars / tot_chars, 6)
+    assert not out[2].rep_keep  # 1/3 > 0.30 line threshold
+    assert out[3].top2gram_char_frac > 0.2 and not out[3].rep_keep
+    # doc 3: "spam ham" 5-grams repeat too
+    assert out[3].dup_5gram_frac > 0.15
+    for d in (4, 5):
+        assert out[d].dup_line_frac == 0.0
+        assert out[d].top2gram_char_frac == 0.0
+        assert out[d].rep_keep
+
+
 def test_canonicalize_nfc_casefold_collapse(spark):
     """Unicode canonicalization: a combining-accent spelling, a
     precomposed spelling, and case/whitespace noise all map to ONE

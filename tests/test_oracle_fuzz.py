@@ -199,7 +199,7 @@ def test_fuzz_unicode_text(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams"])
+    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams", "repetition_stats"])
 
 
 def test_fuzz_null_values(spark, tmp_path):
@@ -220,7 +220,7 @@ def test_fuzz_null_text(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams"])
+    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams", "repetition_stats"])
 
 
 def test_fuzz_baseline_unperturbed(spark, tmp_path):
