@@ -753,12 +753,34 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof). LEFT joins: synthetic twins have no gopher/canonical row
     (plain-corpus scope), unpaired docs no cluster row, sub-64-char docs
     no chunk row."""
-    b = _run("boilerplate_chunks", spark, sf_dir)
-    g = _run("gopher_quality", spark, sf_dir).select(
+    # r6 trim: the four documents-grain arms derive from shared
+    # persisted scans (plain + twin-augmented) instead of four
+    # independent read+derive chains — operators and parameters match
+    # each granular arm exactly, so values hash-match the verbatim
+    # constituent SQL.
+    from pyspark import StorageLevel
+
+    from streaming_etl_pipeline_spark.operators import dedup as DD
+    from streaming_etl_pipeline_spark.operators import text as TX
+    from streaming_etl_pipeline_spark.plans.corpus_docs import (
+        _SUB_S,
+        _SUB_W,
+        _docs_with_dups,
+    )
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    plain = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dd = _docs_with_dups(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    b = TX.remove_boilerplate(dd, min_doc_freq=2)
+    g = TX.gopher_filter(plain).select(
         "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
     )
     c = _run("dedup_clusters", spark, sf_dir)
-    s = _run("substring_dupes", spark, sf_dir).select(
+    s = DD.substring_dup_stats(dd, width=_SUB_W, stride=_SUB_S).select(
         "doc_id",
         F.col("n_chunks").alias("sub_chunks"),
         F.col("shared_chunks").alias("sub_shared"),
