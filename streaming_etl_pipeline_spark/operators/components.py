@@ -271,3 +271,84 @@ def connected_components_sql(pairs_sql: str, src: str = "id_a", dst: str = "id_b
            count(*) OVER (PARTITION BY comp) AS cluster_size
     FROM cc
     """
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware representative selection over near-dup clusters.
+
+    :func:`dedup_clusters` picks the MIN doc_id as canonical — fine as a
+    stable label, wrong as a KEEP policy: production dedup (CCNet,
+    RefinedWeb §3.3) keeps the highest-QUALITY member of each duplicate
+    cluster and deletes the rest. Given the cluster map and a per-doc
+    quality score, this marks each cluster's representative: the member
+    with the max score, ties broken toward the smaller doc_id so the
+    choice is deterministic.
+
+    Scale shape: one inner join clusters⋈scores on doc_id (clusters is
+    pair-output-sized — only docs in ≥1 near-dup pair — usually a small
+    fraction of the corpus), one groupBy on the cluster label folding to
+    a single ``max(struct)`` with map-side combine (no per-cluster sort
+    window), one join of the tiny rep table back. Cluster labels are
+    min-doc-ids of LSH components: no skew beyond the cluster-size
+    distribution itself, which banding already bounds.
+
+    Output: ``doc_id, canonical_id, cluster_size (pass-through),
+    rep_id, is_rep`` — ``is_rep = false`` rows are the delete list.
+    """
+    scored = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    # max(struct(score, -doc_id)) ≡ argmax by (score DESC, doc_id ASC):
+    # struct comparison is lexicographic, so negating the id makes the
+    # smaller id win ties.
+    reps = scored.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg_id"))
+        ).alias("_best")
+    ).select(
+        cluster_col, (-F.col("_best._neg_id")).alias("rep_id")
+    )
+    return (
+        scored.join(reps, cluster_col)
+        .select(
+            id_col,
+            cluster_col,
+            "cluster_size",
+            "rep_id",
+            (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+        )
+    )
+
+
+def cluster_representatives_sql(
+    clusters_sql: str, scores_sql: str, score_col: str = "score"
+) -> str:
+    """DuckDB oracle twin of :func:`cluster_representatives` — the rep
+    is a ``first_value`` window ordered by (score DESC, doc_id ASC)."""
+    return f"""
+    WITH clus AS ({clusters_sql}),
+    sc AS ({scores_sql}),
+    scored AS (
+      SELECT clus.doc_id, clus.canonical_id, clus.cluster_size,
+             sc.{score_col} AS _score
+      FROM clus JOIN sc USING (doc_id)
+    )
+    SELECT doc_id, canonical_id, cluster_size,
+           first_value(doc_id) OVER (
+             PARTITION BY canonical_id
+             ORDER BY _score DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS rep_id,
+           (doc_id = first_value(doc_id) OVER (
+             PARTITION BY canonical_id
+             ORDER BY _score DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )) AS is_rep
+    FROM scored
+    """

@@ -908,3 +908,117 @@ def source_overlap_sql(
     JOIN sizes na ON na.g = source_a
     JOIN sizes nb ON nb.g = source_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level keep-first dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int | None = None,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup with KEEP-FIRST semantics.
+
+    Common Crawl curation (Wenzek et al. 2019, CCNet §3.1) dedupes at
+    paragraph granularity: a paragraph repeated across (or within)
+    documents survives only at its FIRST occurrence — ordered by
+    ``(doc_id, position)`` — and every later copy is dropped; each doc
+    is then reassembled from its surviving paragraphs in order. This
+    differs from :func:`~.text.remove_boilerplate` (C4), which drops
+    EVERY occurrence of a cross-doc repeated chunk including the first.
+
+    The synthetic corpus has no newlines, so "paragraph" here is the
+    same fixed-width word chunking as the C4 path
+    (:func:`~.text.doc_chunks`) — on real data pass the text pre-split
+    on blank lines through the same shape.
+
+    Shape at scale (the reason this beats a window over the corpus):
+    - one shuffle to pick each chunk's keeper — ``min(struct(doc_id,
+      pos))`` aggregates with map-side partial combine on the uniform
+      chunk hash (a ``row_number`` window over chunks would sort every
+      group instead of folding to one struct);
+    - one broadcast-or-shuffle join back on the chunk key;
+    - one shuffle to rebuild docs, keyed on ``doc_id``.
+    Text crosses the wire as chunks; the rebuilt text is md5-hashed,
+    never carried.
+
+    Output: ``doc_id, n_paras, n_kept, n_dropped, para_dup_frac,
+    kept_md5`` (doc grain, one row per input doc with ≥1 chunk).
+    """
+    from streaming_etl_pipeline_spark.operators.text import doc_chunks
+
+    chunks = doc_chunks(df, text_col)  # (doc_id, pos, chunk) — no shuffle
+    keepers = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper")
+    )
+    flagged = chunks.join(keepers, "chunk").withColumn(
+        "is_first",
+        (F.col(id_col) == F.col("keeper")[id_col])
+        & (F.col("pos") == F.col("keeper")["pos"]),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("is_first"), F.struct("pos", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .select(
+            id_col,
+            "n_paras",
+            "n_kept",
+            (F.col("n_paras") - F.col("n_kept")).alias("n_dropped"),
+            F.round(
+                F.lit(1.0) - F.col("n_kept") / F.col("n_paras"), 6
+            ).alias("para_dup_frac"),
+            "kept_md5",
+        )
+    )
+
+
+def paragraph_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB oracle twin of :func:`paragraph_dedup`. Keep-first is a
+    ``row_number`` over each chunk's occurrences — fine at oracle scale;
+    the Spark side folds to a min-struct instead (see docstring)."""
+    from streaming_etl_pipeline_spark.operators.text import doc_chunks_sql
+
+    return f"""
+    WITH {extra_ctes}chunks AS ({doc_chunks_sql(table, text_col)}),
+    flagged AS (
+      SELECT doc_id, pos, chunk,
+             (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1)
+               AS is_first
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           count(*) - CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(1.0 - CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS para_dup_frac,
+           md5(coalesce(string_agg(CASE WHEN is_first THEN chunk END,
+                                   ' ' ORDER BY pos), '')) AS kept_md5
+    FROM flagged
+    GROUP BY doc_id
+    """

@@ -832,3 +832,96 @@ def charlm_scores_sql(docs_sql: str, id_sql: str = "doc_id") -> str:
            round(CAST(sp AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS avg_tri_p
     FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# Unicode script-mix profiling (language-ID confidence / mojibake guard)
+# ---------------------------------------------------------------------------
+
+#: Character classes counted by :func:`script_mix`. Explicit codepoint
+#: ranges (never ``\\p{IsCyrillic}`` / ``\\s``) because Java regex and
+#: DuckDB's RE2 must agree byte-for-byte; ranges are embedded as literal
+#: characters, which both engines treat as codepoint ranges in a class.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z"),
+    ("digit", "0-9"),
+    ("space", " \t\n\r"),
+    ("cyrillic", f"{chr(0x0400)}-{chr(0x04FF)}"),
+    ("cjk", f"{chr(0x4E00)}-{chr(0x9FFF)}"),
+)
+
+
+def script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script composition + dominant script.
+
+    Web-scale corpora mix scripts within one "language" bucket —
+    mojibake, spam, wrong-language boilerplate. CCNet-style pipelines
+    gate language-ID on a script-composition check: a ``lang='ru'`` doc
+    that is 90% Latin is suspect. Counts per codepoint class (Latin,
+    digit, space, Cyrillic, CJK, other), 6dp ratios, and the dominant
+    script with a fixed priority order for ties.
+
+    0-shuffle per-row projection; each count is one
+    ``length(regexp_replace)`` — JVM-side, codegen-friendly, and both
+    engines count CODEPOINTS (Spark UTF8String.numChars, DuckDB
+    utf8proc), so supplementary-plane characters agree. NULL text is
+    canonicalized to '' first (NULL propagation differs between
+    engines — the gopher fuzz lesson).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+    counts = {
+        name: F.length(F.regexp_replace(txt, f"[^{cls}]", ""))
+        for name, cls in SCRIPT_CLASSES
+    }
+    dom = (
+        F.when(F.col("n_latin") >= F.greatest("n_cyrillic", "n_cjk"), "latin")
+        .when(F.col("n_cyrillic") >= F.col("n_cjk"), "cyrillic")
+        .otherwise("cjk")
+    )
+    out = df.select(
+        "doc_id",
+        n.alias("n_chars"),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+    ).withColumn(
+        "n_other",
+        F.col("n_chars")
+        - sum(F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES),
+    )
+    for name, _ in SCRIPT_CLASSES:
+        out = out.withColumn(
+            f"{name}_frac",
+            F.round(F.try_divide(F.col(f"n_{name}"), F.col("n_chars")), 6),
+        )
+    return out.withColumn("dominant_script", dom)
+
+
+def script_mix_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle twin of :func:`script_mix` (RE2 'g'-flag replace;
+    ``x/0`` is NULL in DuckDB, matching Spark's ``try_divide``)."""
+    txt = f"coalesce({text_col}, '')"
+    count_exprs = ",\n           ".join(
+        f"length(regexp_replace({txt}, '[^{cls}]', '', 'g')) AS n_{name}"
+        for name, cls in SCRIPT_CLASSES
+    )
+    frac_exprs = ",\n           ".join(
+        f"round(n_{name} * 1.0 / nullif(n_chars, 0), 6) AS {name}_frac"
+        for name, _ in SCRIPT_CLASSES
+    )
+    total = " + ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES)
+    return f"""
+    WITH counts AS (
+      SELECT doc_id,
+           length({txt}) AS n_chars,
+           {count_exprs}
+      FROM {table}
+    )
+    SELECT doc_id, n_chars,
+           {", ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES)},
+           n_chars - ({total}) AS n_other,
+           {frac_exprs},
+           CASE WHEN n_latin >= greatest(n_cyrillic, n_cjk) THEN 'latin'
+                WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+                ELSE 'cjk' END AS dominant_script
+    FROM counts
+    """

@@ -1697,3 +1697,60 @@ def _patch_epoch_alloc_sql() -> None:
 
 
 _patch_epoch_alloc_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): paragraph-level keep-first dedup, quality-aware cluster
+# representatives, Unicode script-mix profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "paragraph_dedup",
+    DD.paragraph_dedup_sql(
+        "docs", extra_ctes=f"docs AS ({_DOCS_WITH_DUPS_SQL}), "
+    ),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph (chunk) dedup with keep-first semantics
+    over the twin-augmented corpus: the injected twins share every
+    aligned chunk with their source doc, so each twin keeps only its
+    trailing suffix chunk — real deletions, not vacuous green. Contrast
+    with ``boilerplate_chunks`` (C4), which drops BOTH copies."""
+    return DD.paragraph_dedup(_docs_with_dups(spark, sf_dir))
+
+
+_KEEP_BEST_SCORES_SQL = (
+    f"SELECT doc_id, length(text) AS score FROM ({_DOCS_WITH_DUPS_SQL})"
+)
+
+
+@register(
+    "cluster_keep_best",
+    CC.cluster_representatives_sql(
+        CC.connected_components_sql(_minhash_lsh_sql()),
+        _KEEP_BEST_SCORES_SQL,
+    ),
+)
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup deletion policy: keep each MinHash/LSH
+    cluster's LONGEST member (score = raw char length; the injected
+    twins are strictly longer than their sources, so the rep visibly
+    differs from the min-id canonical label) — the RefinedWeb/CCNet
+    keep-best step that turns cluster output into a delete list."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    clusters = CC.dedup_clusters(pairs)
+    scores = _docs_with_dups(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("score")
+    )
+    return CC.cluster_representatives(clusters, scores, score_col="score")
+
+
+@register("script_mix", TX.script_mix_sql("documents"))
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script composition (Latin/digit/space/Cyrillic/
+    CJK/other counts + ratios + dominant script) — the CCNet-style
+    script-vs-language-ID consistency gate. 0-shuffle projection."""
+    return TX.script_mix(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )

@@ -61,7 +61,8 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          fp AS ({_sql("doc_fingerprint")}),
          hf AS ({_sql("hashed_features_profile")}),
          lm AS ({_sql("charlm_quality")}),
-         rp AS ({_sql("repetition_stats")})
+         rp AS ({_sql("repetition_stats")}),
+         sm AS ({_sql("script_mix")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
@@ -69,17 +70,21 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5,
            lm.n_trigrams, lm.avg_tri_p,
            rp.dup_line_frac, rp.dup_line_char_frac,
-           rp.top2gram_char_frac, rp.dup_5gram_frac, rp.rep_keep
+           rp.top2gram_char_frac, rp.dup_5gram_frac, rp.rep_keep,
+           sm.n_chars, sm.n_latin, sm.n_digit, sm.n_space, sm.n_cyrillic,
+           sm.n_cjk, sm.n_other, sm.latin_frac, sm.digit_frac,
+           sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
             JOIN hf USING (doc_id) JOIN lm USING (doc_id)
-            JOIN rp USING (doc_id)
+            JOIN rp USING (doc_id) JOIN sm USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: token/quality stats + language ID +
     content fingerprint + char-trigram LM typicality + Gopher
-    repetition fractions (r6) in one row per doc — the full
-    text-analysis surface driver-gated as a single 500-row hash."""
+    repetition fractions + Unicode script-mix composition (r6) in one
+    row per doc — the full text-analysis surface driver-gated as a
+    single 500-row hash."""
     return (
         _run("text_stats", spark, sf_dir)
         .join(_run("language_id", spark, sf_dir), "doc_id")
@@ -87,6 +92,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_run("hashed_features_profile", spark, sf_dir), "doc_id")
         .join(_run("charlm_quality", spark, sf_dir), "doc_id")
         .join(_run("repetition_stats", spark, sf_dir), "doc_id")
+        .join(_run("script_mix", spark, sf_dir), "doc_id")
     )
 
 
@@ -731,18 +737,25 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          g AS ({_sql("gopher_quality")}),
          c AS ({_sql("dedup_clusters")}),
          s AS ({_sql("substring_dupes")}),
-         cn AS ({_sql("canonical_dedup")})
+         cn AS ({_sql("canonical_dedup")}),
+         pd AS ({_sql("paragraph_dedup")}),
+         ck AS ({_sql("cluster_keep_best")})
     SELECT b.doc_id, b.n_chunks, b.n_kept, b.n_removed, b.clean_md5,
            g.n_words, g.mean_word_len, g.stop_hits, g.keep,
            c.canonical_id, c.cluster_size,
            s.n_chunks AS sub_chunks, s.shared_chunks AS sub_shared,
            s.dup_frac AS sub_dup_frac,
            cn.canon_md5, cn.canon_group_size, cn.canon_keeper_id,
-           cn.nfc_folds
+           cn.nfc_folds,
+           pd.n_paras, pd.n_kept AS para_kept, pd.para_dup_frac,
+           pd.kept_md5 AS para_kept_md5,
+           ck.rep_id, ck.is_rep
     FROM b LEFT JOIN g ON b.doc_id = g.doc_id
            LEFT JOIN c ON b.doc_id = c.doc_id
            LEFT JOIN s ON b.doc_id = s.doc_id
            LEFT JOIN cn ON b.doc_id = cn.doc_id
+           LEFT JOIN pd ON b.doc_id = pd.doc_id
+           LEFT JOIN ck ON b.doc_id = ck.doc_id
     """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,9 +763,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal counts + Gopher quality flags + near-dup cluster canonical
     ids + substring-level duplicated-span profile + unicode-canonical
     dedup columns (r6: NFC hash, group size/keeper, per-row NFC-folding
-    proof). LEFT joins: synthetic twins have no gopher/canonical row
-    (plain-corpus scope), unpaired docs no cluster row, sub-64-char docs
-    no chunk row."""
+    proof) + CCNet paragraph keep-first dedup + quality-aware cluster
+    representatives (r6). LEFT joins: synthetic twins have no
+    gopher/canonical row (plain-corpus scope), unpaired docs no
+    cluster/rep row, sub-64-char docs no chunk row."""
     # r6 trim: the four documents-grain arms derive from shared
     # persisted scans (plain + twin-augmented) instead of four
     # independent read+derive chains — operators and parameters match
@@ -760,6 +774,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constituent SQL.
     from pyspark import StorageLevel
 
+    from streaming_etl_pipeline_spark.operators import components as CC
     from streaming_etl_pipeline_spark.operators import dedup as DD
     from streaming_etl_pipeline_spark.operators import text as TX
     from streaming_etl_pipeline_spark.plans.corpus_docs import (
@@ -779,7 +794,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = TX.gopher_filter(plain).select(
         "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
     )
-    c = _run("dedup_clusters", spark, sf_dir)
+    # Cluster map feeds both the join arm and the keep-best rep arm —
+    # persist so the MinHash/LSH + component chain runs once (it is
+    # pair-output-sized, tiny next to the corpus).
+    c = _run("dedup_clusters", spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     s = DD.substring_dup_stats(dd, width=_SUB_W, stride=_SUB_S).select(
         "doc_id",
         F.col("n_chunks").alias("sub_chunks"),
@@ -787,11 +807,23 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_frac").alias("sub_dup_frac"),
     )
     cn = _run("canonical_dedup", spark, sf_dir)
+    pd = DD.paragraph_dedup(dd).select(
+        "doc_id",
+        "n_paras",
+        F.col("n_kept").alias("para_kept"),
+        "para_dup_frac",
+        F.col("kept_md5").alias("para_kept_md5"),
+    )
+    ck = CC.cluster_representatives(
+        c, dd.select("doc_id", F.length("text").alias("score"))
+    ).select("doc_id", "rep_id", "is_rep")
     return (
         b.join(g, "doc_id", "left")
         .join(c, "doc_id", "left")
         .join(s, "doc_id", "left")
         .join(cn, "doc_id", "left")
+        .join(pd, "doc_id", "left")
+        .join(ck, "doc_id", "left")
         .select(
             "doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5",
             "n_words", "mean_word_len", "stop_hits", "keep",
@@ -799,6 +831,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sub_chunks", "sub_shared", "sub_dup_frac",
             "canon_md5", "canon_group_size", "canon_keeper_id",
             "nfc_folds",
+            "n_paras", "para_kept", "para_dup_frac", "para_kept_md5",
+            "rep_id", "is_rep",
         )
     )
 
@@ -1586,6 +1620,9 @@ COVERED_BY: dict[str, str] = {
     "gopher_quality": "corpus_curation",
     "substring_dupes": "corpus_curation",
     "canonical_dedup": "corpus_curation",
+    "paragraph_dedup": "corpus_curation",
+    "cluster_keep_best": "corpus_curation",
+    "script_mix": "text_profile",
     "charlm_quality": "text_profile",
     "repetition_stats": "text_profile",
     "sequence_packing": "training_assembly",

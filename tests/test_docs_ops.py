@@ -1596,3 +1596,76 @@ def test_epoch_allocation_water_filling(spark):
     }
     assert all(r["capped"] for r in over.values())
     assert over["a"]["allocation"] == 40.0 and over["b"]["allocation"] == 400.0
+
+
+# ---------------------------------------------------------------------------
+# round 6: paragraph keep-first dedup / keep-best reps / script mix
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_keep_first_vs_boilerplate(spark):
+    """Known chunk geometry (CHUNK_WORDS=10): chunk A appears in docs 1
+    and 2, chunk D twice within doc 3. Keep-first retains the FIRST
+    occurrence of each chunk — (1,0) for A, (3,0) for D — while C4
+    boilerplate removal drops BOTH copies of A."""
+    import hashlib
+
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(10))
+    C = " ".join(f"c{i}" for i in range(10))
+    D = " ".join(f"d{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, f"{D} {D}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in DD.paragraph_dedup(docs).collect()}
+    assert out[1].n_paras == 2 and out[1].n_kept == 2
+    assert out[1].para_dup_frac == 0.0
+    assert out[2].n_kept == 1 and out[2].n_dropped == 1
+    assert out[2].para_dup_frac == 0.5
+    assert out[2].kept_md5 == hashlib.md5(C.encode()).hexdigest()
+    assert out[3].n_kept == 1  # within-doc repeat dropped too
+    # contrast: boilerplate removal deletes A from doc 1 as well
+    bp = {r.doc_id: r for r in TX.remove_boilerplate(docs).collect()}
+    assert bp[1].n_removed == 1 and out[1].n_dropped == 0
+
+
+def test_cluster_representatives_keep_best(spark):
+    """Rep = max score, ties to the smaller doc_id; every cluster member
+    carries the same rep_id and exactly one is_rep row per cluster."""
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (7, 7, 2), (8, 7, 2)],
+        "doc_id long, canonical_id long, cluster_size long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0), (8, 4.0)],
+        "doc_id long, score double",
+    )
+    out = {r.doc_id: r for r in
+           CC.cluster_representatives(clusters, scores).collect()}
+    assert {out[i].rep_id for i in (1, 2, 3)} == {2}  # 9.0 tie -> min id
+    assert out[2].is_rep and not out[1].is_rep and not out[3].is_rep
+    assert out[7].rep_id == 8 and out[8].is_rep
+    assert out[1].cluster_size == 3  # pass-through
+
+
+def test_script_mix_counts_and_dominant(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world"),
+            (2, "Привет мир"),
+            (3, "你好世界"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in TX.script_mix(docs).collect()}
+    assert out[1].n_latin == 10 and out[1].n_space == 1
+    assert out[1].dominant_script == "latin"
+    assert out[1].latin_frac == round(10 / 11, 6)
+    assert out[2].n_cyrillic == 9 and out[2].dominant_script == "cyrillic"
+    assert out[3].n_cjk == 4 and out[3].cjk_frac == 1.0
+    assert out[3].dominant_script == "cjk"
+    assert out[4].n_chars == 0 and out[4].latin_frac is None
