@@ -925,3 +925,87 @@ def script_mix_sql(table: str = "documents", text_col: str = "text") -> str:
                 ELSE 'cjk' END AS dominant_script
     FROM counts
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2019 §4.3): rank
+    each language's documents by LM typicality and cut into ``n_buckets``
+    equal tiles — head = most corpus-typical third, the slice CCNet
+    ships as the highest-quality subset; tail = candidates for dropping.
+
+    Scoring reuses :func:`charlm_scores` (char-trigram LM; higher
+    ``avg_tri_p`` = more typical = "lower perplexity"). The tile is
+    ``ntile`` over the strict total order ``(avg_tri_p DESC, doc_id)``
+    partitioned by language, so assignment is deterministic and the
+    DuckDB twin reproduces it exactly (both engines implement standard
+    SQL ntile: earlier tiles take the remainder).
+
+    Scale: charlm's shuffles are (doc,trigram)/doc-keyed and uniform;
+    the ntile adds ONE exchange keyed by language. Languages are few →
+    per-partition sort of doc-grain rows; for a skewed monolingual
+    corpus swap the window for a two-pass approx-quantile cut — at that
+    point exact tile boundaries stop mattering.
+
+    Output: ``(doc_id, lang, n_trigrams, avg_tri_p, ppl_tile,
+    ppl_bucket)`` with bucket labels head/middle/tail for 3 tiles (tile
+    numbers otherwise).
+    """
+    from pyspark.sql import Window
+
+    scored = charlm_scores(df, id_col, text_col).join(
+        df.select(id_col, lang_col), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_tri_p").desc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(F.col("ppl_tile") == 1, "head")
+        .when(F.col("ppl_tile") == 2, "middle")
+        .otherwise("tail")
+        if n_buckets == 3
+        else F.concat(F.lit("tile_"), F.col("ppl_tile").cast("string"))
+    )
+    return scored.select(
+        id_col, lang_col, "n_trigrams", "avg_tri_p", tile.alias("ppl_tile")
+    ).withColumn("ppl_bucket", label)
+
+
+def perplexity_buckets_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB oracle twin of :func:`perplexity_buckets`."""
+    label = (
+        "CASE ppl_tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+        "ELSE 'tail' END"
+        if n_buckets == 3
+        else "'tile_' || CAST(ppl_tile AS VARCHAR)"
+    )
+    return f"""
+    WITH lm AS ({charlm_scores_sql(table, id_col)}),
+    tiled AS (
+      SELECT lm.{id_col}, t.{lang_col}, lm.n_trigrams, lm.avg_tri_p,
+             ntile({n_buckets}) OVER (
+               PARTITION BY t.{lang_col}
+               ORDER BY lm.avg_tri_p DESC, lm.{id_col} ASC
+             ) AS ppl_tile
+      FROM lm JOIN {table} t USING ({id_col})
+    )
+    SELECT {id_col}, {lang_col}, n_trigrams, avg_tri_p, ppl_tile,
+           {label} AS ppl_bucket
+    FROM tiled
+    """

@@ -1754,3 +1754,48 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.script_mix(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): model-based quality filtering + CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import classifier as CL  # noqa: E402
+
+#: Weak-supervision setup for the NB quality model: rule-filter (Gopher)
+#: labels on a 1/3 id-hash split train the model; EVERY doc is scored —
+#: the fastText-style bootstrap LLaMA/RefinedWeb/DCLM use, with the rule
+#: filter standing in for "reference corpus vs random web" labels.
+_NB_DOCS_SQL = "SELECT doc_id, text FROM documents"
+_NB_LABELED_SQL = (
+    f"SELECT doc_id, keep AS label FROM ({TX.gopher_filter_sql('documents')})"
+    " WHERE doc_id % 3 = 0"
+)
+
+
+@register(
+    "nb_quality_classifier",
+    CL.nb_quality_scores_sql(_NB_DOCS_SQL, _NB_LABELED_SQL),
+)
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hashed-n-gram multinomial NB trained
+    on Gopher weak labels (doc_id % 3 = 0 split), scoring the whole
+    corpus. Closed-form single-aggregation training — the fastText
+    stage of LLaMA/RefinedWeb/DCLM as a deterministic DataFrame plan."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    labeled = TX.gopher_filter(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    return CL.nb_quality_scores(docs, labeled)
+
+
+@register("ppl_buckets", TX.perplexity_buckets_sql("documents"))
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: char-trigram LM
+    typicality ranked per language, ntile(3) over a strict total order."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    return TX.perplexity_buckets(docs)

@@ -1545,6 +1545,121 @@ def q_top_ngrams_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_quality_by_lang (widened, r6): original (lang, source) rollup +
+# lang-grain checksum rollups of the NB quality classifier and the CCNet
+# perplexity buckets. The checksums are order-independent 60-bit md5 sums
+# over each doc's exact values (score in integer micro-units, tile id),
+# so the carrier pins every per-doc output without carrying doc-grain
+# rows — bounded aggregation state instead of a per-lang collect_list.
+# ---------------------------------------------------------------------------
+
+_QUAL_BASE_SQL = _sql("corpus_quality_by_lang")
+_CHECKSUM_MOD = 1 << 60
+
+
+def _checksum_col(item: F.Column) -> F.Column:
+    return (
+        F.sum(md5_long(item).cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD)
+    ).cast("long")
+
+
+_NB_ITEM_SQL = (
+    "CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(CAST(round(nb_score * 1000000) AS BIGINT) AS VARCHAR)"
+)
+_PPL_ITEM_SQL = (
+    "CAST(doc_id AS VARCHAR) || ':' || CAST(ppl_tile AS VARCHAR)"
+)
+
+
+@register(
+    "corpus_quality_by_lang",
+    f"""
+    WITH base AS ({_QUAL_BASE_SQL}),
+    nb AS ({_sql("nb_quality_classifier")}),
+    nbl AS (
+      SELECT d.lang,
+             CAST(count(*) AS BIGINT) AS nb_docs,
+             CAST(sum(CASE WHEN nb_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb_kept,
+             CAST(sum(CAST({_md5_long_sql(_NB_ITEM_SQL)} AS DECIMAL(38,0)))
+                  % {_CHECKSUM_MOD} AS BIGINT) AS nb_checksum
+      FROM nb JOIN documents d USING (doc_id) GROUP BY d.lang
+    ),
+    ppl AS ({_sql("ppl_buckets")}),
+    ppll AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN ppl_bucket = 'head' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ppl_head,
+             CAST(sum(CASE WHEN ppl_bucket = 'middle' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ppl_middle,
+             CAST(sum(CASE WHEN ppl_bucket = 'tail' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ppl_tail,
+             CAST(sum(CAST({_md5_long_sql(_PPL_ITEM_SQL)} AS DECIMAL(38,0)))
+                  % {_CHECKSUM_MOD} AS BIGINT) AS ppl_checksum
+      FROM ppl GROUP BY lang
+    )
+    SELECT base.*, nbl.nb_docs, nbl.nb_kept, nbl.nb_checksum,
+           ppll.ppl_head, ppll.ppl_middle, ppll.ppl_tail, ppll.ppl_checksum
+    FROM base JOIN nbl USING (lang) JOIN ppll USING (lang)
+    """,
+)
+def q_corpus_quality_by_lang_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(lang, source) corpus rollup + NB-classifier and perplexity-
+    bucket checksum rollups per lang (carrier for the r6 model-based
+    quality filter and CCNet bucket queries)."""
+    from streaming_etl_pipeline_spark.plans.corpus_docs import (
+        q_corpus_quality_by_lang,
+        q_nb_quality_classifier,
+        q_ppl_buckets,
+    )
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    base = q_corpus_quality_by_lang(spark, sf_dir)
+    lang_of = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nb_item = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.round(F.col("nb_score") * 1000000, 0).cast("long").cast("string"),
+    )
+    nbl = (
+        q_nb_quality_classifier(spark, sf_dir)
+        .join(lang_of, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("nb_docs"),
+            F.sum(F.col("nb_keep").cast("long")).alias("nb_kept"),
+            _checksum_col(nb_item).alias("nb_checksum"),
+        )
+    )
+    ppl_item = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.col("ppl_tile").cast("string"),
+    )
+    ppll = (
+        q_ppl_buckets(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            *[
+                F.sum((F.col("ppl_bucket") == b).cast("long")).alias(
+                    f"ppl_{b}"
+                )
+                for b in ("head", "middle", "tail")
+            ],
+            _checksum_col(ppl_item).alias("ppl_checksum"),
+        )
+    )
+    return base.join(nbl, "lang").join(ppll, "lang").select(
+        "lang", "source", "n_docs", "total_tokens", "avg_tokens",
+        "nb_docs", "nb_kept", "nb_checksum",
+        "ppl_head", "ppl_middle", "ppl_tail", "ppl_checksum",
+    )
+
+
+# ---------------------------------------------------------------------------
 # DRIVER_SET — the ≤50 names __spark_entry__ exports, extension ops first.
 # ---------------------------------------------------------------------------
 
@@ -1648,6 +1763,10 @@ COVERED_BY: dict[str, str] = {
     "asof_latest_purchase": "temporal_join_suite",
     "asof_next_purchase": "temporal_join_suite",
     "interval_attribution": "temporal_join_suite",
+    # r6: model-based quality filter + CCNet buckets ride the lang
+    # rollup as exact per-doc checksums (see the widened carrier above)
+    "nb_quality_classifier": "corpus_quality_by_lang",
+    "ppl_buckets": "corpus_quality_by_lang",
 }
 
 DRIVER_SET: list[str] = [

@@ -1669,3 +1669,76 @@ def test_script_mix_counts_and_dominant(spark):
     assert out[3].n_cjk == 4 and out[3].cjk_frac == 1.0
     assert out[3].dominant_script == "cjk"
     assert out[4].n_chars == 0 and out[4].latin_frac is None
+
+
+# ---------------------------------------------------------------------------
+# round 6: NB quality classifier / perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def test_nb_quality_scores_separates_classes(spark):
+    """Train on labeled docs whose vocabularies are disjoint: unlabeled
+    docs built from positive vocabulary must score above zero (keep) and
+    negative-vocabulary docs below; docs made of words never seen in
+    training still get a score (full bucket table, smoothed ratio)."""
+    from streaming_etl_pipeline_spark.operators import classifier as CL
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean prose reads well and flows clearly"),
+            (2, "clean prose flows well and reads clearly"),
+            (3, "spam junk click buy now spam junk buy"),
+            (4, "junk spam buy click spam now junk click"),
+            # unlabeled probes
+            (10, "clean prose flows clearly"),
+            (11, "spam junk click buy"),
+            (12, "zzzz yyyy xxxx wwww"),
+        ],
+        "doc_id long, text string",
+    )
+    labeled = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False)],
+        "doc_id long, label boolean",
+    )
+    out = {r.doc_id: r for r in CL.nb_quality_scores(docs, labeled).collect()}
+    assert len(out) == 7  # every doc scored, incl. unseen-vocab probe
+    assert out[10].nb_score > 0 and out[10].nb_keep
+    assert out[11].nb_score < 0 and not out[11].nb_keep
+    assert out[12].doc_id == 12  # unseen grams: smoothed, not dropped
+    for r in out.values():
+        assert r.nb_keep == (r.nb_score > 0)
+    # n_grams = uni + bigrams with multiplicity: 4 words -> 4 + 3
+    assert out[11].n_grams == 7
+
+
+def test_perplexity_buckets_tiles_by_typicality(spark):
+    """Corpus of one dominant pattern + outliers: the dominant-pattern
+    docs are most corpus-typical (highest avg_tri_p) and must land in
+    the head tile; tiles are balanced per lang and labels map 1:1."""
+    common = "abcabcabcabc"
+    docs = spark.createDataFrame(
+        [
+            (1, common, "en"),
+            (2, common, "en"),
+            (3, common + "xyz", "en"),
+            (4, "qqqwwweee", "en"),
+            (5, "zzzyyyxxx", "en"),
+            (6, "pppooolll", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in TX.perplexity_buckets(docs).collect()}
+    assert len(out) == 6
+    from collections import Counter
+
+    tiles = Counter(r.ppl_tile for r in out.values())
+    assert tiles == {1: 2, 2: 2, 3: 2}
+    assert out[1].ppl_tile == 1 and out[1].ppl_bucket == "head"
+    assert out[2].ppl_tile == 1
+    labels = {1: "head", 2: "middle", 3: "tail"}
+    for r in out.values():
+        assert r.ppl_bucket == labels[r.ppl_tile]
+    # typicality ordering: the two pure-common docs outrank every outlier
+    assert all(
+        out[i].avg_tri_p >= out[j].avg_tri_p for i in (1, 2) for j in (4, 5, 6)
+    )
