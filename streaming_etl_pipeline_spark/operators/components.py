@@ -279,6 +279,7 @@ def cluster_representatives(
     id_col: str = "doc_id",
     cluster_col: str = "canonical_id",
     score_col: str = "score",
+    hint_small: bool = False,
 ) -> DataFrame:
     """Quality-aware representative selection over near-dup clusters.
 
@@ -300,8 +301,14 @@ def cluster_representatives(
 
     Output: ``doc_id, canonical_id, cluster_size (pass-through),
     rep_id, is_rep`` — ``is_rep = false`` rows are the delete list.
+
+    ``hint_small=True`` broadcast-hints the cluster map and the rep
+    table: right when duplicate clusters cover a small corpus fraction
+    (the common case — both frames are pair-output-sized); leave False
+    when near-total duplication makes them data-sized.
     """
-    scored = clusters.join(
+    maybe_bcast = F.broadcast if hint_small else (lambda d: d)
+    scored = maybe_bcast(clusters).join(
         scores.select(F.col(id_col), F.col(score_col)), id_col
     )
     # max(struct(score, -doc_id)) ≡ argmax by (score DESC, doc_id ASC):
@@ -315,7 +322,7 @@ def cluster_representatives(
         cluster_col, (-F.col("_best._neg_id")).alias("rep_id")
     )
     return (
-        scored.join(reps, cluster_col)
+        scored.join(maybe_bcast(reps), cluster_col)
         .select(
             id_col,
             cluster_col,

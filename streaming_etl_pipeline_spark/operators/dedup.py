@@ -919,7 +919,7 @@ def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    chunk_words: int | None = None,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style paragraph-level exact dedup with KEEP-FIRST semantics.
 
@@ -948,10 +948,16 @@ def paragraph_dedup(
 
     Output: ``doc_id, n_paras, n_kept, n_dropped, para_dup_frac,
     kept_md5`` (doc grain, one row per input doc with ≥1 chunk).
+
+    ``chunks=`` accepts a pre-built (ideally persisted)
+    :func:`~.text.doc_chunks` frame shared with other chunk-grain
+    operators (e.g. :func:`~.text.remove_boilerplate`) so the corpus
+    text is exploded once per carrier, not once per arm.
     """
     from streaming_etl_pipeline_spark.operators.text import doc_chunks
 
-    chunks = doc_chunks(df, text_col)  # (doc_id, pos, chunk) — no shuffle
+    if chunks is None:
+        chunks = doc_chunks(df, text_col)  # (doc_id, pos, chunk) — no shuffle
     keepers = chunks.groupBy("chunk").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keeper")
     )

@@ -469,7 +469,10 @@ def doc_chunks_sql(table: str = "documents", text_col: str = "text") -> str:
 
 
 def remove_boilerplate(
-    df: DataFrame, min_doc_freq: int = 2, text_col: str = "text"
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style cross-document boilerplate removal, chunk granularity.
 
@@ -486,8 +489,13 @@ def remove_boilerplate(
     Output: ``doc_id, n_chunks, n_kept, n_removed, clean_md5`` — the
     rebuilt text is hashed rather than carried so the result stays
     driver-canonicalizable at any document size.
+
+    ``chunks=`` accepts a pre-built (ideally persisted)
+    :func:`doc_chunks` frame so carriers running several chunk-grain
+    operators over the same corpus explode the text exactly once.
     """
-    chunks = doc_chunks(df, text_col)
+    if chunks is None:
+        chunks = doc_chunks(df, text_col)
     freq = chunks.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("chunk_df")
     )

@@ -790,7 +790,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dd = _docs_with_dups(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    b = TX.remove_boilerplate(dd, min_doc_freq=2)
+    # The C4 boilerplate arm and the CCNet paragraph-dedup arm chunk the
+    # same twin-augmented corpus identically — explode once, persist,
+    # share (chunk rows are corpus-text-sized: the expensive frame here).
+    chunks = TX.doc_chunks(dd).persist(StorageLevel.MEMORY_AND_DISK)
+    b = TX.remove_boilerplate(dd, min_doc_freq=2, chunks=chunks)
     g = TX.gopher_filter(plain).select(
         "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
     )
@@ -807,7 +811,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_frac").alias("sub_dup_frac"),
     )
     cn = _run("canonical_dedup", spark, sf_dir)
-    pd = DD.paragraph_dedup(dd).select(
+    pd = DD.paragraph_dedup(dd, chunks=chunks).select(
         "doc_id",
         "n_paras",
         F.col("n_kept").alias("para_kept"),
@@ -815,7 +819,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_md5").alias("para_kept_md5"),
     )
     ck = CC.cluster_representatives(
-        c, dd.select("doc_id", F.length("text").alias("score"))
+        c,
+        dd.select("doc_id", F.length("text").alias("score")),
+        hint_small=True,  # persisted cluster map is pair-output-sized
     ).select("doc_id", "rep_id", "is_rep")
     return (
         b.join(g, "doc_id", "left")
@@ -1609,24 +1615,42 @@ def q_corpus_quality_by_lang_merged(
 ) -> DataFrame:
     """Per-(lang, source) corpus rollup + NB-classifier and perplexity-
     bucket checksum rollups per lang (carrier for the r6 model-based
-    quality filter and CCNet bucket queries)."""
-    from streaming_etl_pipeline_spark.plans.corpus_docs import (
-        q_corpus_quality_by_lang,
-        q_nb_quality_classifier,
-        q_ppl_buckets,
-    )
-    from streaming_etl_pipeline_spark.sources import read_table
+    quality filter and CCNet bucket queries). One persisted documents
+    scan feeds all three arms — operators and parameters match the
+    granular queries exactly, so values hash-match their verbatim SQL."""
+    from pyspark import StorageLevel
 
-    base = q_corpus_quality_by_lang(spark, sf_dir)
-    lang_of = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+    from streaming_etl_pipeline_spark.operators import classifier as CL
+    from streaming_etl_pipeline_spark.operators import text as TX
+    from streaming_etl_pipeline_spark.sources import read_table, spread
+
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_toks = F.size(tokenize(TX.norm_text("text")))
+    base = (
+        docs.select("lang", "source", n_toks.alias("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        )
+    )
+    labeled = TX.gopher_filter(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", F.col("keep").alias("label")
+    )
     nb_item = F.concat_ws(
         ":",
         F.col("doc_id").cast("string"),
         F.round(F.col("nb_score") * 1000000, 0).cast("long").cast("string"),
     )
     nbl = (
-        q_nb_quality_classifier(spark, sf_dir)
-        .join(lang_of, "doc_id")
+        CL.nb_quality_scores(docs.select("doc_id", "text"), labeled)
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("nb_docs"),
@@ -1640,7 +1664,7 @@ def q_corpus_quality_by_lang_merged(
         F.col("ppl_tile").cast("string"),
     )
     ppll = (
-        q_ppl_buckets(spark, sf_dir)
+        TX.perplexity_buckets(docs.select("doc_id", "text", "lang"))
         .groupBy("lang")
         .agg(
             *[
