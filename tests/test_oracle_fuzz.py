@@ -57,7 +57,13 @@ Perturbation classes (≥5):
                         exact-total boundary;
 15. ``source_overlap_degenerate`` — single-source corpus (no pairs)
                         and fully-disjoint vocabularies (no shared
-                        shingles) through the inverted-index join.
+                        shingles) through the inverted-index join;
+16. ``nb_label_skew`` — all-positive / all-negative weak labels
+                        through the NB classifier (single-class
+                        smoothing, prior sign);
+17. ``ppl_bucket_degenerate_langs`` — one giant lang partition +
+                        langs with fewer docs than ntile tiles
+                        (remainder-to-earlier-tiles parity).
 """
 
 from __future__ import annotations
@@ -199,7 +205,18 @@ def test_fuzz_unicode_text(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams", "repetition_stats"])
+    _gate(
+        spark,
+        sf,
+        [
+            "dedup_exact",
+            "text_profile",
+            "top_ngrams",
+            "repetition_stats",
+            "paragraph_dedup",
+            "nb_quality_classifier",
+        ],
+    )
 
 
 def test_fuzz_null_values(spark, tmp_path):
@@ -220,7 +237,19 @@ def test_fuzz_null_text(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["dedup_exact", "text_profile", "top_ngrams", "repetition_stats"])
+    _gate(
+        spark,
+        sf,
+        [
+            "dedup_exact",
+            "text_profile",
+            "top_ngrams",
+            "repetition_stats",
+            "paragraph_dedup",
+            "nb_quality_classifier",
+            "ppl_buckets",
+        ],
+    )
 
 
 def test_fuzz_baseline_unperturbed(spark, tmp_path):
@@ -487,3 +516,56 @@ def test_fuzz_source_overlap_degenerate(spark, tmp_path):
     _gate(spark, sf, ["source_overlap_matrix"])
     sf = _clone_sf(tmp_path / "disj", "documents", disjoint_text)
     _gate(spark, sf, ["source_overlap_matrix", "dedup_ngram_jaccard"])
+
+
+def test_fuzz_nb_label_skew(spark, tmp_path):
+    """NB quality classifier under degenerate weak labels: every
+    training doc passes Gopher (all-positive) or every one fails
+    (all-negative). Add-1 smoothing must keep each bucket's log-ratio
+    finite and the two engines' rounded llr/prior identical — the
+    single-class path divides by (0-count + smoothing) on one side of
+    every ratio."""
+    passing = (
+        "the value of a data table shows the value of a data table "
+        "clearly and the table keeps each data value aligned so the "
+        "value stays readable in the table for everyone here today"
+    )
+    failing = "zz qq ww"
+
+    def all_pos(tbl):
+        # only the training split (doc_id % 3 == 0) needs forcing, but
+        # rewriting every doc keeps the perturbation simple and total
+        i = tbl.schema.get_field_index("text")
+        text = pa.array([passing] * len(tbl), pa.string())
+        return tbl.set_column(i, "text", text), {}
+
+    def all_neg(tbl):
+        i = tbl.schema.get_field_index("text")
+        text = pa.array([failing] * len(tbl), pa.string())
+        return tbl.set_column(i, "text", text), {}
+
+    (tmp_path / "pos").mkdir()
+    (tmp_path / "neg").mkdir()
+    sf = _clone_sf(tmp_path / "pos", "documents", all_pos)
+    _gate(spark, sf, ["nb_quality_classifier"])
+    sf = _clone_sf(tmp_path / "neg", "documents", all_neg)
+    _gate(spark, sf, ["nb_quality_classifier"])
+
+
+def test_fuzz_ppl_bucket_degenerate_langs(spark, tmp_path):
+    """Perplexity buckets under degenerate language groups: one lang
+    holding the whole corpus (single giant ntile partition) and langs
+    with fewer docs than tiles (ntile must emit tiles 1..n_rows — both
+    engines implement the remainder-to-earlier-tiles rule; this pins
+    it). Also covers the one-doc-lang head/middle/tail labeling edge."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("lang")
+        ids = tbl["doc_id"].to_pylist()
+        langs = [
+            f"solo{d}" if d < 2 else "bulk"  # two 1-doc langs + 1 giant
+            for d in ids
+        ]
+        return tbl.set_column(i, "lang", pa.array(langs, pa.string())), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["ppl_buckets", "corpus_quality_by_lang"])
