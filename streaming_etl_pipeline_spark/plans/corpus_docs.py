@@ -1743,7 +1743,9 @@ def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = _docs_with_dups(spark, sf_dir).select(
         "doc_id", F.length("text").alias("score")
     )
-    return CC.cluster_representatives(clusters, scores, score_col="score")
+    return CC.cluster_representatives(
+        clusters, scores, score_col="score", hint_small=True
+    )
 
 
 @register("script_mix", TX.script_mix_sql("documents"))
