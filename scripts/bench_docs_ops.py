@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Throughput measurement for the round-6 document operators on a
+synthetic 500k-doc corpus (same scale/shape as SCALE.md's text/dedup
+family table) — numbers recorded in SCALE.md.
+
+Corpus: reuses bench_curation.synth_docs (Gopher-passing 40-word docs,
+5% exact + 5% near twins), materialized to parquet so every timed plan
+reads identical input. Noop sink, min-of-2 wall time per operator.
+
+Usage: python scripts/bench_docs_ops.py [n_docs]   (default 500000)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench_curation import synth_docs  # noqa: E402
+from streaming_etl_pipeline_spark.operators import classifier as CL  # noqa: E402
+from streaming_etl_pipeline_spark.operators import components as CC  # noqa: E402
+from streaming_etl_pipeline_spark.operators import dedup as DD  # noqa: E402
+from streaming_etl_pipeline_spark.operators import text as TX  # noqa: E402
+from streaming_etl_pipeline_spark.session import build_session  # noqa: E402
+
+
+def timed(df, repeats: int = 2) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    spark = build_session(app_name="bench-docs-ops")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs")
+        synth_docs(spark, n).write.parquet(path)
+        docs = spark.read.parquet(path)
+        total = docs.count()
+        print(f"corpus: {total} docs")
+
+        labeled = TX.gopher_filter(
+            docs.filter(F.col("doc_id") % 3 == 0)
+        ).select("doc_id", F.col("keep").alias("label"))
+
+        # cluster map for the keep-best measurement: derive from exact
+        # twins (id, id+n) so the rep selection runs on a real
+        # pair-bounded frame without paying a MinHash build here
+        clusters = (
+            docs.filter(F.col("doc_id") >= n)
+            .filter(F.col("doc_id") < 2 * n)
+            .select(
+                F.col("doc_id"),
+                (F.col("doc_id") - n).alias("canonical_id"),
+                F.lit(2).alias("cluster_size"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 20 == 0)
+                .filter(F.col("doc_id") < n)
+                .select(
+                    "doc_id",
+                    F.col("doc_id").alias("canonical_id"),
+                    F.lit(2).alias("cluster_size"),
+                )
+            )
+        )
+        scores = docs.select("doc_id", F.length("text").alias("score"))
+
+        cases = {
+            "script_mix": TX.script_mix(docs),
+            "perplexity_buckets": TX.perplexity_buckets(
+                docs.withColumn("lang", F.lit("en"))
+            ),
+            "paragraph_dedup": DD.paragraph_dedup(docs),
+            "nb_quality_scores (train+score)": CL.nb_quality_scores(
+                docs, labeled
+            ),
+            "cluster_representatives": CC.cluster_representatives(
+                clusters, scores, hint_small=True
+            ),
+        }
+        for name, df in cases.items():
+            t = timed(df)
+            print(f"{name:36s} {t:7.2f}s  {total / t / 1e6:.2f}M docs/s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
