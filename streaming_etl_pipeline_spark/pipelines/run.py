@@ -129,6 +129,16 @@ def make_parser() -> argparse.ArgumentParser:
         help="fraction of highest-DSIR-weight docs to keep (with --dsir-target)",
     )
     cr.add_argument(
+        "--nb-labels", default=None,
+        help="weak-label parquet (doc_id, label boolean) enabling the "
+        "NB model-based quality gate",
+    )
+    cr.add_argument(
+        "--nb-keep-threshold", type=float, default=0.0,
+        help="keep docs with nb_score above this (with --nb-labels; "
+        "0 = the model's decision boundary)",
+    )
+    cr.add_argument(
         "--cc-algorithm", choices=("label_prop", "star"),
         default="label_prop",
         help="near-dup cluster canonicalization: label_prop (clique-ish "
@@ -300,6 +310,12 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             dsir_keep_frac=args.dsir_keep_frac,
+            nb_labeled=(
+                spark.read.parquet(args.nb_labels)
+                if args.nb_labels
+                else None
+            ),
+            nb_keep_threshold=args.nb_keep_threshold,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

@@ -56,6 +56,8 @@ def curate_corpus(
     cc_algorithm: str = "label_prop",
     dsir_target: DataFrame | None = None,
     dsir_keep_frac: float | None = None,
+    nb_labeled: DataFrame | None = None,
+    nb_keep_threshold: float = 0.0,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -90,6 +92,17 @@ def curate_corpus(
     cut via one ``approxQuantile`` sketch probe, like the charlm gate).
     Documents with zero grams (empty/whitespace text) carry no weight
     row and are dropped by this gate — they are junk by definition.
+
+    ``nb_labeled`` (optional) enables the model-based quality gate
+    (``classifier.nb_quality_scores`` — the fastText stage of
+    LLaMA/RefinedWeb/DCLM): rows ``(id_col, label boolean)`` of weak
+    supervision (e.g. "looks like the reference corpus" positives vs
+    sampled-raw negatives) train a hashed-n-gram NB model in one
+    aggregation; survivors with ``nb_score > nb_keep_threshold``
+    (default 0 = the model's own decision boundary) are kept. Labels
+    referencing already-dropped docs are ignored (the train join is on
+    the survivor set); docs with zero grams carry no score row and are
+    dropped, like the DSIR gate.
 
     ``cc_algorithm`` selects how near-dup pairs are canonicalized:
     ``"label_prop"`` (default, O(diameter) rounds — right for clique-ish
@@ -174,6 +187,29 @@ def curate_corpus(
             StorageLevel.MEMORY_AND_DISK
         )
         metrics["after_dsir"] = float(gated.count())
+        kept.unpersist()
+        kept = gated
+
+    # 2d. Model-based quality gate (optional) — NB scores from weak
+    #     labels; one training aggregation + one scoring scan, model
+    #     broadcast. Runs AFTER exact dedup for the same reason as the
+    #     charlm/DSIR gates: duplicated boilerplate must not tilt the
+    #     class-conditional gram distributions.
+    if nb_labeled is not None:
+        from streaming_etl_pipeline_spark.operators.classifier import (
+            nb_quality_scores,
+        )
+
+        scores = nb_quality_scores(
+            kept, nb_labeled, text_col=text_col, id_col=id_col
+        )
+        sel = scores.filter(
+            F.col("nb_score") > nb_keep_threshold
+        ).select(id_col)
+        gated = kept.join(sel, id_col, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        metrics["after_nb"] = float(gated.count())
         kept.unpersist()
         kept = gated
 

@@ -267,3 +267,28 @@ def test_curate_corpus_dsir_gate(spark, tmp_path):
     # doc 5 (the target twin) must survive to the output
     written = spark.read.parquet(out)
     assert written.filter(F.col("doc_id") == 5).count() > 0
+
+
+def test_curate_corpus_nb_gate(spark, tmp_path):
+    """NB quality gate: weak labels mark target-vocabulary docs positive
+    and one survivor's vocabulary negative — the negative-vocabulary doc
+    scores below the boundary and is dropped, the audit records the
+    stage, and positives survive to the output."""
+    out = str(tmp_path / "training_nb")
+    labeled = spark.createDataFrame(
+        [(0, True), (5, False)], "doc_id long, label boolean"
+    )
+    res = curate_corpus(
+        spark,
+        _corpus(spark),
+        out,
+        nb_labeled=labeled,
+    )
+    m = res.metrics
+    assert "after_nb" in m
+    # doc 5 (trained negative: its q5-token vocabulary is the negative
+    # class) drops; doc 0's vocabulary is the positive class
+    assert m["after_nb"] < m["after_exact_dedup"]
+    written = spark.read.parquet(out)
+    kept = {r.doc_id for r in written.select("doc_id").distinct().collect()}
+    assert 0 in kept and 5 not in kept
