@@ -1801,3 +1801,42 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     )
     return TX.perplexity_buckets(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import retrieval as RT  # noqa: E402
+
+#: Query construction shared by both engines: every 50th document's
+#: first 8 distinct tokens form a query — the query's source doc should
+#: usually retrieve at rank 1, so the ranking is non-vacuous.
+_BM25_QUERIES_SQL = f"""
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(({_TOKS})[1:8])) AS qterm
+  FROM documents WHERE doc_id % 50 = 3
+"""
+
+
+@register(
+    "bm25_topk",
+    RT.bm25_topk_sql(
+        "SELECT doc_id, text FROM documents", _BM25_QUERIES_SQL, k=5
+    ),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-5 retrieval (inverted term index + RSJ idf) —
+    the keyword half of hybrid retrieval, labelled into the ann_topk
+    suite next to the dense methods."""
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = tokenize(TX.norm_text("text"))
+    queries = docs.filter(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, 8))).alias("qterm"),
+    )
+    return RT.bm25_topk(docs, queries, k=5)

@@ -323,25 +323,33 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk",
+    # column is `score` (not cosine_sim): with the r6 BM25 arm the suite
+    # mixes dense-cosine and lexical-BM25 scores under one method label
     f"""
-    SELECT 'bruteforce' AS method, query_id, rank, neighbor_id, cosine_sim
+    SELECT 'bruteforce' AS method, query_id, rank, neighbor_id,
+           cosine_sim AS score
     FROM ({_sql("ann_topk_bruteforce")})
     UNION ALL
-    SELECT 'lsh' AS method, query_id, rank, neighbor_id, cosine_sim
+    SELECT 'lsh' AS method, query_id, rank, neighbor_id, cosine_sim AS score
     FROM ({_sql("ann_topk_lsh")})
     UNION ALL
-    SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine_sim
+    SELECT 'ivf' AS method, query_id, rank, neighbor_id, cosine_sim AS score
     FROM ({_sql("ann_topk_ivf")})
     UNION ALL
-    SELECT 'filtered' AS method, query_id, rank, neighbor_id, cosine_sim
+    SELECT 'filtered' AS method, query_id, rank, neighbor_id,
+           cosine_sim AS score
     FROM ({_sql("ann_topk_filtered")})
     UNION ALL
-    SELECT 'rerank' AS method, query_id, rank, neighbor_id, cosine_sim
+    SELECT 'rerank' AS method, query_id, rank, neighbor_id,
+           cosine_sim AS score
     FROM ({_sql("ann_topk_rerank")})
     UNION ALL
     SELECT 'hard_neg' AS method, anchor_id AS query_id, rank,
-           neighbor_id, cosine_sim
+           neighbor_id, cosine_sim AS score
     FROM ({_sql("hard_negatives")})
+    UNION ALL
+    SELECT 'bm25' AS method, query_id, rank, neighbor_id, score
+    FROM ({_sql("bm25_topk")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +396,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, part in arms:
         part = part.select(
             F.lit(method).alias("method"),
-            "query_id", "rank", "neighbor_id", "cosine_sim",
+            "query_id", "rank", "neighbor_id",
+            F.col("cosine_sim").alias("score"),
         )
         out = part if out is None else out.unionByName(part)
     hn = SIM.hard_negative_mining(
@@ -396,9 +405,16 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("hard_neg").alias("method"),
         F.col("anchor_id").alias("query_id"),
-        "rank", "neighbor_id", "cosine_sim",
+        "rank", "neighbor_id",
+        F.col("cosine_sim").alias("score"),
     )
-    return out.unionByName(hn)
+    from streaming_etl_pipeline_spark.plans.corpus_docs import q_bm25_topk
+
+    bm = q_bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("method"),
+        "query_id", "rank", "neighbor_id", "score",
+    )
+    return out.unionByName(hn).unionByName(bm)
 
 
 # ---------------------------------------------------------------------------
@@ -1791,6 +1807,7 @@ COVERED_BY: dict[str, str] = {
     # rollup as exact per-doc checksums (see the widened carrier above)
     "nb_quality_classifier": "corpus_quality_by_lang",
     "ppl_buckets": "corpus_quality_by_lang",
+    "bm25_topk": "ann_topk",
 }
 
 DRIVER_SET: list[str] = [

@@ -1742,3 +1742,37 @@ def test_perplexity_buckets_tiles_by_typicality(spark):
     assert all(
         out[i].avg_tri_p >= out[j].avg_tri_p for i in (1, 2) for j in (4, 5, 6)
     )
+
+
+def test_bm25_topk_ranking(spark):
+    """Known term statistics: rarer terms (higher idf) outrank repeated
+    common terms; within one term, higher tf wins at equal length; ties
+    break to the smaller doc id; rank is dense per query and capped."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple durian"),
+            (3, "banana banana banana"),
+            (4, "elderberry fig grape"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple"), (200, "banana"), (200, "fig")],
+        "query_id long, qterm string",
+    )
+    out = RT.bm25_topk(docs, queries, k=2)
+    rows = {(r.query_id, r.rank): r for r in out.collect()}
+    # q100: doc 2 (tf=2, len=3) beats doc 1 (tf=1, len=3)
+    assert rows[(100, 1)].neighbor_id == 2
+    assert rows[(100, 2)].neighbor_id == 1
+    assert rows[(100, 1)].score > rows[(100, 2)].score > 0
+    # q200: fig (df=1, idf ln(10/3)) in doc 4 edges banana tf=3
+    # (df=2, idf ln 2, saturated) in doc 3 — idf dominates saturation
+    assert rows[(200, 1)].neighbor_id == 4
+    assert rows[(200, 2)].neighbor_id == 3
+    # k cap: doc 1 also matches banana but is rank 3 → cut
+    assert (200, 3) not in rows
+    assert len(rows) == 4
