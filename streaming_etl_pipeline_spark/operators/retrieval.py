@@ -33,7 +33,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_topk", "bm25_topk_sql", "BM25_K1", "BM25_B"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_sql",
+    "rrf_fuse",
+    "rrf_fuse_sql",
+    "BM25_K1",
+    "BM25_B",
+    "RRF_C",
+]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -190,5 +198,85 @@ def bm25_topk_sql(
            ) AS BIGINT) AS rank,
            {id_col} AS neighbor_id, score
     FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (Cormack, Clarke & Büttcher 2009)
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the paper's constant; dampens the head of each ranking
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 5,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal rank fusion of several ranked lists: per (query,
+    candidate), ``score = Σ_r 1/(c + rank_r)`` over the rankings that
+    retrieved it, re-ranked descending. The standard way to ensemble
+    heterogeneous retrieval methods (BM25 + dense, or several
+    approximate indexes whose misses are uncorrelated) without score
+    calibration — only ranks are used, so the inputs' score scales
+    never need to agree.
+
+    Each input needs ``(query_id, rank, neighbor_id)``. Determinism:
+    1/(c+rank) has exact integer inputs and a single IEEE division, and
+    the per-candidate sum is DECIMAL-accumulated after a 9 dp round, so
+    both engines agree bit-for-bit; ties break to the smaller id.
+
+    Scale: a union of top-k-sized frames (tiny relative to any corpus),
+    one (query, candidate) sum with map-side combine, one per-query
+    window. The fusion cost is independent of corpus size.
+    """
+    u = None
+    for r in rankings:
+        part = r.select("query_id", "rank", "neighbor_id")
+        u = part if u is None else u.unionByName(part)
+    contrib = F.round(F.lit(1.0) / (F.lit(c) + F.col("rank")), 9)
+    fused = (
+        u.select("query_id", "neighbor_id", contrib.alias("_c"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("_c").cast("decimal(38,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def rrf_fuse_sql(ranking_sqls: "list[str]", k: int = 5, c: int = RRF_C) -> str:
+    """DuckDB oracle twin of :func:`rrf_fuse`; each SQL yields
+    (query_id, rank, neighbor_id, ...)."""
+    union = "\n      UNION ALL\n".join(
+        f"      SELECT query_id, rank, neighbor_id FROM ({s})"
+        for s in ranking_sqls
+    )
+    return f"""
+    WITH u AS (
+{union}
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(sum(CAST(round(1.0 / ({c} + rank), 9) AS DECIMAL(38,9)))
+                  AS DOUBLE) AS score
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+           ) AS BIGINT) AS rank,
+           neighbor_id, score
+    FROM fused
     QUALIFY rank <= {k}
     """

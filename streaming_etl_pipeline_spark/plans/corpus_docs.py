@@ -1840,3 +1840,42 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.slice(toks, 1, 8))).alias("qterm"),
     )
     return RT.bm25_topk(docs, queries, k=5)
+
+
+@register(
+    "rrf_ann_ensemble",
+    RT.rrf_fuse_sql(
+        [
+            None,  # placeholder — replaced below (needs registered SQL)
+        ]
+    ),
+)
+def q_rrf_ann_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the three approximate ANN indexes
+    (multi-probe LSH, IVF, metadata-filtered) — ensembling indexes with
+    uncorrelated misses recovers recall without score calibration; the
+    standard hybrid/ensemble retrieval combiner (RRF, Cormack et al.)."""
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    parts = [
+        QUERIES[n].fn(spark, sf_dir)
+        for n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_filtered")
+    ]
+    return RT.rrf_fuse(parts, k=5)
+
+
+def _patch_rrf_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES, QuerySpec
+
+    spec = QUERIES["rrf_ann_ensemble"]
+    sql = RT.rrf_fuse_sql(
+        [
+            QUERIES[n].sql
+            for n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_filtered")
+        ],
+        k=5,
+    )
+    QUERIES["rrf_ann_ensemble"] = QuerySpec(fn=spec.fn, sql=sql, bench=spec.bench)
+
+
+_patch_rrf_sql()

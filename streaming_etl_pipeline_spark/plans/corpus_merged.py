@@ -350,6 +350,9 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'bm25' AS method, query_id, rank, neighbor_id, score
     FROM ({_sql("bm25_topk")})
+    UNION ALL
+    SELECT 'rrf' AS method, query_id, rank, neighbor_id, score
+    FROM ({_sql("rrf_ann_ensemble")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +417,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bm25").alias("method"),
         "query_id", "rank", "neighbor_id", "score",
     )
-    return out.unionByName(hn).unionByName(bm)
+    # RRF arm fuses the three approximate indexes already computed above
+    # (identical operators/params to the granular query, shared scan)
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    arm_by_name = dict(arms)
+    rrf = RT.rrf_fuse(
+        [arm_by_name["lsh"], arm_by_name["ivf"], arm_by_name["filtered"]],
+        k=5,
+    ).select(
+        F.lit("rrf").alias("method"),
+        "query_id", "rank", "neighbor_id", "score",
+    )
+    return out.unionByName(hn).unionByName(bm).unionByName(rrf)
 
 
 # ---------------------------------------------------------------------------
@@ -1808,6 +1823,7 @@ COVERED_BY: dict[str, str] = {
     "nb_quality_classifier": "corpus_quality_by_lang",
     "ppl_buckets": "corpus_quality_by_lang",
     "bm25_topk": "ann_topk",
+    "rrf_ann_ensemble": "ann_topk",
 }
 
 DRIVER_SET: list[str] = [

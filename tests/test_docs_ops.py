@@ -1776,3 +1776,23 @@ def test_bm25_topk_ranking(spark):
     # k cap: doc 1 also matches banana but is rank 3 → cut
     assert (200, 3) not in rows
     assert len(rows) == 4
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    """RRF: a candidate ranked by BOTH lists outranks single-list
+    candidates even when it never held rank 1; equal reciprocal sums
+    tie-break to the smaller id; k caps the fused list."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, rank long, neighbor_id long"
+    )
+    a = mk([(1, 1, 10), (1, 2, 20)])
+    b = mk([(1, 1, 20), (1, 2, 30)])
+    c = mk([(1, 2, 40)])
+    out = {r.rank: r for r in RT.rrf_fuse([a, b, c], k=3).collect()}
+    assert out[1].neighbor_id == 20          # 1/61 + 1/62: in two lists
+    assert out[2].neighbor_id == 10          # 1/61
+    assert out[3].neighbor_id == 30          # 1/62, ties 40 -> smaller id
+    assert out[1].score > out[2].score > out[3].score
+    assert len(out) == 3                     # 40 cut by k
