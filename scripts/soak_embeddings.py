@@ -29,6 +29,10 @@ Phases (each timed; shuffle/spill/peak-mem from the event log at exit):
                 ``lsh_bucket_arrow`` at 20 planes (2^20 cells keeps the
                 cell-local join quadratic term ~N²/2^20) → wall time +
                 planted-twin recall;
+- ``rrf``     — reciprocal-rank-fusion ensemble (multi-probe LSH +
+                IVF nprobe 1) recall@10 vs each arm alone and vs the
+                same brute-force truth — the fusion should recover
+                recall the individual approximate indexes miss;
 - ``bitext``  — corpus×corpus mining THROUGH THE ``candidates=`` HOOK:
                 20-plane LSH cells generate M²/2^20 cell-local pairs
                 for M src × M tgt (the 2M×2M broadcast grid would be
@@ -220,6 +224,39 @@ def main() -> int:
                 report[f"recall_at_10_np{nprobe}"] = round(
                     len(got & truth) / max(len(truth), 1), 3
                 )
+
+        # ---- rrf: ensemble of approximate indexes vs each alone ----
+        if "rrf" in phases:
+            from streaming_etl_pipeline_spark.operators.retrieval import (
+                rrf_fuse,
+            )
+
+            queries = corpus.filter(
+                F.col("vec_id") % max(n // q, 1) == 3
+            ).limit(q).localCheckpoint(eager=True)
+            truth = {
+                (r.query_id, r.neighbor_id)
+                for r in SIM.cosine_topk_arrow(queries, corpus, k=10).collect()
+            }
+
+            def _recall(df) -> float:
+                got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+                return round(len(got & truth) / max(len(truth), 1), 3)
+
+            t0 = time.time()
+            arms = {
+                "lsh": SIM.lsh_ann_topk(
+                    queries, corpus, k=10, n_planes=4, multiprobe=True
+                ).localCheckpoint(eager=True),
+                "ivf": SIM.ivf_ann_topk(
+                    queries, corpus, centroids, k=10, nprobe=1
+                ).localCheckpoint(eager=True),
+            }
+            for name, df in arms.items():
+                report[f"rrf_arm_recall_{name}"] = _recall(df)
+            fused = rrf_fuse(list(arms.values()), k=10)
+            report["rrf_fused_recall"] = _recall(fused)
+            report["phases"]["rrf"] = round(time.time() - t0, 1)
 
         # ---- neardup: 2^planes-cell LSH pair join, planted twins ----
         if "neardup" in phases:
