@@ -215,6 +215,7 @@ def test_fuzz_unicode_text(spark, tmp_path):
             "repetition_stats",
             "paragraph_dedup",
             "nb_quality_classifier",
+            "bm25_topk",
         ],
     )
 
@@ -248,6 +249,7 @@ def test_fuzz_null_text(spark, tmp_path):
             "paragraph_dedup",
             "nb_quality_classifier",
             "ppl_buckets",
+            "bm25_topk",  # NULLed query docs -> termless queries
         ],
     )
 
@@ -281,6 +283,7 @@ def test_fuzz_zero_embedding(spark, tmp_path):
             "bitext_mining",
             "hard_negatives",
             "ann_topk_bruteforce",
+            "rrf_ann_ensemble",  # fused ranks over NaN-cosine arms
         ],
     )
 
