@@ -1267,3 +1267,190 @@ def hard_negative_mining(
             "anchor_id", "rank", "neighbor_id", "neighbor_label", "cosine_sim"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-corpus ANN
+# ---------------------------------------------------------------------------
+
+#: PQ layout: the DIM-dim vector is split into PQ_M contiguous subspaces
+#: of PQ_SUB dims; each subspace is vector-quantized against PQ_K
+#: codewords, so a vector compresses to PQ_M small ints (here 8 codes ≈
+#: 8 bytes vs 64 float64s = 64× compression). Jégou, Douze, Schmid,
+#: "Product Quantization for Nearest Neighbor Search", TPAMI 2011.
+#:
+#: Like the LSH PLANES, the default codebooks are deterministic
+#: module-level literals (seeded PRNG, 6dp values) embedded identically
+#: in the Spark plan and the DuckDB oracle SQL — real deployments train
+#: them with :func:`pq_fit` and pass `codebooks=`.
+PQ_M = 8
+PQ_K = 16
+PQ_SUB = DIM // PQ_M
+_pq_rng = random.Random(11)
+PQ_CODEBOOKS: list[list[list[float]]] = [
+    [
+        [round(_pq_rng.uniform(-1.0, 1.0), 6) for _ in range(PQ_SUB)]
+        for _ in range(PQ_K)
+    ]
+    for _ in range(PQ_M)
+]
+
+
+def pq_fit(
+    vectors: DataFrame,
+    codebooks_shape: tuple[int, int] = (PQ_M, PQ_K),
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: an independent k-means per subspace slice.
+
+    Returns the nested ``[m][k][sub]`` list that :func:`pq_encode` /
+    :func:`pq_adc_topk` accept as ``codebooks=``. Each subspace fit is a
+    bounded driver loop (k × sub doubles of state); the training scans
+    are full-corpus distributed passes, so this trains on any corpus a
+    k-means fits on. Codebook values are rounded to 6dp so the trained
+    literals embed identically into both engines' plans.
+    """
+    from streaming_etl_pipeline_spark.operators.clustering import kmeans_fit
+
+    m, k = codebooks_shape
+    dim = int(vectors.select(F.size(vec_col).alias("n")).first()["n"])
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        cents = kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        rows = sorted(
+            (int(r[0]), [round(float(x), 6) for x in r[1]]) for r in cents.collect()
+        )
+        books.append([vec for _, vec in rows])
+    return books
+
+
+def _pq_subspace_scores(
+    sub: Column, book: list[list[float]]
+) -> Column:
+    """Array of PQ_K quantization scores for one subvector: the argmin of
+    ``||c||² − 2·(v_s · c)`` is the argmin of the squared L2 distance
+    (the common ``||v_s||²`` term cancels). Rounded to 9dp so both
+    engines pick the same codeword; ties break to the lowest code via
+    first-position-of-min."""
+    return F.array(
+        *[
+            F.round(
+                F.lit(sum(x * x for x in cw))
+                - 2.0 * dot(sub, F.array(*[F.lit(x) for x in cw])),
+                9,
+            )
+            for cw in book
+        ]
+    )
+
+
+def pq_encode(
+    vec: Column | str, codebooks: list[list[list[float]]] = PQ_CODEBOOKS
+) -> Column:
+    """PQ code array (m small ints) for a vector column — a 0-shuffle
+    map: every distance is a literal-codeword dot product inside
+    whole-stage codegen, argmin via ``array_position(scores, min)``."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    sub_len = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        scores = _pq_subspace_scores(F.slice(v, s * sub_len + 1, sub_len), book)
+        codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode_sql(
+    vec_sql: str, codebooks: list[list[list[float]]] = PQ_CODEBOOKS
+) -> str:
+    """DuckDB twin of :func:`pq_encode` (list_position is 1-based and
+    returns the FIRST occurrence — same lowest-code tiebreak)."""
+    sub_len = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = f"list_slice(CAST({vec_sql} AS DOUBLE[]), {s * sub_len + 1}, {(s + 1) * sub_len})"
+        terms = []
+        for cw in book:
+            lit = "[" + ", ".join(str(x) for x in cw) + "]::DOUBLE[]"
+            c2 = sum(x * x for x in cw)
+            terms.append(f"round({c2!r} - 2.0 * list_dot_product({sub}, {lit}), 9)")
+        scores = "[" + ", ".join(terms) + "]::DOUBLE[]"
+        codes.append(
+            f"CAST(list_position({scores}, list_min({scores})) - 1 AS INTEGER)"
+        )
+    return "[" + ", ".join(codes) + "]"
+
+
+def pq_reconstruct(
+    codes: Column | str, codebooks: list[list[list[float]]] = PQ_CODEBOOKS
+) -> Column:
+    """Decode a PQ code array back to its quantized vector (the
+    concatenation of the selected codewords) — the corpus side of
+    asymmetric distance computation: queries stay exact, corpus rows are
+    reconstructed from m bytes."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    parts = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.array(
+            *[F.array(*[F.lit(x) for x in cw]) for cw in book]
+        )
+        parts.append(F.element_at(book_lit, F.element_at(c, s + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_reconstruct_sql(
+    codes_sql: str, codebooks: list[list[list[float]]] = PQ_CODEBOOKS
+) -> str:
+    """DuckDB twin of :func:`pq_reconstruct`."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        lit = (
+            "["
+            + ", ".join("[" + ", ".join(str(x) for x in cw) + "]" for cw in book)
+            + "]::DOUBLE[][]"
+        )
+        parts.append(f"({lit})[({codes_sql})[{s + 1}] + 1]")
+    return "flatten([" + ", ".join(parts) + "])"
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] = PQ_CODEBOOKS,
+) -> DataFrame:
+    """Approximate top-k over a PQ-compressed corpus via asymmetric
+    distance: the corpus is carried as m-byte code arrays (encode is a
+    0-shuffle map — at 100 TB the codes table is ~1.5 TB), each row is
+    reconstructed on the fly, and the exact query vector is scored
+    against the reconstruction. Broadcast queries × one corpus scan —
+    identical shape (and ranking contract) to :func:`cosine_topk`, so PQ
+    recall is directly measurable against the brute-force arm.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct(pq_encode(vec_col, codebooks), codebooks).alias("c_vec"),
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

@@ -654,6 +654,37 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_adc_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    enc AS (SELECT vec_id AS neighbor_id,
+                   {SIM.pq_encode_sql("embedding")} AS codes
+            FROM embeddings),
+    c AS (SELECT neighbor_id, {SIM.pq_reconstruct_sql("codes")} AS cv FROM enc)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON query_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance): the corpus is
+    carried as 8 codes/vector against 8×16 fixed literal codebooks
+    (operators/similarity.py PQ_CODEBOOKS — trained codebooks come from
+    ``pq_fit``), reconstructed on the fly and scored against the exact
+    query vector. The compressed-corpus arm of the ANN suite: encode is
+    a 0-shuffle map, search stays broadcast-queries × one corpus scan."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.pq_adc_topk(dbl.filter(F.col("vec_id") < 20), dbl, k=5)
+
+
+@register(
     "embedding_dim_stats",
     """
     SELECT CAST(i - 1 AS INTEGER) AS dim,

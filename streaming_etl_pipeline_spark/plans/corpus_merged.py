@@ -353,6 +353,9 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'rrf' AS method, query_id, rank, neighbor_id, score
     FROM ({_sql("rrf_ann_ensemble")})
+    UNION ALL
+    SELECT 'pq' AS method, query_id, rank, neighbor_id, cosine_sim AS score
+    FROM ({_sql("pq_adc_topk")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +432,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rrf").alias("method"),
         "query_id", "rank", "neighbor_id", "score",
     )
-    return out.unionByName(hn).unionByName(bm).unionByName(rrf)
+    pq = SIM.pq_adc_topk(q20, dbl, k=5).select(
+        F.lit("pq").alias("method"),
+        "query_id", "rank", "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+    )
+    return out.unionByName(hn).unionByName(bm).unionByName(rrf).unionByName(pq)
 
 
 # ---------------------------------------------------------------------------
@@ -1824,6 +1832,7 @@ COVERED_BY: dict[str, str] = {
     "ppl_buckets": "corpus_quality_by_lang",
     "bm25_topk": "ann_topk",
     "rrf_ann_ensemble": "ann_topk",
+    "pq_adc_topk": "ann_topk",
 }
 
 DRIVER_SET: list[str] = [
