@@ -1910,3 +1910,127 @@ def _patch_rrf_sql() -> None:
 
 
 _patch_rrf_sql()
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (operators/webcur.py)
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import webcur as WC
+
+#: Deterministic synthetic URLs (the documents table carries no URL
+#: column): host/path/query patterns cycle by doc_id and deliberately
+#: exercise every normalization rule — mixed case, default ports,
+#: leading www., multi-label public suffixes, tracking params, unsorted
+#: params, trailing slashes. Shared literal fragment on BOTH engines.
+_URL_HOSTS = [
+    "WWW.Example.COM:443",
+    "news.example.co.uk",
+    "cdn.assets.example.net",
+    "Shop.Example.com.au",
+    "www.blog.example.org",
+    "mirror.example.com",
+]
+_URL_QUERIES = ["?utm_source=feed&b=2&a=1", "?a=1", "?fbclid=x", ""]
+_URL_BLOCKLIST = ["example.net"]
+_URL_CAP = 15
+
+_SYNTH_URL_SQL = f"""(
+  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+  || '://' || (['{"', '".join(_URL_HOSTS)}'])[(doc_id % 6 + 1)::INTEGER]
+  || '/d/' || CAST(doc_id % 40 AS VARCHAR)
+  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+  || (['{"', '".join(_URL_QUERIES)}'])[(doc_id % 4 + 1)::INTEGER]
+)"""
+
+
+def _synth_url_col() -> F.Column:
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _URL_HOSTS]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    q = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_QUERIES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        host,
+        F.lit("/d/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        q,
+    )
+
+
+@register(
+    "url_curation",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, n_chars,
+             {WC.normalize_url_sql("url")} AS url_norm,
+             {WC.registrable_domain_sql(WC.url_host_sql("url"))} AS domain
+      FROM raw
+    ),
+    nb AS (
+      SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY n_chars DESC, doc_id) AS domain_rank
+      FROM parts WHERE domain NOT IN ('{"', '".join(_URL_BLOCKLIST)}')
+    ),
+    labelled AS (
+      SELECT domain, url_norm, domain_rank <= {_URL_CAP} AS kept,
+             FALSE AS blocked
+      FROM nb
+      UNION ALL
+      SELECT domain, url_norm, FALSE AS kept, TRUE AS blocked
+      FROM parts WHERE domain IN ('{"', '".join(_URL_BLOCKLIST)}')
+    )
+    SELECT domain,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+           sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           min(url_norm) AS first_url
+    FROM labelled GROUP BY domain
+    """,
+)
+def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation stage end-to-end: normalize → registrable domain →
+    blocklist anti-join → per-domain quality cap, rolled up per domain.
+    The synthetic URL column exercises every normalization rule (the
+    parquet corpus has no URL field); `first_url` pins the normalized
+    string itself, n_kept pins the cap's ranked window, n_blocked the
+    blocklist path."""
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    parts = docs.select(
+        "doc_id",
+        "n_chars",
+        WC.normalize_url(_synth_url_col()).alias("url_norm"),
+        WC.registrable_domain(WC.url_host(_synth_url_col())).alias("domain"),
+    )
+    bl = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], "domain string")
+    nb = WC.domain_cap(
+        WC.blocklist_filter(parts, bl), cap=_URL_CAP, order_col="n_chars"
+    ).select(
+        "domain", "url_norm", F.col("kept"), F.lit(False).alias("blocked")
+    )
+    blocked = (
+        parts.join(F.broadcast(bl), "domain", "left_semi")
+        .select(
+            "domain", "url_norm",
+            F.lit(False).alias("kept"), F.lit(True).alias("blocked"),
+        )
+    )
+    return (
+        nb.unionByName(blocked)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0)).alias("n_blocked"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.min("url_norm").alias("first_url"),
+        )
+    )

@@ -38,6 +38,9 @@ from streaming_etl_pipeline_spark.operators.curation import assign_splits_sql
 from streaming_etl_pipeline_spark.plans.corpus import QUERIES, register
 
 
+_CHECKSUM_MOD = 1 << 60
+
+
 def _sql(name: str) -> str:
     sql = QUERIES[name].sql
     assert sql is not None, name
@@ -259,14 +262,23 @@ def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.*, q.*,
            ds.psi AS psi_same, ds.drifted AS drifted_same,
            dm.psi AS psi_shifted, dm.drifted AS drifted_shifted,
-           ls.*, pa.*
+           ls.*, pa.*, u.*
     FROM ({_sql("global_metrics")}) g, ({_sql("quality_metrics")}) q,
          (SELECT psi, drifted FROM ({_sql("drift_psi")})
           WHERE snapshot = 'same') ds,
          (SELECT psi, drifted FROM ({_sql("drift_psi")})
           WHERE snapshot = 'scaled_1_5x') dm,
          ({_sql("leakage_safe_splits")}) ls,
-         ({_sql("privacy_audit")}) pa
+         ({_sql("privacy_audit")}) pa,
+         (SELECT CAST(count(*) AS BIGINT) AS url_domains,
+                 CAST(sum(n_blocked) AS BIGINT) AS url_blocked,
+                 CAST(sum(n_kept) AS BIGINT) AS url_kept,
+                 CAST(sum(CAST({_md5_long_sql(
+                     "domain || ':' || CAST(n_docs AS VARCHAR) || ':' || "
+                     "CAST(n_kept AS VARCHAR) || ':' || first_url"
+                 )} AS DECIMAL(38,0))) % {_CHECKSUM_MOD} AS BIGINT)
+                   AS url_checksum
+          FROM ({_sql("url_curation")})) u
     """,
 )
 def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +316,19 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         *quality_metric_aggs(),
         *privacy_token_aggs(),
     )
+    url_item = F.concat_ws(
+        ":",
+        F.col("domain"),
+        F.col("n_docs").cast("string"),
+        F.col("n_kept").cast("string"),
+        F.col("first_url"),
+    )
+    url = _run("url_curation", spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("url_domains"),
+        F.sum("n_blocked").alias("url_blocked"),
+        F.sum("n_kept").alias("url_kept"),
+        _checksum_col(url_item).alias("url_checksum"),
+    )
     return (
         scalars
         .crossJoin(F.broadcast(same))
@@ -313,6 +338,7 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "pseudo_bijective", F.col("n_users") == F.col("n_tokens")
         )
+        .crossJoin(F.broadcast(url))
     )
 
 
@@ -1599,7 +1625,6 @@ def q_top_ngrams_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _QUAL_BASE_SQL = _sql("corpus_quality_by_lang")
-_CHECKSUM_MOD = 1 << 60
 
 
 def _checksum_col(item: F.Column) -> F.Column:
@@ -1833,6 +1858,9 @@ COVERED_BY: dict[str, str] = {
     "bm25_topk": "ann_topk",
     "rrf_ann_ensemble": "ann_topk",
     "pq_adc_topk": "ann_topk",
+    # r6: domain-grain URL rollup rides the scalar overview as pinned
+    # counts + an order-independent md5 checksum of every domain row
+    "url_curation": "metrics_overview",
 }
 
 DRIVER_SET: list[str] = [
