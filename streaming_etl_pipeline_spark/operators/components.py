@@ -359,3 +359,129 @@ def cluster_representatives_sql(
            )) AS is_rep
     FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank — link-graph authority scoring
+# ---------------------------------------------------------------------------
+
+#: Rank values are carried as BIGINT micro-units (rank × 10^6): every
+#: per-step quantity is floor(x + 0.5) of an IEEE-double expression both
+#: engines evaluate identically, and cross-node accumulation is an exact
+#: integer sum — no round() ties, no decimal-vs-binary divergence, and
+#: cheaper shuffles than DECIMAL accumulators at scale.
+PAGERANK_SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hint_small: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — link-graph
+    authority for crawl curation (seed prioritization, per-domain
+    quality priors). Page, Brin, Motwani, Winograd 1999; fixed ``iters``
+    power steps rather than convergence detection so the plan is bounded
+    and the DuckDB twin (:func:`pagerank_sql`) can unroll it exactly.
+
+    Returns ``(node, rank)`` with rank quantized to 6dp (micro-unit
+    integers divided out — see PAGERANK_SCALE). Dangling mass is dropped
+    (nodes without out-edges redistribute nothing), the standard
+    simplification; ranks then sum to slightly under 1.
+
+    Scale notes: the edge list is the only big frame. It is
+    deduplicated, degree-joined, repartitioned on ``src`` and persisted
+    ONCE — each iteration re-joins the (nodes-sized) rank frame against
+    that fixed layout and shuffles only the per-``dst`` BIGINT
+    contribution sum. ``hint_small=True`` additionally broadcast-hints
+    the rank frame (right for graphs whose node table fits an executor —
+    e.g. registrable domains — while edges are crawl-sized).
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()  # bounded scalar (one long) — not a data collect
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e.join(deg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    # python float ops are the same IEEE doubles the engines compute —
+    # embed the results as literals so both plans carry identical ints
+    r0_u = int(math.floor(PAGERANK_SCALE / float(n) + 0.5))
+    teleport_u = int(
+        math.floor(PAGERANK_SCALE * (1.0 - damping) / float(n) + 0.5)
+    )
+
+    ranks = nodes.select("node", F.lit(r0_u).cast("long").alias("rank_u"))
+    for _ in range(iters):
+        r = F.broadcast(ranks) if hint_small else ranks
+        contribs = ed.join(r, ed["src"] == r["node"]).select(
+            "dst",
+            F.floor(F.col("rank_u") / F.col("out_deg") + 0.5).alias("c"),
+        )
+        summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        s = F.broadcast(summed) if hint_small else summed
+        ranks = nodes.join(s, nodes["node"] == s["dst"], "left").select(
+            "node",
+            (
+                F.lit(teleport_u)
+                + F.floor(
+                    F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)) + 0.5
+                )
+            ).cast("long").alias("rank_u"),
+        )
+    return ranks.select(
+        "node", (F.col("rank_u") / F.lit(float(PAGERANK_SCALE))).alias("rank")
+    )
+
+
+def pagerank_sql(
+    edges_sql: str, iters: int = 3, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the fixed power iteration
+    unrolled into one CTE per step. Micro-unit integer ranks make the
+    twin exact: floor(double + 0.5) is IEEE-identical in both engines
+    and the per-dst sums are integer arithmetic (DuckDB's HUGEINT sum
+    cast back to BIGINT)."""
+    sc = PAGERANK_SCALE
+    n = "(SELECT CAST(count(*) AS DOUBLE) FROM nodes)"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(floor({sc} / {n} + 0.5) AS BIGINT) "
+        "AS rank_u FROM nodes)",
+    ]
+    tel = f"CAST(floor({sc} * (1.0 - {damping}) / {n} + 0.5) AS BIGINT)"
+    for i in range(iters):
+        parts.append(
+            f"s{i + 1} AS (SELECT e.dst, CAST(sum(CAST(floor("
+            f"CAST(r.rank_u AS DOUBLE) / deg.out_deg + 0.5) AS BIGINT)) "
+            f"AS BIGINT) AS s "
+            f"FROM e JOIN r{i} r ON e.src = r.node "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.node, {tel} + CAST(floor("
+            f"{damping} * CAST(coalesce(s, 0) AS DOUBLE) + 0.5) AS BIGINT) "
+            f"AS rank_u "
+            f"FROM nodes LEFT JOIN s{i + 1} ON nodes.node = s{i + 1}.dst)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(rank_u AS DOUBLE) / {sc}.0 AS rank FROM r{iters}"
+    )

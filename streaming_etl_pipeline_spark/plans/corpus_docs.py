@@ -2034,3 +2034,35 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("url_norm").alias("first_url"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph authority (operators/components.py pagerank)
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import components as CC
+
+#: Deterministic synthetic link graph over 60 "domain" nodes (the
+#: corpus carries no link column): src = doc_id mod 60, dst = an
+#: md5-derived node — a reproducible scale-free-ish multigraph whose
+#: distinct-edge set both engines derive identically.
+_PR_EDGES_SQL = (
+    f"SELECT doc_id % 60 AS src, {md5_long_sql('doc_id', 'pr')} % 60 AS dst "
+    f"FROM documents WHERE doc_id % 60 <> {md5_long_sql('doc_id', 'pr')} % 60"
+)
+
+
+@register("link_pagerank", CC.pagerank_sql(_PR_EDGES_SQL, iters=3))
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step PageRank over the synthetic domain link graph — micro-unit
+    integer ranks make the unrolled DuckDB twin bit-exact (no round()
+    ties). hint_small: 60-node rank frame broadcasts; only the per-dst
+    contribution sums shuffle."""
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
+    edges = docs.select(
+        (F.col("doc_id") % 60).alias("src"),
+        (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return CC.pagerank(edges, iters=3, hint_small=True)

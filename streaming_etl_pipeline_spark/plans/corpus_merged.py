@@ -1095,6 +1095,9 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_md5_long_sql("source_a")} AS id_a,
            {_md5_long_sql("source_b")} AS id_b, jaccard AS score
     FROM ({_sql("source_overlap_matrix")})
+    UNION ALL
+    SELECT 'pagerank' AS method, node AS id_a, node AS id_b, rank AS score
+    FROM ({_sql("link_pagerank")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,9 +1145,16 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long("source_b").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
+    # link-authority arm: node id doubles as both pair columns
+    pr = _run("link_pagerank", spark, sf_dir).select(
+        F.lit("pagerank").alias("method"),
+        F.col("node").alias("id_a"),
+        F.col("node").alias("id_b"),
+        F.col("rank").alias("score"),
+    )
     return (
         emb.unionByName(fz).unionByName(sd).unionByName(ts)
-        .unionByName(td).unionByName(so)
+        .unionByName(td).unionByName(so).unionByName(pr)
     )
 
 
@@ -1861,6 +1871,7 @@ COVERED_BY: dict[str, str] = {
     # r6: domain-grain URL rollup rides the scalar overview as pinned
     # counts + an order-independent md5 checksum of every domain row
     "url_curation": "metrics_overview",
+    "link_pagerank": "neardup_pairs",
 }
 
 DRIVER_SET: list[str] = [

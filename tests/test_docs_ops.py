@@ -1871,3 +1871,44 @@ def test_pq_fit_reduces_distortion_and_lifts_recall(spark):
     assert all(r.neighbor_id < 25 for r in approx), sorted(
         {r.neighbor_id for r in approx}
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_star_graph_and_dangling(spark):
+    """Hub-and-spoke: 1,2,3 all link to 0; 0 links nowhere (dangling).
+    After one step node 0 holds the teleport share plus 0.85 * the three
+    full contributions; the spokes keep only teleport mass."""
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    edges = spark.createDataFrame(
+        [Row(src=s, dst=0) for s in (1, 2, 3)]
+    )
+    out = {r.node: r.rank for r in CC.pagerank(edges, iters=1).collect()}
+    # teleport = 0.15/4 = 0.0375; hub = 0.0375 + 0.85 * 3 * 0.25
+    assert out[0] == 0.675
+    assert out[1] == out[2] == out[3] == 0.0375
+    # dangling hub's mass is dropped: totals < 1 after another step
+    out2 = {r.node: r.rank for r in CC.pagerank(edges, iters=2).collect()}
+    assert sum(out2.values()) < 1.0
+
+
+def test_pagerank_hint_small_matches_unhinted(spark):
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=i, dst=(i * 7 + 3) % 11)
+            for i in range(40)
+            if i % 11 != (i * 7 + 3) % 11
+        ]
+    )
+    a = sorted((r.node, r.rank) for r in CC.pagerank(edges, iters=3).collect())
+    b = sorted(
+        (r.node, r.rank)
+        for r in CC.pagerank(edges, iters=3, hint_small=True).collect()
+    )
+    assert a == b
