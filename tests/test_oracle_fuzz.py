@@ -284,6 +284,7 @@ def test_fuzz_zero_embedding(spark, tmp_path):
             "hard_negatives",
             "ann_topk_bruteforce",
             "rrf_ann_ensemble",  # fused ranks over NaN-cosine arms
+            "pq_adc_topk",  # zero query vs reconstructed corpus
         ],
     )
 
@@ -572,3 +573,19 @@ def test_fuzz_ppl_bucket_degenerate_langs(spark, tmp_path):
 
     sf = _clone_sf(tmp_path, "documents", mutate)
     _gate(spark, sf, ["ppl_buckets", "corpus_quality_by_lang"])
+
+
+def test_fuzz_sparse_shifted_doc_ids(spark, tmp_path):
+    """Huge doc_id offsets + a 1-in-13 row survival through the
+    doc_id-derived operators: the synthetic URL/link-graph fragments
+    (mod arithmetic, md5-of-bigint-string) must stay engine-identical
+    when ids approach 2^40 and the derived graph/domain groups are
+    sparse (pagerank nodes missing, domain caps under-filled)."""
+    def mutate(tbl):
+        tbl = tbl.take(list(range(0, tbl.num_rows, 13)))
+        i = tbl.schema.get_field_index("doc_id")
+        shifted = pc.add(tbl["doc_id"], pa.scalar(2**40 - 17, pa.int64()))
+        return tbl.set_column(i, "doc_id", shifted), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["link_pagerank", "url_curation"])
