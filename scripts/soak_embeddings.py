@@ -258,6 +258,41 @@ def main() -> int:
             report["rrf_fused_recall"] = _recall(fused)
             report["phases"]["rrf"] = round(time.time() - t0, 1)
 
+        # ---- pq: codebooks fit on a sample, full-corpus 0-shuffle
+        #          encode throughput, ADC recall vs exact brute force ----
+        if "pq" in phases:
+            queries = corpus.filter(
+                F.col("vec_id") % max(n // q, 1) == 3
+            ).limit(q).localCheckpoint(eager=True)
+            truth = {
+                (r.query_id, r.neighbor_id)
+                for r in SIM.cosine_topk_arrow(queries, corpus, k=10).collect()
+            }
+            t0 = time.time()
+            sample = corpus.filter(
+                F.col("vec_id") % max(n // 200_000, 1) == 0
+            )
+            books = SIM.pq_fit(sample, iters=2)
+            report["phases"]["pq_fit_sample"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            corpus.select(
+                "vec_id", SIM.pq_encode("embedding", books).alias("codes")
+            ).write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            report["phases"]["pq_encode"] = round(wall, 1)
+            report["pq_encode_rows_per_sec"] = round(n / wall)
+            t0 = time.time()
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in SIM.pq_adc_topk(
+                    queries, corpus, k=10, codebooks=books
+                ).collect()
+            }
+            report["phases"]["pq_adc_topk"] = round(time.time() - t0, 1)
+            report["pq_recall_at_10"] = round(
+                len(got & truth) / max(len(truth), 1), 3
+            )
+
         # ---- neardup: 2^planes-cell LSH pair join, planted twins ----
         if "neardup" in phases:
             t0 = time.time()

@@ -1454,3 +1454,58 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    codebooks: list[list[list[float]]] = PQ_CODEBOOKS,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS-standard billion-scale layout): candidates are
+    restricted to the query's ``nprobe`` nearest IVF cells AND the
+    corpus side is carried as PQ codes — the index a 100 TB deployment
+    stores is ``(id, centroid_id, m codes)``, ~1% of the raw vectors,
+    scanned cell-equi-joined and reconstructed on the fly for asymmetric
+    distance. Composes :func:`ivf_probe_cells` / :func:`ivf_assign`
+    with :func:`pq_encode` / :func:`pq_reconstruct`; ranking contract
+    matches :func:`cosine_topk`, so recall decomposes into the IVF
+    routing loss × the PQ quantization loss (both measured in SCALE.md).
+
+    ``corpus_index``: a pre-built ``(id_col, centroid_id, codes)``
+    frame (the stored-at-ingest shape) skips both the quantizer scan
+    and the encode pass for repeated query batches.
+    """
+    q = ivf_probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
+    )
+    if corpus_index is None:
+        corpus_index = ivf_assign(corpus, centroids, id_col, vec_col).select(
+            id_col, "centroid_id", pq_encode(vec_col, codebooks).alias("codes")
+        )
+    c = corpus_index.select(
+        F.col(id_col).alias("neighbor_id"),
+        "centroid_id",
+        pq_reconstruct("codes", codebooks).alias("c_vec"),
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )

@@ -2066,3 +2066,47 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return CC.pagerank(edges, iters=3, hint_small=True)
+
+
+@register(
+    "ann_topk_ivf_pq",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < 16),
+    ranked AS (
+      SELECT vec_id, e, centroid_id, rn FROM (
+        SELECT v.vec_id, v.e, cent.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_COS} DESC, cent.centroid_id) AS rn
+        FROM v CROSS JOIN cent
+      )
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv, centroid_id FROM ranked
+          WHERE rn <= 2 AND vec_id < 20),
+    cidx AS (SELECT vec_id AS neighbor_id, centroid_id,
+                    {SIM.pq_encode_sql("e")} AS codes
+             FROM ranked WHERE rn = 1),
+    c AS (SELECT neighbor_id, centroid_id,
+                 {SIM.pq_reconstruct_sql("codes")} AS cv
+          FROM cidx)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON q.centroid_id = c.centroid_id AND query_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (nprobe=2 over 16 cells, 8×16 fixed codebooks): the
+    compressed-index arm — candidates cell-restricted AND scored
+    against PQ reconstructions, the (id, cell, codes) layout a
+    billion-vector deployment stores instead of raw embeddings."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    centroids = dbl.filter(F.col("vec_id") < 16)
+    return SIM.ivf_pq_topk(
+        dbl.filter(F.col("vec_id") < 20), dbl, centroids, k=5, nprobe=2
+    )

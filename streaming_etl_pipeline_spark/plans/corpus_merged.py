@@ -382,6 +382,10 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'pq' AS method, query_id, rank, neighbor_id, cosine_sim AS score
     FROM ({_sql("pq_adc_topk")})
+    UNION ALL
+    SELECT 'ivf_pq' AS method, query_id, rank, neighbor_id,
+           cosine_sim AS score
+    FROM ({_sql("ann_topk_ivf_pq")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,7 +467,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank", "neighbor_id",
         F.col("cosine_sim").alias("score"),
     )
-    return out.unionByName(hn).unionByName(bm).unionByName(rrf).unionByName(pq)
+    ivf_pq = SIM.ivf_pq_topk(
+        q20, dbl, dbl.filter(F.col("vec_id") < 16), k=5, nprobe=2
+    ).select(
+        F.lit("ivf_pq").alias("method"),
+        "query_id", "rank", "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+    )
+    return (
+        out.unionByName(hn).unionByName(bm).unionByName(rrf)
+        .unionByName(pq).unionByName(ivf_pq)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1868,6 +1882,7 @@ COVERED_BY: dict[str, str] = {
     "bm25_topk": "ann_topk",
     "rrf_ann_ensemble": "ann_topk",
     "pq_adc_topk": "ann_topk",
+    "ann_topk_ivf_pq": "ann_topk",
     # r6: domain-grain URL rollup rides the scalar overview as pinned
     # counts + an order-independent md5 checksum of every domain row
     "url_curation": "metrics_overview",

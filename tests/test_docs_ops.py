@@ -1912,3 +1912,26 @@ def test_pagerank_hint_small_matches_unhinted(spark):
         for r in CC.pagerank(edges, iters=3, hint_small=True).collect()
     )
     assert a == b
+
+
+def test_ivf_pq_full_probe_degenerates_to_pq_adc(spark):
+    """nprobe = |centroids| removes the routing restriction, so IVF-PQ
+    must return exactly the flat-ADC ranking; nprobe=1 must return a
+    subset of each query's own-cell candidates."""
+    vecs = _blob_vectors(spark, n_clusters=4, per=20, dim=16)
+    books = SIM.pq_fit(vecs, codebooks_shape=(4, 8), iters=2)
+    cents = vecs.filter(F.col("vec_id") % 20 == 0)  # one seed per blob
+    q = vecs.filter(F.col("vec_id") < 5)
+    full = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            q, vecs, cents, k=3, nprobe=4, codebooks=books
+        ).collect()
+    )
+    flat = sorted(
+        tuple(r) for r in SIM.pq_adc_topk(q, vecs, k=3, codebooks=books).collect()
+    )
+    assert full == flat
+    one = SIM.ivf_pq_topk(q, vecs, cents, k=3, nprobe=1, codebooks=books)
+    # queries come from cluster 0 (ids 0-19): all own-cell neighbors
+    assert all(r.neighbor_id < 20 for r in one.collect())
