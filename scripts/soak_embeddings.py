@@ -258,39 +258,89 @@ def main() -> int:
             report["rrf_fused_recall"] = _recall(fused)
             report["phases"]["rrf"] = round(time.time() - t0, 1)
 
-        # ---- pq: codebooks fit on a sample, full-corpus 0-shuffle
-        #          encode throughput, ADC recall vs exact brute force ----
+        # ---- pq: codebooks fit on a sample, bulk Arrow encode
+        #          throughput, ADC recall vs exact brute force on the
+        #          UNIFORM corpus (distinct vectors + planted twins —
+        #          the clustered corpus tie-collapses reconstructions,
+        #          which measures the tiebreak, not the quantizer) ----
         if "pq" in phases:
-            queries = corpus.filter(
-                F.col("vec_id") % max(n // q, 1) == 3
+            # twin rows: their true rank-1 neighbor is vec_id - 1
+            queries = uniform.filter(
+                (F.col("vec_id") % 1000 == 0) & (F.col("vec_id") > 0)
             ).limit(q).localCheckpoint(eager=True)
             truth = {
                 (r.query_id, r.neighbor_id)
-                for r in SIM.cosine_topk_arrow(queries, corpus, k=10).collect()
+                for r in SIM.cosine_topk_arrow(queries, uniform, k=10).collect()
             }
             t0 = time.time()
-            sample = corpus.filter(
+            sample = uniform.filter(
                 F.col("vec_id") % max(n // 200_000, 1) == 0
             )
             books = SIM.pq_fit(sample, iters=2)
             report["phases"]["pq_fit_sample"] = round(time.time() - t0, 1)
             t0 = time.time()
-            corpus.select(
+            codes = SIM.pq_encode_arrow(uniform, books).localCheckpoint(
+                eager=True
+            )
+            wall = time.time() - t0
+            report["phases"]["pq_encode_arrow"] = round(wall, 1)
+            report["pq_encode_rows_per_sec"] = round(n / wall)
+            slice_n = min(n, 100_000)
+            t0 = time.time()
+            uniform.filter(F.col("vec_id") < slice_n).select(
                 "vec_id", SIM.pq_encode("embedding", books).alias("codes")
             ).write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
-            report["phases"]["pq_encode"] = round(wall, 1)
-            report["pq_encode_rows_per_sec"] = round(n / wall)
+            report["phases"]["pq_encode_expr_slice"] = round(wall, 1)
+            report["pq_encode_expr_rows_per_sec"] = round(slice_n / wall)
+            # ADC = exact queries vs the reconstructed (compressed) index
             t0 = time.time()
+            recon = SIM.pq_reconstruct_arrow(codes, books)
             got = {
                 (r.query_id, r.neighbor_id)
-                for r in SIM.pq_adc_topk(
-                    queries, corpus, k=10, codebooks=books
-                ).collect()
+                for r in SIM.cosine_topk_arrow(queries, recon, k=10).collect()
             }
-            report["phases"]["pq_adc_topk"] = round(time.time() - t0, 1)
+            report["phases"]["pq_adc_topk_arrow"] = round(time.time() - t0, 1)
             report["pq_recall_at_10"] = round(
                 len(got & truth) / max(len(truth), 1), 3
+            )
+            twin_hits = sum(
+                1 for (qid, nid) in got if nid == qid - 1
+            )
+            report["pq_twin_recall"] = round(
+                twin_hits / max(queries.count(), 1), 3
+            )
+            # production shape: 8×256 codebooks (64-bit codes, the FAISS
+            # default) — same machinery, trained/encoded via the Arrow
+            # paths (the 2048-term literal expression is gate-only)
+            t0 = time.time()
+            books256 = SIM.pq_fit(sample, codebooks_shape=(8, 256), iters=2)
+            report["phases"]["pq_fit256_sample"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            codes256 = SIM.pq_encode_arrow(uniform, books256).localCheckpoint(
+                eager=True
+            )
+            wall = time.time() - t0
+            report["phases"]["pq_encode256_arrow"] = round(wall, 1)
+            report["pq256_encode_rows_per_sec"] = round(n / wall)
+            t0 = time.time()
+            recon256 = SIM.pq_reconstruct_arrow(codes256, books256)
+            got256 = {
+                (r.query_id, r.neighbor_id)
+                for r in SIM.cosine_topk_arrow(
+                    queries, recon256, k=10
+                ).collect()
+            }
+            report["phases"]["pq_adc256_topk_arrow"] = round(
+                time.time() - t0, 1
+            )
+            report["pq256_recall_at_10"] = round(
+                len(got256 & truth) / max(len(truth), 1), 3
+            )
+            report["pq256_twin_recall"] = round(
+                sum(1 for (qid, nid) in got256 if nid == qid - 1)
+                / max(queries.count(), 1),
+                3,
             )
 
         # ---- neardup: 2^planes-cell LSH pair join, planted twins ----

@@ -1509,3 +1509,129 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — training-free dim reduction
+# ---------------------------------------------------------------------------
+
+#: Fixed Rademacher projection matrix (seed 13): RP_MAX_DIM rows of DIM
+#: entries in {+1, -1}, scaled by 1/sqrt(out_dim) at projection time.
+#: Achlioptas 2001: database-friendly random projections — ±1 entries
+#: satisfy the JL lemma with the same distortion bounds as Gaussians,
+#: and embed as exact integer literals in both engines' plans.
+RP_MAX_DIM = 32
+_rp_rng = random.Random(13)
+RP_PLANES: list[list[float]] = [
+    [1.0 if _rp_rng.random() < 0.5 else -1.0 for _ in range(DIM)]
+    for _ in range(RP_MAX_DIM)
+]
+
+
+def random_project(
+    vec: Column | str, out_dim: int = 16
+) -> Column:
+    """Project a DIM-dim vector to ``out_dim`` dims against the fixed
+    ±1 planes — a 0-shuffle map (out_dim literal dot products inside
+    whole-stage codegen, each rounded to 9dp). Training-free companion
+    to :func:`truncate_embeddings` (which requires Matryoshka-trained
+    embeddings): JL preserves pairwise distances within 1±ε for ANY
+    embedding model, so the projected column feeds the same brute/LSH
+    machinery as a cheap first stage."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    scale = 1.0 / out_dim ** 0.5
+    return F.array(
+        *[
+            F.round(dot(v, _plane_col(p)) * F.lit(scale), 9)
+            for p in RP_PLANES[:out_dim]
+        ]
+    )
+
+
+def random_project_sql(vec_sql: str, out_dim: int = 16) -> str:
+    """DuckDB twin of :func:`random_project` (same literal planes, same
+    left-to-right double reduction, same 9dp rounding)."""
+    scale = 1.0 / out_dim ** 0.5
+    terms = []
+    for p in RP_PLANES[:out_dim]:
+        lit = "[" + ", ".join(str(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"round(list_dot_product(CAST({vec_sql} AS DOUBLE[]), {lit})"
+            f" * {scale!r}, 9)"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def pq_encode_arrow(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]] = PQ_CODEBOOKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_encode` as numpy per Arrow batch — one (rows × K)
+    distance GEMM per subspace instead of 1024 scalar expressions per
+    row. Identical codes to the expression path: scores rounded to 9dp,
+    argmin takes the first (lowest-code) minimum. The bulk-encode path
+    for index builds; the expression path remains the oracle twin."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    books = [np.array(b, dtype="float64") for b in codebooks]
+    bc = spark.sparkContext.broadcast(books)
+    sub_len = len(codebooks[0][0])
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def encode(batches):
+        bks = bc.value
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if v.size == 0:
+                continue
+            codes = np.empty((v.shape[0], len(bks)), dtype="int32")
+            for s, bk in enumerate(bks):
+                sub = v[:, s * sub_len:(s + 1) * sub_len]
+                # ||c||^2 - 2 v_s . c  (the common ||v_s||^2 cancels)
+                scores = np.round(
+                    (bk * bk).sum(axis=1)[None, :] - 2.0 * (sub @ bk.T), 9
+                )
+                codes[:, s] = np.argmin(scores, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_reconstruct_arrow(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]] = PQ_CODEBOOKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Decode a ``(id, codes)`` frame back to quantized vectors in bulk
+    (one numpy gather per subspace per Arrow batch). Feeding the result
+    to :func:`cosine_topk_arrow` IS asymmetric-distance search — the
+    soak's fast ADC path over a compressed index."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    books = [np.array(b, dtype="float64") for b in codebooks]
+    bc = spark.sparkContext.broadcast(books)
+    out_schema = f"{id_col} long, {vec_col} array<double>"
+
+    def decode(batches):
+        bks = bc.value
+        for pdf in batches:
+            c = np.array(pdf["codes"].tolist(), dtype="int64")
+            if c.size == 0:
+                continue
+            recon = np.concatenate(
+                [bk[c[:, s]] for s, bk in enumerate(bks)], axis=1
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, vec_col: list(recon)}
+            )
+
+    return codes.mapInPandas(decode, out_schema)

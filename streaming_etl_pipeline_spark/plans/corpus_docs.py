@@ -2110,3 +2110,44 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_pq_topk(
         dbl.filter(F.col("vec_id") < 20), dbl, centroids, k=5, nprobe=2
     )
+
+
+@register(
+    "embedding_projection",
+    f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             {SIM.random_project_sql("embedding", 16)} AS proj
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(list_dot_product(e, e)), 6) AS orig_norm,
+           round(sqrt(list_dot_product(proj, proj)), 6) AS proj_norm,
+           round(round(sqrt(list_dot_product(proj, proj)), 6)
+                 / nullif(round(sqrt(list_dot_product(e, e)), 6), 0.0), 6)
+             AS norm_ratio
+    FROM p
+    """,
+)
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 dims: per-vector norm preservation
+    (the JL lemma's measurable promise — ratios concentrate near 1).
+    0-shuffle: projection and both norms are literal-plane expressions
+    inside one codegen stage."""
+    from streaming_etl_pipeline_spark.functions.core import l2_norm
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    orig = F.round(l2_norm("embedding"), 6)
+    proj = F.round(l2_norm(SIM.random_project("embedding", 16)), 6)
+    return dbl.select(
+        "vec_id",
+        orig.alias("orig_norm"),
+        proj.alias("proj_norm"),
+        F.round(F.try_divide(proj, F.nullif(orig, F.lit(0.0))), 6).alias(
+            "norm_ratio"
+        ),
+    )

@@ -1207,6 +1207,11 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            cosine_sim AS m1, margin AS m2,
            CAST(0 AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
     FROM ({_sql("bitext_mining")})
+    UNION ALL
+    SELECT 'jl_project' AS emb_op, vec_id AS k1, '' AS k2,
+           orig_norm AS m1, proj_norm AS m2, norm_ratio AS m3,
+           CAST(0 AS DOUBLE) AS m4
+    FROM ({_sql("embedding_projection")})
     """,
 )
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1259,9 +1264,18 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m3"),
         F.lit(0.0).alias("m4"),
     )
+    jl = _run("embedding_projection", spark, sf_dir).select(
+        F.lit("jl_project").alias("emb_op"),
+        F.col("vec_id").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("orig_norm").alias("m1"),
+        F.col("proj_norm").alias("m2"),
+        F.col("norm_ratio").alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
     return (
         dims.unionByName(quant).unionByName(pool)
-        .unionByName(decon).unionByName(bitext)
+        .unionByName(decon).unionByName(bitext).unionByName(jl)
     )
 
 
@@ -1883,6 +1897,7 @@ COVERED_BY: dict[str, str] = {
     "rrf_ann_ensemble": "ann_topk",
     "pq_adc_topk": "ann_topk",
     "ann_topk_ivf_pq": "ann_topk",
+    "embedding_projection": "embedding_profile",
     # r6: domain-grain URL rollup rides the scalar overview as pinned
     # counts + an order-independent md5 checksum of every domain row
     "url_curation": "metrics_overview",

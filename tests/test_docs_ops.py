@@ -1935,3 +1935,52 @@ def test_ivf_pq_full_probe_degenerates_to_pq_adc(spark):
     one = SIM.ivf_pq_topk(q, vecs, cents, k=3, nprobe=1, codebooks=books)
     # queries come from cluster 0 (ids 0-19): all own-cell neighbors
     assert all(r.neighbor_id < 20 for r in one.collect())
+
+
+def test_random_project_preserves_norms_and_matches_arrow_free_twin(spark):
+    """JL with ±1/√d planes: projected norms concentrate around the
+    original norms (the lemma's promise), and out_dim slices are
+    prefixes of the same fixed plane table."""
+    vecs = _blob_vectors(spark, n_clusters=4, per=20, dim=SIM.DIM)
+    proj = vecs.select(
+        "vec_id",
+        SIM.random_project("embedding", 16).alias("p16"),
+        SIM.random_project("embedding", 8).alias("p8"),
+    )
+    from streaming_etl_pipeline_spark.functions.core import l2_norm
+
+    stats = vecs.join(proj, "vec_id").select(
+        (l2_norm("p16") / l2_norm("embedding")).alias("ratio")
+    ).agg(F.avg("ratio"), F.min("ratio"), F.max("ratio")).first()
+    avg, lo, hi = stats
+    assert 0.7 < avg < 1.3
+    assert lo > 0.3 and hi < 2.0
+    row = proj.first()
+    assert len(row.p16) == 16 and len(row.p8) == 8
+
+
+def test_pq_arrow_paths_match_expression_paths(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    dbl = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    expr = {
+        r.vec_id: list(r.codes)
+        for r in dbl.select(
+            "vec_id", SIM.pq_encode("embedding").alias("codes")
+        ).collect()
+    }
+    arrow = {r.vec_id: list(r.codes) for r in SIM.pq_encode_arrow(dbl).collect()}
+    assert expr == arrow
+    rec_e = {
+        r.vec_id: list(r.recon)
+        for r in dbl.select(
+            "vec_id",
+            SIM.pq_reconstruct(SIM.pq_encode("embedding")).alias("recon"),
+        ).collect()
+    }
+    rec_a = {
+        r.vec_id: list(r.embedding)
+        for r in SIM.pq_reconstruct_arrow(SIM.pq_encode_arrow(dbl)).collect()
+    }
+    assert rec_e == rec_a
