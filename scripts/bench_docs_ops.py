@@ -85,8 +85,36 @@ def main() -> int:
             F.col("doc_id").alias("query_id"),
             F.explode(F.array_distinct(F.slice(toks, 1, 8))).alias("qterm"),
         )
+        from streaming_etl_pipeline_spark.functions.core import md5_long
+        from streaming_etl_pipeline_spark.operators import webcur as WC
+        from streaming_etl_pipeline_spark.plans.corpus_docs import (
+            _synth_url_col,
+        )
+
+        with_urls = docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            _synth_url_col().alias("url"),
+        ).select(
+            "doc_id",
+            "n_chars",
+            WC.normalize_url("url").alias("url_norm"),
+            WC.registrable_domain(WC.url_host("url")).alias("domain"),
+        )
+        pr_edges = docs.select(
+            (F.col("doc_id") % 100_000).alias("src"),
+            (md5_long(F.col("doc_id"), "pr") % 100_000).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
         cases = {
             "script_mix": TX.script_mix(docs),
+            "url_normalize+etld1 (0-shuffle)": with_urls,
+            "domain_cap (cap=100, skew=8)": WC.domain_cap(
+                with_urls, cap=100, skew=8
+            ),
+            "pagerank (100k nodes, 3 iters)": CC.pagerank(
+                pr_edges, iters=3, hint_small=True
+            ),
             "bm25_topk (100 queries, full index)": RT.bm25_topk(
                 docs, bm_queries, k=10
             ),

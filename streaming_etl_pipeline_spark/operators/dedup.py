@@ -1028,3 +1028,41 @@ def paragraph_dedup_sql(
     FROM flagged
     GROUP BY doc_id
     """
+
+
+def minhash_band_plan(
+    threshold: float, num_hashes: int = 16
+) -> dict:
+    """LSH banding planner: pick (bands b, rows r) with b·r = num_hashes
+    whose S-curve knee (1/b)^(1/r) sits closest to the target Jaccard
+    ``threshold`` (Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* §3.4). Returns the chosen plan plus the collision
+    probability 1 − (1 − s^r)^b at s = threshold ± 0.1 so callers can
+    see the false-positive / false-negative trade before paying for a
+    corpus pass. Driver-side arithmetic only — use it to parameterize
+    :func:`minhash_signature` / the band join, not inside a plan.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        knee = (1.0 / b) ** (1.0 / r)
+        cand = (abs(knee - threshold), b, r, knee)
+        if best is None or cand < best:
+            best = cand
+    _, b, r, knee = best
+
+    def p_collide(s: float) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "knee": round(knee, 4),
+        "p_at_threshold": round(p_collide(threshold), 4),
+        "p_below": round(p_collide(max(threshold - 0.1, 0.0)), 4),
+        "p_above": round(p_collide(min(threshold + 0.1, 1.0)), 4),
+    }

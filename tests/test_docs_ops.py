@@ -1984,3 +1984,19 @@ def test_pq_arrow_paths_match_expression_paths(spark, sf_dir):
         for r in SIM.pq_reconstruct_arrow(SIM.pq_encode_arrow(dbl)).collect()
     }
     assert rec_e == rec_a
+
+
+def test_minhash_band_plan_knee_and_monotonicity():
+    plan = DD.minhash_band_plan(0.5, num_hashes=16)
+    assert plan["bands"] * plan["rows_per_band"] == 16
+    assert abs(plan["knee"] - 0.5) <= 0.15
+    # collision probability must rise through the threshold
+    assert plan["p_below"] < plan["p_at_threshold"] < plan["p_above"]
+    # high threshold wants fewer, wider bands than a low threshold
+    hi = DD.minhash_band_plan(0.9, num_hashes=16)
+    lo = DD.minhash_band_plan(0.2, num_hashes=16)
+    assert hi["rows_per_band"] > lo["rows_per_band"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        DD.minhash_band_plan(1.5)
