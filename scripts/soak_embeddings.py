@@ -276,7 +276,7 @@ def main() -> int:
             sample = uniform.filter(
                 F.col("vec_id") % max(n // 200_000, 1) == 0
             )
-            books = SIM.pq_fit(sample, iters=2)
+            books = SIM.pq_fit(sample, iters=2, use_arrow=True)
             report["phases"]["pq_fit_sample"] = round(time.time() - t0, 1)
             t0 = time.time()
             codes = SIM.pq_encode_arrow(uniform, books).localCheckpoint(
@@ -314,7 +314,9 @@ def main() -> int:
             # default) — same machinery, trained/encoded via the Arrow
             # paths (the 2048-term literal expression is gate-only)
             t0 = time.time()
-            books256 = SIM.pq_fit(sample, codebooks_shape=(8, 256), iters=2)
+            books256 = SIM.pq_fit(
+                sample, codebooks_shape=(8, 256), iters=2, use_arrow=True
+            )
             report["phases"]["pq_fit256_sample"] = round(time.time() - t0, 1)
             t0 = time.time()
             codes256 = SIM.pq_encode_arrow(uniform, books256).localCheckpoint(

@@ -69,6 +69,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Train k centroids with ``iters`` Lloyd iterations; returns a
     centroid DataFrame ``(id_col, vec_col)`` that plugs directly into
@@ -76,6 +77,12 @@ def kmeans_fit(
 
     Empty cells keep their previous centroid (standard practice), so the
     quantizer always has exactly k cells.
+
+    ``use_arrow=True`` assigns via the numpy-GEMM path
+    (:func:`similarity.ivf_assign_arrow`) — same winner per row as the
+    expression path (identical rounding + first-max tiebreak), but the
+    per-iteration scoring cost stops scaling with k as an expression
+    tree; use it for k ≳ 64 (the 8×256 PQ fit is ~10× faster).
     """
     spark: SparkSession = vectors.sparkSession
     seeds = vectors.orderBy(F.col(id_col).asc()).limit(k)
@@ -94,7 +101,18 @@ def kmeans_fit(
             [(cid, vec) for cid, vec in sorted(current.items())],
             f"{id_col} long, {vec_col} array<double>",
         )
-        assigned = ivf_assign(vectors, cent_df, id_col=id_col, vec_col=vec_col)
+        if use_arrow:
+            from streaming_etl_pipeline_spark.operators.similarity import (
+                ivf_assign_arrow,
+            )
+
+            assigned = ivf_assign_arrow(
+                vectors, cent_df, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            assigned = ivf_assign(
+                vectors, cent_df, id_col=id_col, vec_col=vec_col
+            )
         for cid, mean in _cell_means(assigned, vec_col):
             current[cid] = mean  # empty cells keep their old centroid
 

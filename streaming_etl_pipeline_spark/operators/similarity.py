@@ -1302,6 +1302,7 @@ def pq_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: an independent k-means per subspace slice.
 
@@ -1323,7 +1324,10 @@ def pq_fit(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
         )
-        cents = kmeans_fit(sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        cents = kmeans_fit(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            use_arrow=use_arrow,
+        )
         rows = sorted(
             (int(r[0]), [round(float(x), 6) for x in r[1]]) for r in cents.collect()
         )
