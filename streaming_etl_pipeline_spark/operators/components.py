@@ -404,9 +404,13 @@ def pagerank(
 
     from pyspark import StorageLevel
 
+    # persist the deduplicated edge list: nodes, deg and the iteration
+    # frame all derive from it — unpersisted, the distinct would replan
+    # (and reshuffle) once per consumer
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -416,16 +416,29 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     q20 = dbl.filter(F.col("vec_id") < 20)
+    # the lsh/ivf/filtered frames are consumed twice (labelled union +
+    # the RRF fusion below) — persist the tiny top-k results so the
+    # whole retrieval chain isn't planned twice per arm
     arms = [
         ("bruteforce", SIM.cosine_topk(q20, dbl, k=5)),
-        ("lsh", SIM.lsh_ann_topk(q20, dbl, k=5, n_planes=4, multiprobe=True)),
+        (
+            "lsh",
+            SIM.lsh_ann_topk(
+                q20, dbl, k=5, n_planes=4, multiprobe=True
+            ).persist(StorageLevel.MEMORY_AND_DISK),
+        ),
         (
             "ivf",
             SIM.ivf_ann_topk(
                 q20, dbl, dbl.filter(F.col("vec_id") < 16), k=5, nprobe=2
+            ).persist(StorageLevel.MEMORY_AND_DISK),
+        ),
+        (
+            "filtered",
+            SIM.filtered_cosine_topk(q20, dbl, k=5).persist(
+                StorageLevel.MEMORY_AND_DISK
             ),
         ),
-        ("filtered", SIM.filtered_cosine_topk(q20, dbl, k=5)),
         ("rerank", SIM.ann_rerank(q20, dbl, k=5, candidate_k=20, stage1_dims=32)),
     ]
     out = None
