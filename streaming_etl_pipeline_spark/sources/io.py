@@ -578,3 +578,110 @@ def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(vroot, f"v{v}"))
             removed.append(v)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: deterministic sharding + integrity manifest
+# ---------------------------------------------------------------------------
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Export a training corpus as ``n_shards`` deterministic shards plus
+    a ``_manifest.json`` integrity record (underscore: invisible to Spark's file index, like ``_SUCCESS``) — the handoff artifact a
+    training stack consumes (shard → data-loader worker mapping, resume
+    bookkeeping, transfer verification).
+
+    Shard assignment is ``md5(id) mod n_shards`` — a pure function of
+    content identity, so the same corpus shards identically regardless
+    of partitioning, cluster size, or insertion order (unlike
+    ``randomSplit``/round-robin), and an incremental re-export moves no
+    rows between shards. The manifest carries per-shard row counts and
+    an order-independent 60-bit content checksum (sum of per-row md5s
+    mod 2^60 — the same construction as the oracle gate's checksum
+    rollups), computed in the SAME job that writes, one extra
+    ``n_shards``-row aggregate.
+
+    Returns the manifest dict. Verify after a copy/transfer with
+    :func:`verify_training_shards`.
+    """
+    import json as _json
+
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+
+    shard = F.pmod(md5_long(F.col(id_col)), F.lit(n_shards)).cast("int")
+    with_shard = df.withColumn("shard", shard)
+    writer = with_shard.write.mode(mode).partitionBy("shard")
+    getattr(writer, fmt)(path)
+
+    row_sig = md5_long(
+        F.concat_ws(
+            "|",
+            *[F.col(c).cast("string") for c in df.columns],
+        )
+    )
+    per_shard = (
+        with_shard.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (
+                F.sum(row_sig.cast("decimal(38,0)")) % F.lit(1 << 60)
+            ).cast("long").alias("checksum"),
+        )
+        .collect()  # bounded: n_shards rows
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "format": fmt,
+        "id_col": id_col,
+        "columns": list(df.columns),
+        "total_rows": int(sum(r["rows"] for r in per_shard)),
+        "shards": {
+            str(r["shard"]): {"rows": int(r["rows"]), "checksum": int(r["checksum"])}
+            for r in per_shard
+        },
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> dict:
+    """Recompute every shard's row count and content checksum and diff
+    against ``_manifest.json`` — the post-transfer integrity audit.
+    Returns ``{"ok": bool, "mismatched_shards": [...]}``; one
+    distributed pass, n_shards-row result."""
+    import json as _json
+
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    cols = [c for c in manifest["columns"]]
+    df = getattr(spark.read, manifest["format"])(path)
+    row_sig = md5_long(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    )
+    got = {
+        str(r["shard"]): (int(r["rows"]), int(r["checksum"]))
+        for r in df.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("rows"),
+            (
+                F.sum(row_sig.cast("decimal(38,0)")) % F.lit(1 << 60)
+            ).cast("long").alias("checksum"),
+        ).collect()
+    }
+    bad = []
+    for s, rec in manifest["shards"].items():
+        if got.get(s) != (rec["rows"], rec["checksum"]):
+            bad.append(s)
+    for s in got:
+        if s not in manifest["shards"]:
+            bad.append(s)
+    return {"ok": not bad, "mismatched_shards": sorted(bad)}

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 from pyspark.sql import types as T
@@ -712,3 +714,41 @@ def test_cli_optimize_versioned_commits_snapshot(spark, tmp_path):
     ])
     assert rc == 0 and latest_version(tbl) == 2
     assert read_versioned(spark, tbl, version=1).count() == 100
+
+
+def test_training_shards_roundtrip_and_tamper_detection(spark, tmp_path):
+    from streaming_etl_pipeline_spark.sources.io import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, n_shards=8)
+    assert manifest["total_rows"] == 500
+    assert len(manifest["shards"]) == 8
+    assert sum(s["rows"] for s in manifest["shards"].values()) == 500
+
+    # shard assignment is content-deterministic: re-export with a
+    # different partitioning produces the identical manifest
+    manifest2 = write_training_shards(
+        docs.repartition(13).sortWithinPartitions(F.desc("doc_id")),
+        str(tmp_path / "shards2"),
+        n_shards=8,
+    )
+    assert manifest2["shards"] == manifest["shards"]
+
+    assert verify_training_shards(spark, out)["ok"]
+
+    # tamper: drop one shard's data file → exactly that shard flagged
+    import glob as _glob
+
+    victim = sorted(_glob.glob(f"{out}/shard=*/part-*.parquet"))[0]
+    shard_id = victim.split("shard=")[1].split("/")[0]
+    os.remove(victim)
+    res = verify_training_shards(spark, out)
+    assert not res["ok"]
+    assert res["mismatched_shards"] == [shard_id]
