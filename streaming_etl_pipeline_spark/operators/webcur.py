@@ -175,5 +175,7 @@ def blocklist_filter(
     """Drop rows whose registrable domain appears in ``blocklist``
     (a 1-column ``domain`` frame) — broadcast anti-join, one corpus
     scan, no shuffle of the big side."""
-    bl = F.broadcast(blocklist.select(F.col("domain")).distinct())
+    bl = F.broadcast(
+        blocklist.select(F.col("domain").alias(domain_col)).distinct()
+    )
     return docs.join(bl, on=domain_col, how="left_anti")

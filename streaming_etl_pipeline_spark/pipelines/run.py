@@ -144,6 +144,21 @@ def make_parser() -> argparse.ArgumentParser:
         help="near-dup cluster canonicalization: label_prop (clique-ish "
         "LSH graphs) or star contraction (chain-heavy crawl corpora)",
     )
+    cr.add_argument(
+        "--url-col", default=None,
+        help="URL column enabling the registrable-domain pre-gate "
+        "(blocklist / per-domain cap) before any text stage",
+    )
+    cr.add_argument(
+        "--domain-blocklist", default=None,
+        help="parquet with a `domain` column; rows whose registrable "
+        "domain matches are dropped (with --url-col)",
+    )
+    cr.add_argument(
+        "--domain-cap", type=int, default=None,
+        help="keep at most N docs per registrable domain, preferring "
+        "longer text (with --url-col)",
+    )
 
     sc = sub.add_parser(
         "scd2", help="build a type-2 history table from a change log"
@@ -229,6 +244,12 @@ def main(argv: list[str] | None = None) -> int:
     ):
         parser.error(
             "--dsir-target and --dsir-keep-frac must be given together"
+        )
+    if args.cmd == "curate" and (
+        (args.domain_blocklist or args.domain_cap) and not args.url_col
+    ):
+        parser.error(
+            "--domain-blocklist / --domain-cap require --url-col"
         )
     spark = build_session(app_name=f"pipeline-{args.cmd}")
     metrics: dict[str, float] = {}
@@ -316,6 +337,13 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             nb_keep_threshold=args.nb_keep_threshold,
+            url_col=args.url_col,
+            domain_blocklist=(
+                spark.read.parquet(args.domain_blocklist)
+                if args.domain_blocklist
+                else None
+            ),
+            domain_cap_n=args.domain_cap,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

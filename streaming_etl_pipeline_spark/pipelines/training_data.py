@@ -58,6 +58,9 @@ def curate_corpus(
     dsir_keep_frac: float | None = None,
     nb_labeled: DataFrame | None = None,
     nb_keep_threshold: float = 0.0,
+    url_col: str | None = None,
+    domain_blocklist: DataFrame | None = None,
+    domain_cap_n: int | None = None,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -104,6 +107,14 @@ def curate_corpus(
     the survivor set); docs with zero grams carry no score row and are
     dropped, like the DSIR gate.
 
+    ``url_col`` (optional) enables the URL pre-gate — the stage crawl
+    pipelines (C4/RefinedWeb/FineWeb) run BEFORE any text processing,
+    because it is the cheapest cut: ``domain_blocklist`` (a 1-column
+    ``domain`` frame, broadcast anti-join on the registrable domain)
+    drops disallowed hosts, and ``domain_cap_n`` keeps at most N docs
+    per registrable domain (quality proxy = text length, skew-sharded
+    window) so no single host dominates the mixture.
+
     ``cc_algorithm`` selects how near-dup pairs are canonicalized:
     ``"label_prop"`` (default, O(diameter) rounds — right for clique-ish
     LSH graphs, raises rather than mislabel if the graph turns out
@@ -118,7 +129,44 @@ def curate_corpus(
             "supplying only one would silently skip the DSIR gate"
         )
 
+    if (domain_blocklist is not None or domain_cap_n is not None) and (
+        url_col is None
+    ):
+        raise ValueError(
+            "domain_blocklist / domain_cap_n require url_col — without a "
+            "URL there is no domain to gate on"
+        )
+
     metrics: dict[str, float] = {"input_docs": float(docs.count())}
+
+    # 0. URL pre-gate (optional) — registrable-domain blocklist + cap,
+    #    run before any text stage: a 0-shuffle domain derivation, one
+    #    broadcast anti-join, and (cap only) one skew-sharded window.
+    if url_col is not None:
+        from streaming_etl_pipeline_spark.operators import webcur as WC
+
+        with_domain = docs.withColumn(
+            "_domain", WC.registrable_domain(WC.url_host(F.col(url_col)))
+        )
+        if domain_blocklist is not None:
+            with_domain = WC.blocklist_filter(
+                with_domain, domain_blocklist, domain_col="_domain"
+            )
+        if domain_cap_n:
+            with_domain = (
+                WC.domain_cap(
+                    with_domain.withColumn("_q", F.length(text_col)),
+                    cap=domain_cap_n,
+                    domain_col="_domain",
+                    order_col="_q",
+                    id_col=id_col,
+                    skew=8,
+                )
+                .filter("kept")
+                .drop("domain_rank", "kept", "_q")
+            )
+        docs = with_domain.drop("_domain")
+        metrics["after_url_gate"] = float(docs.count())
 
     # 1. Quality gate — per-row flags carried inline (keep_cols), so the
     #    gate is a filter, not a join.

@@ -292,3 +292,44 @@ def test_curate_corpus_nb_gate(spark, tmp_path):
     written = spark.read.parquet(out)
     kept = {r.doc_id for r in written.select("doc_id").distinct().collect()}
     assert 0 in kept and 5 not in kept
+
+
+def test_curate_corpus_url_gate(spark, tmp_path):
+    """URL pre-gate: the blocklisted domain's doc drops before any text
+    stage; the per-domain cap keeps only the longest doc of a
+    multi-doc domain; the audit records the stage."""
+    import pytest
+
+    out = str(tmp_path / "training_url")
+    docs = _corpus(spark).withColumn(
+        "url",
+        F.when(F.col("doc_id") == 5, F.lit("https://spam.example.net/x"))
+        .when(
+            F.col("doc_id").isin(0, 1, 2),
+            F.concat(F.lit("https://www.mirror.example.com/d/"), F.col("doc_id")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://ok.example.org/d/"), F.col("doc_id"))
+        ),
+    )
+    bl = spark.createDataFrame([("example.net",)], "domain string")
+    res = curate_corpus(
+        spark,
+        docs,
+        out,
+        url_col="url",
+        domain_blocklist=bl,
+        domain_cap_n=2,
+    )
+    m = res.metrics
+    assert "after_url_gate" in m
+    # doc 5 blocklisted; example.com capped 3 -> 2 (shortest = doc 2 by
+    # id tiebreak); example.org capped 3 -> 2 (doc 6's short text loses)
+    assert m["after_url_gate"] == m["input_docs"] - 3
+    written = spark.read.parquet(out)
+    kept = {r.doc_id for r in written.select("doc_id").distinct().collect()}
+    assert 5 not in kept
+
+    # flags without url_col fail fast
+    with pytest.raises(ValueError):
+        curate_corpus(spark, docs, out, domain_cap_n=5)
