@@ -50,6 +50,16 @@ PLAN_GATES = [
     # windowed gold: bucket agg is one shuffle (+spread's round-robin)
     ("sensor_5min", 3, 0, 0),
     ("location_hourly", 3, 0, 0),
+    # r6: JL projection is a pure map over the spread scan
+    ("embedding_projection", 1, 0, 0),
+    # r6: URL stage = 0-shuffle derivations + one domain window + rollup
+    # (plus spread + the blocked-rows union branch); blocklist broadcasts
+    ("url_curation", 5, 1, 0),
+    # r6: PQ ADC = encode/reconstruct maps + one top-k window; the
+    # query side is the (1-row-scalar-shaped) broadcast nested loop
+    ("pq_adc_topk", 3, 0, 0),
+    # r6: IVF-PQ probes via one cell equi-join (broadcast queries)
+    ("ann_topk_ivf_pq", 3, 1, 0),
 ]
 
 
