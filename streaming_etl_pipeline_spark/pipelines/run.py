@@ -145,6 +145,12 @@ def make_parser() -> argparse.ArgumentParser:
         "LSH graphs) or star contraction (chain-heavy crawl corpora)",
     )
     cr.add_argument(
+        "--shards", type=int, default=None,
+        help="write N content-deterministic training shards with a "
+        "_manifest.json integrity record instead of split-partitioned "
+        "parquet",
+    )
+    cr.add_argument(
         "--url-col", default=None,
         help="URL column enabling the registrable-domain pre-gate "
         "(blocklist / per-domain cap) before any text stage",
@@ -344,6 +350,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             domain_cap_n=args.domain_cap,
+            shard_output=args.shards,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

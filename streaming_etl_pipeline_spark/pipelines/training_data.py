@@ -61,6 +61,7 @@ def curate_corpus(
     url_col: str | None = None,
     domain_blocklist: DataFrame | None = None,
     domain_cap_n: int | None = None,
+    shard_output: int | None = None,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -114,6 +115,12 @@ def curate_corpus(
     drops disallowed hosts, and ``domain_cap_n`` keeps at most N docs
     per registrable domain (quality proxy = text length, skew-sharded
     window) so no single host dominates the mixture.
+
+    ``shard_output=N`` (optional) writes the examples as N
+    content-deterministic training shards with a ``_manifest.json``
+    integrity record (``sources.io.write_training_shards``; sharded by
+    ``id_col`` so a document's chunks stay co-sharded) instead of the
+    default split-partitioned parquet — ``split`` stays as a column.
 
     ``cc_algorithm`` selects how near-dup pairs are canonicalized:
     ``"label_prop"`` (default, O(diameter) rounds — right for clique-ish
@@ -357,7 +364,19 @@ def curate_corpus(
         F.sum((F.col("chunk_id") == 0).cast("long")).alias("final_docs"),
         F.sum("n_tokens").alias("tokens_written"),
     )
-    examples.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    if shard_output:
+        from streaming_etl_pipeline_spark.sources.io import (
+            write_training_shards,
+        )
+
+        manifest = write_training_shards(
+            examples, out_path, n_shards=shard_output, id_col=id_col
+        )
+        metrics["shards_written"] = float(len(manifest["shards"]))
+    else:
+        examples.write.mode("overwrite").partitionBy("split").parquet(
+            out_path
+        )
     cached.unpersist()
     sigs.unpersist()
     # sum() observes as None over an empty write (every doc filtered)

@@ -285,6 +285,7 @@ def test_fuzz_zero_embedding(spark, tmp_path):
             "ann_topk_bruteforce",
             "rrf_ann_ensemble",  # fused ranks over NaN-cosine arms
             "pq_adc_topk",  # zero query vs reconstructed corpus
+            "ann_topk_ivf_pq",  # zero vectors through routing + codes
             "embedding_projection",  # norm_ratio NULL via nullif(0)
         ],
     )

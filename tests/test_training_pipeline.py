@@ -333,3 +333,20 @@ def test_curate_corpus_url_gate(spark, tmp_path):
     # flags without url_col fail fast
     with pytest.raises(ValueError):
         curate_corpus(spark, docs, out, domain_cap_n=5)
+
+
+def test_curate_corpus_shard_output(spark, tmp_path):
+    """shard_output writes manifest-verified training shards; the split
+    column survives as data and the shard manifest passes the verify
+    audit."""
+    from streaming_etl_pipeline_spark.sources.io import (
+        verify_training_shards,
+    )
+
+    out = str(tmp_path / "training_shards")
+    res = curate_corpus(spark, _corpus(spark), out, shard_output=4)
+    assert res.metrics["shards_written"] >= 1
+    assert verify_training_shards(spark, out)["ok"]
+    written = spark.read.parquet(out)
+    assert {"doc_id", "split", "shard"} <= set(written.columns)
+    assert written.count() == res.metrics["chunks_written"]
