@@ -380,6 +380,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     hint_small: bool = False,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — link-graph
     authority for crawl curation (seed prioritization, per-domain
@@ -391,6 +392,16 @@ def pagerank(
     integers divided out — see PAGERANK_SCALE). Dangling mass is dropped
     (nodes without out-edges redistribute nothing), the standard
     simplification; ranks then sum to slightly under 1.
+
+    ``teleport`` (optional) personalizes the walk: a ``(node,
+    weight)`` frame (weights need not be normalized — they are divided
+    by their sum) replaces the uniform restart distribution, biasing
+    rank mass toward the weighted seed set (Haveliwala 2002,
+    topic-sensitive PageRank — seed-trusted domains in crawl curation).
+    Nodes absent from ``teleport`` get zero restart mass; initial ranks
+    start at the personalization vector. With uniform weights the
+    result matches the unpersonalized walk to within one micro-unit
+    (the teleport term folds ``w/total`` instead of ``1/N``).
 
     Scale notes: the edge list is the only big frame. It is
     deduplicated, degree-joined, repartitioned on ``src`` and persisted
@@ -424,12 +435,48 @@ def pagerank(
 
     # python float ops are the same IEEE doubles the engines compute —
     # embed the results as literals so both plans carry identical ints
-    r0_u = int(math.floor(PAGERANK_SCALE / float(n) + 0.5))
-    teleport_u = int(
-        math.floor(PAGERANK_SCALE * (1.0 - damping) / float(n) + 0.5)
-    )
-
-    ranks = nodes.select("node", F.lit(r0_u).cast("long").alias("rank_u"))
+    if teleport is None:
+        r0_u = int(math.floor(PAGERANK_SCALE / float(n) + 0.5))
+        teleport_u = int(
+            math.floor(PAGERANK_SCALE * (1.0 - damping) / float(n) + 0.5)
+        )
+        tel = nodes.select(
+            "node", F.lit(teleport_u).cast("long").alias("tel_u")
+        )
+        ranks = nodes.select(
+            "node", F.lit(r0_u).cast("long").alias("rank_u")
+        )
+    else:
+        tw = teleport.select(
+            F.col("node"), F.col("weight").cast("double").alias("w")
+        )
+        total = float(tw.agg(F.sum("w")).first()[0])  # bounded scalar
+        seeded = (
+            nodes.join(F.broadcast(tw) if hint_small else tw, "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("w"), F.lit(0.0)) / F.lit(total)
+                ).alias("w_norm"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        tel = seeded.select(
+            "node",
+            F.floor(
+                F.lit(float(PAGERANK_SCALE))
+                * (F.lit(1.0) - F.lit(damping))
+                * F.col("w_norm")
+                + 0.5
+            ).cast("long").alias("tel_u"),
+        )
+        ranks = seeded.select(
+            "node",
+            F.floor(
+                F.lit(float(PAGERANK_SCALE)) * F.col("w_norm") + 0.5
+            ).cast("long").alias("rank_u"),
+        )
+    tel_b = F.broadcast(tel) if hint_small else tel
     for _ in range(iters):
         r = F.broadcast(ranks) if hint_small else ranks
         contribs = ed.join(r, ed["src"] == r["node"]).select(
@@ -438,14 +485,19 @@ def pagerank(
         )
         summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         s = F.broadcast(summed) if hint_small else summed
-        ranks = nodes.join(s, nodes["node"] == s["dst"], "left").select(
-            "node",
-            (
-                F.lit(teleport_u)
-                + F.floor(
-                    F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)) + 0.5
-                )
-            ).cast("long").alias("rank_u"),
+        ranks = (
+            nodes.join(s, nodes["node"] == s["dst"], "left")
+            .join(tel_b, "node")
+            .select(
+                "node",
+                (
+                    F.col("tel_u")
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
+                        + 0.5
+                    )
+                ).cast("long").alias("rank_u"),
+            )
         )
     return ranks.select(
         "node", (F.col("rank_u") / F.lit(float(PAGERANK_SCALE))).alias("rank")

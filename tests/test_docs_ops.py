@@ -2000,3 +2000,33 @@ def test_minhash_band_plan_knee_and_monotonicity():
 
     with _pt.raises(ValueError):
         DD.minhash_band_plan(1.5)
+
+
+def test_personalized_pagerank_biases_toward_seeds(spark):
+    """Personalized teleport on the hub-spoke graph (1,2,3 → 0): with
+    all restart mass on spoke 1, steady state is exact after 2 steps —
+    seed keeps its teleport share, the hub holds the damped relay of it,
+    unseeded spokes decay to zero. Uniform weights must reproduce the
+    unpersonalized walk to within one micro-unit per node."""
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    edges = spark.createDataFrame([Row(src=s, dst=0) for s in (1, 2, 3)])
+    seeds = spark.createDataFrame([Row(node=1, weight=1.0)])
+    out = {
+        r.node: r.rank
+        for r in CC.pagerank(edges, iters=3, teleport=seeds).collect()
+    }
+    assert out[1] == 0.15          # its own teleport share
+    assert out[0] == 0.1275        # 0.85 * seed's steady rank
+    assert out[2] == out[3] == 0.0
+
+    uniform = spark.createDataFrame(
+        [Row(node=i, weight=1.0) for i in range(4)]
+    )
+    a = {r.node: r.rank for r in CC.pagerank(edges, iters=3).collect()}
+    b = {
+        r.node: r.rank
+        for r in CC.pagerank(edges, iters=3, teleport=uniform).collect()
+    }
+    for k in a:
+        assert abs(a[k] - b[k]) <= 1.0 / CC.PAGERANK_SCALE + 1e-12
