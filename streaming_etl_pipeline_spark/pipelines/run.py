@@ -98,6 +98,25 @@ def make_parser() -> argparse.ArgumentParser:
     tq.add_argument("--id-col", default="vec_id")
     tq.add_argument("--vec-col", default="embedding")
 
+    tp = sub.add_parser(
+        "train-pq",
+        help="train product-quantization codebooks over an embedding "
+        "table; writes the [m][k][sub] nested list as JSON for "
+        "pq_encode/pq_adc_topk/ivf_pq_topk codebooks=",
+    )
+    tp.add_argument("--input", required=True, help="parquet with vec_id,embedding")
+    tp.add_argument("--output", required=True, help="codebook JSON path")
+    tp.add_argument("--m", type=int, default=8, help="subspaces")
+    tp.add_argument("--k", type=int, default=256, help="codewords per subspace")
+    tp.add_argument("--iters", type=int, default=5)
+    tp.add_argument("--id-col", default="vec_id")
+    tp.add_argument("--vec-col", default="embedding")
+    tp.add_argument(
+        "--expression-assign", action="store_true",
+        help="use the literal-expression k-means assignment instead of "
+        "the Arrow GEMM path (the default; 16x faster at k=256)",
+    )
+
     cr = sub.add_parser(
         "curate",
         help="full corpus curation: quality → dedup → decontaminate → "
@@ -310,6 +329,23 @@ def main(argv: list[str] | None = None) -> int:
         cents.write.mode("overwrite").parquet(args.output)
         metrics["quantizer.k"] = args.k
         metrics["quantizer.centroids"] = spark.read.parquet(args.output).count()
+    if args.cmd == "train-pq":
+        from streaming_etl_pipeline_spark.operators.similarity import pq_fit
+
+        vecs = spark.read.parquet(args.input)
+        books = pq_fit(
+            vecs,
+            codebooks_shape=(args.m, args.k),
+            iters=args.iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            use_arrow=not args.expression_assign,
+        )
+        with open(args.output, "w") as f:
+            json.dump(books, f)
+        metrics["pq.m"] = args.m
+        metrics["pq.k"] = args.k
+        metrics["pq.sub_dim"] = len(books[0][0])
     if args.cmd == "curate":
         from streaming_etl_pipeline_spark.pipelines.training_data import (
             curate_corpus,

@@ -350,3 +350,36 @@ def test_curate_corpus_shard_output(spark, tmp_path):
     written = spark.read.parquet(out)
     assert {"doc_id", "split", "shard"} <= set(written.columns)
     assert written.count() == res.metrics["chunks_written"]
+
+
+def test_cli_train_pq_writes_codebooks(spark, tmp_path, capsys):
+    import json
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+
+    out = str(tmp_path / "books.json")
+    rc = main(
+        [
+            "train-pq",
+            "--input", "/root/testdata/sf0.001/embeddings.parquet",
+            "--output", out,
+            "--m", "4", "--k", "8", "--iters", "2",
+        ]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["pq.sub_dim"] == 16  # 64 dims / 4 subspaces
+    books = json.load(open(out))
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    # the artifact round-trips into the encode path
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    codes = dbl.select(SIM.pq_encode("embedding", books).alias("c")).collect()
+    assert all(len(r.c) == 4 and all(0 <= x < 8 for x in r.c) for r in codes)
