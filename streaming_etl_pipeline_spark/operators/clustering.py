@@ -120,3 +120,64 @@ def kmeans_fit(
         [(cid, vec) for cid, vec in sorted(current.items())],
         f"{id_col} long, {vec_col} array<double>",
     )
+
+
+def prototype_prune(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    drop_frac: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): rank every vector by how
+    prototypical it is — cosine similarity to its assigned cluster
+    centroid — and mark the easiest ``drop_frac`` of EACH cluster for
+    removal. Keeping the hard (least prototypical) examples is the
+    regime that beats random pruning when data is abundant, which is
+    exactly the 100 TB pretraining setting; the per-cluster cut keeps
+    the pruned corpus covering every mode instead of collapsing onto
+    dense clusters.
+
+    Output grain: one row per vector —
+    ``(id, centroid_id, proto_sim, proto_rank, cell_n, kept)`` where
+    ``proto_rank`` 1 is the most prototypical of its cell and ``kept``
+    is false for ranks ≤ floor(drop_frac · cell_n). The ``kept = false``
+    rows are the delete list (same contract as SemDeDup /
+    ``cluster_representatives``).
+
+    Plan/scale: assignment + similarity ride
+    :func:`similarity.ivf_assign`'s literal-centroid projection (zero
+    corpus shuffles); the only exchange is the per-cell ranking window,
+    keyed on the quantizer cell — k-means cells are size-balanced by
+    construction, so no skew hardening is needed. Determinism:
+    similarities are rounded to 9 dp before ranking and ties break on
+    the vector id, a total order both engines sort identically.
+    """
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        _centroid_candidates,
+    )
+    from pyspark.sql import Window
+
+    cands = _centroid_candidates(
+        centroids, F.col(vec_col), id_col, vec_col
+    )
+    best = F.array_max(cands)
+    assigned = vectors.select(
+        id_col,
+        best["cid"].alias("centroid_id"),
+        best["s"].alias("proto_sim"),
+    )
+    w_cell = Window.partitionBy("centroid_id").orderBy(
+        F.col("proto_sim").desc(), F.col(id_col).asc()
+    )
+    w_n = Window.partitionBy("centroid_id")
+    ranked = assigned.select(
+        id_col,
+        "centroid_id",
+        "proto_sim",
+        F.row_number().over(w_cell).cast("long").alias("proto_rank"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("cell_n"),
+    )
+    cut = F.floor(F.lit(float(drop_frac)) * F.col("cell_n")).cast("long")
+    return ranked.withColumn("kept", F.col("proto_rank") > cut)

@@ -658,3 +658,93 @@ def epoch_allocation_sql(
              <= COALESCE(level, CAST(capacity AS DOUBLE)) AS capped
     FROM cands CROSS JOIN lvl
     """
+
+
+def materialize_epochs(
+    df: DataFrame,
+    allocation: DataFrame,
+    key_col: str = "doc_id",
+    group_col: str = "lang",
+    seed: str = "epochs",
+) -> DataFrame:
+    """Materialize an epoch allocation into the repeated-document
+    training stream a data loader actually consumes.
+
+    :func:`epoch_allocation` answers "how many epochs of each group fit
+    the token budget" (UniMax water-filling); this operator turns those
+    per-group ``epochs`` (a float like 2.37) into concrete document
+    copies: every doc of the group appears ``floor(epochs)`` times, and
+    a deterministic ``frac(epochs)``-sized keyed-hash slice of the
+    group's docs appears once more — so the emitted token mass matches
+    the allocation in expectation per group while staying exactly
+    reproducible (same corpus + seed → same copies on any cluster
+    layout, the same contract as :func:`hash_sample`). Groups allocated
+    ``epochs < 1`` degrade to a plain Bernoulli-by-key downsample;
+    groups with NULL epochs (empty capacity) emit nothing.
+
+    Output grain: one row per (document, copy) with ``copy`` in
+    ``1..n_copies`` — ready to feed sequence packing / shard export.
+
+    Plan/scale: the allocation is G rows (one per group) and broadcast;
+    the corpus is scanned once with a per-row hash + ``explode(
+    sequence(...))`` whose expansion factor is bounded by ``max_epochs``
+    — no shuffle over the corpus at any scale. The fractional-copy
+    threshold is compared in DOUBLE on both engines (the
+    ``temperature_sample`` parity rule): ``epochs`` is already
+    oracle-pinned identical, and ``-``/``*``/``floor`` are IEEE-exact,
+    so no further rounding is applied.
+    """
+    al = F.broadcast(
+        allocation.select(F.col("grp").alias(group_col), "epochs")
+    )
+    h = (md5_long(key_col, seed) % _SAMPLE_MOD).cast("double")
+    n_full = F.floor(F.col("epochs")).cast("long")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    extra = (h < frac * F.lit(float(_SAMPLE_MOD))).cast("long")
+    return (
+        df.join(al, group_col)
+        .withColumn("n_copies", n_full + extra)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            key_col,
+            group_col,
+            "epochs",
+            "n_copies",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy"),
+        )
+    )
+
+
+def materialize_epochs_sql(
+    budget: int,
+    max_epochs: int = 4,
+    table: str = "documents",
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "epochs",
+) -> str:
+    """DuckDB twin of :func:`materialize_epochs` composed over
+    :func:`epoch_allocation_sql` (the allocation CTE is the registered
+    oracle SQL verbatim, so the two stages stay in lock-step)."""
+    alloc = epoch_allocation_sql(
+        budget, max_epochs, table=table, group_col=group_col,
+        size_col=size_col,
+    )
+    h = f"CAST(({md5_long_sql(f'd.{key_col}', seed)} % {_SAMPLE_MOD}) AS DOUBLE)"
+    return f"""
+    WITH alloc AS ({alloc}),
+    j AS (
+      SELECT d.{key_col}, d.{group_col}, a.epochs,
+             CAST(floor(a.epochs) AS BIGINT)
+             + CASE WHEN {h}
+                         < (a.epochs - floor(a.epochs)) * {float(_SAMPLE_MOD)}
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM {table} d JOIN alloc a ON d.{group_col} = a.grp
+    )
+    SELECT {key_col}, {group_col}, epochs, n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+    FROM j WHERE n_copies >= 1
+    """

@@ -2151,3 +2151,92 @@ def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): epoch materialization + prototype-based pruning
+# ---------------------------------------------------------------------------
+
+
+def _epoch_mat_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        materialize_epochs_sql,
+    )
+
+    return materialize_epochs_sql(budget=450_000, max_epochs=4)
+
+
+@register("epoch_materialization", None)  # SQL patched below
+def q_epoch_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epoch mixture (operators/sampling.py
+    ``materialize_epochs``): the 450k-char UniMax allocation turned into
+    the concrete repeated-doc training stream — floor(epochs) copies per
+    doc plus a deterministic keyed-hash slice for the fractional epoch;
+    every (doc, copy) row value-hashed against the DuckDB twin."""
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        epoch_allocation,
+        materialize_epochs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    alloc = epoch_allocation(docs, budget=450_000, max_epochs=4)
+    return materialize_epochs(docs, alloc)
+
+
+def _patch_epoch_mat_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    spec = QUERIES["epoch_materialization"]
+    QUERIES["epoch_materialization"] = spec.__class__(
+        fn=spec.fn, sql=_epoch_mat_sql(), bench=spec.bench
+    )
+
+
+_patch_epoch_mat_sql()
+
+
+@register(
+    "prototype_pruning",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, centroid_id, s AS proto_sim FROM (
+        SELECT v.vec_id, cent.centroid_id, {_IVF_COS} AS s,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_COS} DESC, cent.centroid_id)
+                 AS rn
+        FROM v CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, centroid_id, proto_sim,
+             CAST(row_number() OVER (PARTITION BY centroid_id
+                                     ORDER BY proto_sim DESC, vec_id)
+                  AS BIGINT) AS proto_rank,
+             CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT)
+               AS cell_n
+      FROM assigned
+    )
+    SELECT vec_id, centroid_id, proto_sim, proto_rank, cell_n,
+           proto_rank > CAST(floor(0.25 * cell_n) AS BIGINT) AS kept
+    FROM ranked
+    """,
+)
+def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning (operators/clustering.py
+    ``prototype_prune``, Sorscher et al. 2022): every vector ranked by
+    cosine to its quantizer centroid, the most-prototypical 25% of each
+    cell marked for removal — rank, cell size, and keep flag all
+    value-hashed against the DuckDB twin."""
+    from streaming_etl_pipeline_spark.operators.clustering import (
+        prototype_prune,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    centroids = dbl.filter(F.col("vec_id") < 16)
+    return prototype_prune(dbl, centroids, drop_frac=0.25)

@@ -577,6 +577,11 @@ def q_grouping_sets_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'epochs' AS sample_op, grp AS id,
            CAST(capped AS VARCHAR) AS grp, CAST(unique_toks AS VARCHAR) AS val
     FROM ({_sql("epoch_allocation")})
+    UNION ALL
+    SELECT 'epoch_mat' AS sample_op, CAST(doc_id AS VARCHAR) AS id,
+           lang AS grp,
+           CAST(n_copies AS VARCHAR) || ':' || CAST(copy AS VARCHAR) AS val
+    FROM ({_sql("epoch_materialization")})
     """,
 )
 def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,16 +674,27 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("string").alias("grp"),
         F.col("n_grams").cast("string").alias("val"),
     )
-    ep_s = epoch_allocation(docs, budget=450_000, max_epochs=4).select(
+    alloc = epoch_allocation(docs, budget=450_000, max_epochs=4)
+    ep_s = alloc.select(
         F.lit("epochs").alias("sample_op"),
         F.col("grp").alias("id"),
         F.col("capped").cast("string").alias("grp"),
         F.col("unique_toks").cast("string").alias("val"),
     )
+    mat_s = SP.materialize_epochs(docs, alloc).select(
+        F.lit("epoch_mat").alias("sample_op"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("lang").alias("grp"),
+        F.concat_ws(
+            ":",
+            F.col("n_copies").cast("string"),
+            F.col("copy").cast("string"),
+        ).alias("val"),
+    )
     return (
         hash_s.unionByName(res_s).unionByName(bud_s)
         .unionByName(mix_s).unionByName(wt_s).unionByName(temp_s)
-        .unionByName(dsir_s).unionByName(ep_s)
+        .unionByName(dsir_s).unionByName(ep_s).unionByName(mat_s)
     )
 
 
@@ -1225,6 +1241,13 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            orig_norm AS m1, proj_norm AS m2, norm_ratio AS m3,
            CAST(0 AS DOUBLE) AS m4
     FROM ({_sql("embedding_projection")})
+    UNION ALL
+    SELECT 'proto_prune' AS emb_op, vec_id AS k1,
+           CAST(centroid_id AS VARCHAR) || ':' || CAST(kept AS VARCHAR)
+             AS k2,
+           proto_sim AS m1, CAST(proto_rank AS DOUBLE) AS m2,
+           CAST(cell_n AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
+    FROM ({_sql("prototype_pruning")})
     """,
 )
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,9 +1309,23 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm_ratio").alias("m3"),
         F.lit(0.0).alias("m4"),
     )
+    prune = _run("prototype_pruning", spark, sf_dir).select(
+        F.lit("proto_prune").alias("emb_op"),
+        F.col("vec_id").alias("k1"),
+        F.concat_ws(
+            ":",
+            F.col("centroid_id").cast("string"),
+            F.col("kept").cast("string"),
+        ).alias("k2"),
+        F.col("proto_sim").alias("m1"),
+        F.col("proto_rank").cast("double").alias("m2"),
+        F.col("cell_n").cast("double").alias("m3"),
+        F.lit(0.0).alias("m4"),
+    )
     return (
         dims.unionByName(quant).unionByName(pool)
         .unionByName(decon).unionByName(bitext).unionByName(jl)
+        .unionByName(prune)
     )
 
 
@@ -1915,6 +1952,11 @@ COVERED_BY: dict[str, str] = {
     # counts + an order-independent md5 checksum of every domain row
     "url_curation": "metrics_overview",
     "link_pagerank": "neardup_pairs",
+    # r6: the materialized epoch stream rides the sampling suite as one
+    # (doc, copy)-grain arm; prototype pruning rides the embedding
+    # profile with rank/cell/keep pinned per vector
+    "epoch_materialization": "sampling_suite",
+    "prototype_pruning": "embedding_profile",
 }
 
 DRIVER_SET: list[str] = [

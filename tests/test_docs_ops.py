@@ -2030,3 +2030,55 @@ def test_personalized_pagerank_biases_toward_seeds(spark):
     }
     for k in a:
         assert abs(a[k] - b[k]) <= 1.0 / CC.PAGERANK_SCALE + 1e-12
+
+
+def test_prototype_prune_drops_easiest_per_cell(spark):
+    from streaming_etl_pipeline_spark.operators.clustering import (
+        prototype_prune,
+    )
+
+    # two orthogonal clusters; within each, vectors at increasing angle
+    # from the centroid — the closest (most prototypical) half must be
+    # the pruned half, per cell
+    import math
+
+    def vec(axis, angle):
+        x = math.cos(angle)
+        y = math.sin(angle)
+        return [x, y] if axis == 0 else [y, x]
+
+    rows = []
+    vid = 0
+    for axis in (0, 1):
+        for i, ang in enumerate([0.05, 0.10, 0.30, 0.60]):
+            rows.append((100 + vid, vec(axis, ang)))
+            vid += 1
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(cents, "vec_id long, embedding array<double>")
+    out = prototype_prune(vecs, cent, drop_frac=0.5).collect()
+    assert len(out) == 8
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.centroid_id, []).append(r)
+    assert set(by_cell) == {0, 1} and all(len(v) == 4 for v in by_cell.values())
+    for cell, rs in by_cell.items():
+        rs.sort(key=lambda r: r.proto_rank)
+        # rank 1 = highest cosine to centroid; floor(0.5*4)=2 pruned
+        sims = [r.proto_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert [r.kept for r in rs] == [False, False, True, True]
+        assert all(r.cell_n == 4 for r in rs)
+    # drop_frac=0 keeps everything
+    kept_all = prototype_prune(vecs, cent, drop_frac=0.0).collect()
+    assert all(r.kept for r in kept_all)
+    # deterministic tie-break: duplicate vectors rank by vec_id
+    dup = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ranks = {
+        r.vec_id: r.proto_rank
+        for r in prototype_prune(dup, cent, drop_frac=0.5).collect()
+    }
+    assert ranks == {3: 1, 7: 2}

@@ -63,7 +63,10 @@ Perturbation classes (≥5):
                         smoothing, prior sign);
 17. ``ppl_bucket_degenerate_langs`` — one giant lang partition +
                         langs with fewer docs than ntile tiles
-                        (remainder-to-earlier-tiles parity).
+                        (remainder-to-earlier-tiles parity);
+18. ``epoch_materialization_edges`` — integral epochs (fractional
+                        threshold exactly 0), all-capped and starved
+                        budgets, through the copy-explosion twin.
 """
 
 from __future__ import annotations
@@ -287,6 +290,7 @@ def test_fuzz_zero_embedding(spark, tmp_path):
             "pq_adc_topk",  # zero query vs reconstructed corpus
             "ann_topk_ivf_pq",  # zero vectors through routing + codes
             "embedding_projection",  # norm_ratio NULL via nullif(0)
+            "prototype_pruning",  # NaN proto_sim through the cell rank
         ],
     )
 
@@ -591,3 +595,58 @@ def test_fuzz_sparse_shifted_doc_ids(spark, tmp_path):
 
     sf = _clone_sf(tmp_path, "documents", mutate)
     _gate(spark, sf, ["link_pagerank", "url_curation"])
+
+
+def test_fuzz_epoch_materialization_edges(spark, tmp_path):
+    """materialize_epochs at the allocation domain edges: integral
+    epochs (fractional part exactly 0 — the `h < 0·MOD` boundary must
+    emit NO extra copies in either engine), every group capped at
+    max_epochs (uniform 4-copy expansion), and a starved budget where
+    every group degrades to a sub-1-epoch Bernoulli slice. Spark and
+    the DuckDB twin must agree on every (doc, copy) row bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        epoch_allocation,
+        materialize_epochs,
+        materialize_epochs_sql,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": list(range(30)),
+            "lang": ["a"] * 10 + ["b"] * 10 + ["c"] * 10,
+            "n_chars": [10] * 10 + [40] * 10 + [100] * 10,
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    sdf = spark.read.parquet(path)
+    # capacities: a=400, b=1600, c=4000 (max_epochs=4). budget=6000 →
+    # all capped, every epochs exactly 4.0 (integral — zero extras);
+    # budget=300 → even 100-per-group split, a=1.0 integral, b=0.25,
+    # c=0.1 fractional; budget=7 → starved sub-1 everywhere
+    for budget in (6000, 300, 150, 7):
+        got = sorted(
+            tuple(r)
+            for r in materialize_epochs(
+                sdf, epoch_allocation(sdf, budget)
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                materialize_epochs_sql(budget) + " ORDER BY 1, 5"
+            ).fetchall()
+        )
+        assert got == want, f"materialize_epochs diverged at budget={budget}"
+    # all-capped integral epochs: exactly 4 copies of every doc
+    rows = materialize_epochs(sdf, epoch_allocation(sdf, 6000)).collect()
+    assert len(rows) == 30 * 4
+    assert all(r.n_copies == 4 for r in rows)

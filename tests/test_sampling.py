@@ -198,3 +198,50 @@ def test_dyadic_pow_matches_float_pow(spark):
         xs = rows.collect()
         for rx, ry in zip(xs, got):
             assert abs(ry["y"] - rx["x"] ** alpha) < 1e-12
+
+
+def test_materialize_epochs_copies_and_determinism(spark):
+    # group A: exactly 2 epochs → every doc twice; group B: 0.5 epochs
+    # → a deterministic ~half of docs once; group C: NULL epochs →
+    # nothing emitted
+    docs = spark.createDataFrame(
+        [(i, "A" if i < 20 else ("B" if i < 220 else "C"))
+         for i in range(240)],
+        "doc_id long, lang string",
+    )
+    alloc = spark.createDataFrame(
+        [("A", 2.0), ("B", 0.5), ("C", None)],
+        "grp string, epochs double",
+    )
+    out = SP.materialize_epochs(docs, alloc).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    a_docs = {d: c for d, c in by_doc.items() if d < 20}
+    b_docs = {d: c for d, c in by_doc.items() if 20 <= d < 220}
+    # integral epochs: every A doc exactly twice, copies numbered 1..2
+    assert set(a_docs) == set(range(20))
+    assert all(sorted(c) == [1, 2] for c in a_docs.values())
+    # fractional epochs: ~half of B docs exactly once (keyed Bernoulli)
+    assert all(c == [1] for c in b_docs.values())
+    assert abs(len(b_docs) / 200 - 0.5) < 0.15
+    # NULL epochs emit nothing
+    assert not any(d >= 220 for d in by_doc)
+    # partitioning independence: same copies on any layout
+    out2 = SP.materialize_epochs(docs.repartition(13), alloc).collect()
+    assert sorted((r.doc_id, r.copy) for r in out2) == sorted(
+        (r.doc_id, r.copy) for r in out
+    )
+
+
+def test_materialize_epochs_fractional_slice_nests(spark):
+    # the fractional-epoch slice is the SAME keyed-hash slice at every
+    # integer part: epochs=1.3's extra-copy docs == epochs=0.3's docs
+    docs = spark.createDataFrame(
+        [(i, "g") for i in range(400)], "doc_id long, lang string"
+    )
+    def emitted(ep):
+        alloc = spark.createDataFrame([("g", ep)], "grp string, epochs double")
+        rows = SP.materialize_epochs(docs, alloc).collect()
+        return {r.doc_id for r in rows if r.n_copies == int(ep) + 1}
+    assert emitted(0.3) == emitted(1.3) == emitted(3.3)
