@@ -674,7 +674,12 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("string").alias("grp"),
         F.col("n_grams").cast("string").alias("val"),
     )
-    alloc = epoch_allocation(docs, budget=450_000, max_epochs=4)
+    # the G-row allocation feeds two arms (scalar rollup + the copy
+    # materialization) — persist it so the water-filling agg chain is
+    # planned once, not per consumer
+    alloc = epoch_allocation(docs, budget=450_000, max_epochs=4).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ep_s = alloc.select(
         F.lit("epochs").alias("sample_op"),
         F.col("grp").alias("id"),
