@@ -28,6 +28,7 @@ from streaming_etl_pipeline_spark.operators import classifier as CL  # noqa: E40
 from streaming_etl_pipeline_spark.operators import components as CC  # noqa: E402
 from streaming_etl_pipeline_spark.operators import dedup as DD  # noqa: E402
 from streaming_etl_pipeline_spark.operators import retrieval as RT  # noqa: E402
+from streaming_etl_pipeline_spark.operators import sampling as SP  # noqa: E402
 from streaming_etl_pipeline_spark.operators import text as TX  # noqa: E402
 from streaming_etl_pipeline_spark.session import build_session  # noqa: E402
 
@@ -127,6 +128,18 @@ def main() -> int:
             ),
             "cluster_representatives": CC.cluster_representatives(
                 clusters, scores, hint_small=True
+            ),
+            # allocation sized so epochs land fractional (extra-copy
+            # hash evaluated for every row, the worst case)
+            "materialize_epochs (2.x epochs)": SP.materialize_epochs(
+                docs.withColumn("lang", (F.col("doc_id") % 8).cast("string")),
+                SP.epoch_allocation(
+                    docs.withColumn(
+                        "lang", (F.col("doc_id") % 8).cast("string")
+                    ).withColumn("n_chars", F.length("text")),
+                    budget=2 * n * 220,
+                    max_epochs=4,
+                ),
             ),
         }
         for name, df in cases.items():

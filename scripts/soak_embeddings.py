@@ -33,6 +33,10 @@ Phases (each timed; shuffle/spill/peak-mem from the event log at exit):
                 IVF nprobe 1) recall@10 vs each arm alone and vs the
                 same brute-force truth — the fusion should recover
                 recall the individual approximate indexes miss;
+- ``prune``   — prototype-based keep-hard pruning over the clustered
+                corpus: Arrow-GEMM centroid assignment + the one
+                per-cell ranking window → rows/s + realized keep
+                fraction;
 - ``bitext``  — corpus×corpus mining THROUGH THE ``candidates=`` HOOK:
                 20-plane LSH cells generate M²/2^20 cell-local pairs
                 for M src × M tgt (the 2M×2M broadcast grid would be
@@ -344,6 +348,29 @@ def main() -> int:
                 / max(queries.count(), 1),
                 3,
             )
+
+        # ---- prune: prototype-based keep-hard over the clustered
+        #      corpus (Arrow GEMM assignment + one per-cell window) ----
+        if "prune" in phases:
+            from streaming_etl_pipeline_spark.operators.clustering import (
+                prototype_prune,
+            )
+
+            cents = corpus.filter(
+                F.col("vec_id") % max(n // k, 1) == 0
+            ).limit(k).localCheckpoint(eager=True)
+            t0 = time.time()
+            pruned = prototype_prune(
+                corpus, cents, drop_frac=0.25, use_arrow=True
+            )
+            kept = pruned.agg(
+                F.sum(F.col("kept").cast("long")).alias("kept"),
+                F.count(F.lit(1)).alias("total"),
+            ).first()
+            wall = time.time() - t0
+            report["phases"]["prototype_prune"] = round(wall, 1)
+            report["prune_rows_per_sec"] = round(n / wall)
+            report["prune_kept_frac"] = round(kept.kept / kept.total, 4)
 
         # ---- neardup: 2^planes-cell LSH pair join, planted twins ----
         if "neardup" in phases:

