@@ -101,6 +101,58 @@ def canonicalize_sql(
     return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
 
 
+#: HTML entities decoded by :func:`strip_html`, in application order —
+#: ``&amp;`` LAST so ``&amp;lt;`` decodes to the literal text ``&lt;``
+#: (one decoding pass, the lxml/html.unescape convention), never to ``<``.
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column | str) -> Column:
+    """Markup-to-text extraction (the WET stage of a web curation
+    pipeline, cf. CCNet/C4 which consume pre-extracted text): drop
+    ``<script>``/``<style>`` blocks and HTML comments wholesale, strip
+    every remaining tag (replaced by a space so adjacent words don't
+    fuse), decode the common entities, and collapse whitespace. Case is
+    PRESERVED — this is extraction, not normalization; feed the result
+    to :func:`canonicalize`/:func:`norm_text` for dedup keys.
+
+    0-shuffle per-row projection; every pattern avoids backreferences
+    so Java regex (Spark) and RE2 (DuckDB) match byte-for-byte —
+    pinned by the ``html_extract`` oracle row. Unclosed script/style
+    blocks keep their text content (both engines, deterministically);
+    a real boilerplate pass (``remove_boilerplate``) runs downstream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def strip_html_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`strip_html` (RE2 — the patterns use no
+    backreferences or lookarounds by construction)."""
+    s = rf"regexp_replace({col_sql}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    s = rf"regexp_replace({s}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    s = rf"regexp_replace({s}, '(?s)<!--.*?-->', ' ', 'g')"
+    s = rf"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, repl in _HTML_ENTITIES:
+        lit = repl.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+
+
 def norm_text(col: Column | str) -> Column:
     """Lowercase + collapse runs of whitespace — canonical text form used
     by every hash/fingerprint so trivial formatting differences dedup."""

@@ -2240,3 +2240,86 @@ def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = dbl.filter(F.col("vec_id") < 16)
     return prototype_prune(dbl, centroids, drop_frac=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): HTML text extraction
+# ---------------------------------------------------------------------------
+
+# deterministic HTML wrapping of each document — script/style blocks,
+# a comment, entity-encoded punctuation, nested tags — so the oracle
+# pins the FULL strip pipeline (block removal, tag strip, entity
+# decode, whitespace collapse) byte-for-byte per doc
+_HTML_WRAP_SQL = (
+    "'<!DOCTYPE html><html><head><title>doc ' || CAST(doc_id AS VARCHAR)"
+    " || '</title><style>p { color: red; }</style>'"
+    " || '<script type=\"text/javascript\">var id = ' ||"
+    " CAST(doc_id AS VARCHAR) || ';</script></head>'"
+    " || '<body><!-- boilerplate --><h1>Doc &amp;amp; &lt;' ||"
+    " lang || '&gt;</h1><p>' || COALESCE(text, '') ||"
+    " '</p>&nbsp;<div class=\"footer\">src=' || source ||"
+    " '</div></body></html>'"
+)
+
+
+def _html_wrap_col() -> F.Column:
+    return F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: red; }</style>"),
+        F.lit('<script type="text/javascript">var id = '),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head>"),
+        F.lit("<body><!-- boilerplate --><h1>Doc &amp;amp; &lt;"),
+        F.col("lang"),
+        F.lit("&gt;</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p>&nbsp;<div class="footer">src='),
+        F.col("source"),
+        F.lit("</div></body></html>"),
+    )
+
+
+def _html_extract_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.text import strip_html_sql
+
+    wrap = _HTML_WRAP_SQL
+    return f"""
+    WITH h AS (SELECT doc_id, {wrap} AS html FROM documents)
+    SELECT doc_id,
+           md5({strip_html_sql("html")}) AS extracted_md5,
+           CAST(length({strip_html_sql("html")}) AS BIGINT)
+             AS extracted_chars
+    FROM h
+    """
+
+
+@register("html_extract", None)  # SQL patched below
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction (operators/text.py ``strip_html``): each
+    document deterministically wrapped in full HTML (script/style
+    blocks, comments, entities, nested tags), then extracted back —
+    the md5 of every extracted string pins block removal, tag
+    stripping, single-pass entity decoding, and whitespace collapse
+    against the DuckDB twin."""
+    from streaming_etl_pipeline_spark.operators.text import strip_html
+
+    docs = read_table(spark, sf_dir, "documents")
+    ext = strip_html(_html_wrap_col())
+    return docs.select(
+        "doc_id",
+        F.md5(ext).alias("extracted_md5"),
+        F.length(ext).cast("long").alias("extracted_chars"),
+    )
+
+
+def _patch_html_extract_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    spec = QUERIES["html_extract"]
+    QUERIES["html_extract"] = spec.__class__(
+        fn=spec.fn, sql=_html_extract_sql(), bench=spec.bench
+    )
+
+
+_patch_html_extract_sql()

@@ -65,7 +65,8 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          hf AS ({_sql("hashed_features_profile")}),
          lm AS ({_sql("charlm_quality")}),
          rp AS ({_sql("repetition_stats")}),
-         sm AS ({_sql("script_mix")})
+         sm AS ({_sql("script_mix")}),
+         he AS ({_sql("html_extract")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
@@ -76,10 +77,12 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            rp.top2gram_char_frac, rp.dup_5gram_frac, rp.rep_keep,
            sm.n_chars, sm.n_latin, sm.n_digit, sm.n_space, sm.n_cyrillic,
            sm.n_cjk, sm.n_other, sm.latin_frac, sm.digit_frac,
-           sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script
+           sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script,
+           he.extracted_md5, he.extracted_chars
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
             JOIN hf USING (doc_id) JOIN lm USING (doc_id)
             JOIN rp USING (doc_id) JOIN sm USING (doc_id)
+            JOIN he USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,6 +99,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_run("charlm_quality", spark, sf_dir), "doc_id")
         .join(_run("repetition_stats", spark, sf_dir), "doc_id")
         .join(_run("script_mix", spark, sf_dir), "doc_id")
+        .join(_run("html_extract", spark, sf_dir), "doc_id")
     )
 
 
@@ -1962,6 +1966,9 @@ COVERED_BY: dict[str, str] = {
     # profile with rank/cell/keep pinned per vector
     "epoch_materialization": "sampling_suite",
     "prototype_pruning": "embedding_profile",
+    # r6: HTML extraction rides the per-doc text profile (md5 of every
+    # extracted string + its length)
+    "html_extract": "text_profile",
 }
 
 DRIVER_SET: list[str] = [

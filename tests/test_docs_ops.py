@@ -2115,3 +2115,40 @@ def test_prototype_prune_arrow_matches_expression(spark, sf_dir):
     }
     assert expr == arrow
     assert expr[999_999][0] == 0  # zero vector lands in the lowest cell
+
+
+def test_strip_html_extraction_rules(spark):
+    from streaming_etl_pipeline_spark.operators import text as TX
+
+    cases = spark.createDataFrame(
+        [
+            # tags stripped, words don't fuse across tags
+            (1, "<p>hello</p><p>world</p>"),
+            # script/style content dropped wholesale, any case
+            (2, "a<SCRIPT>var x = '<b>not text</b>';</SCRIPT>b"
+                "<style>p{x:1}</style>c"),
+            # comments dropped, multiline
+            (3, "x<!-- line1\nline2 -->y"),
+            # entities: single decoding pass — &amp;lt; is literal &lt;
+            (4, "&lt;tag&gt; &quot;q&quot; &#39;a&#39; &amp;amp;lt;"),
+            # unclosed script keeps its text (documented), tags still go
+            (5, "<script>orphan <b>bold</b>"),
+            # whitespace collapse + trim, case preserved
+            (6, "  Mixed   CASE\n\ttext  "),
+            (7, None),
+        ],
+        "id long, html string",
+    )
+    got = {
+        r.id: r.out
+        for r in cases.select(
+            "id", TX.strip_html("html").alias("out")
+        ).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "a b c"
+    assert got[3] == "x y"
+    assert got[4] == "<tag> \"q\" 'a' &amp;lt;"
+    assert got[5] == "orphan bold"
+    assert got[6] == "Mixed CASE text"
+    assert got[7] is None
