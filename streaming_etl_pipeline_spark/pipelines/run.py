@@ -184,6 +184,11 @@ def make_parser() -> argparse.ArgumentParser:
         help="keep at most N docs per registrable domain, preferring "
         "longer text (with --url-col)",
     )
+    cr.add_argument(
+        "--extract-html", action="store_true",
+        help="run markup->text extraction (strip_html) on the text "
+        "column before any quality/dedup stage — for raw-crawl input",
+    )
 
     sc = sub.add_parser(
         "scd2", help="build a type-2 history table from a change log"
@@ -387,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             domain_cap_n=args.domain_cap,
             shard_output=args.shards,
+            extract_html=args.extract_html,
         )
         metrics.update({f"curate.{k}": v for k, v in res.metrics.items()})
     if args.cmd == "scd2":

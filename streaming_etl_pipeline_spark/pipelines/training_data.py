@@ -62,6 +62,7 @@ def curate_corpus(
     domain_blocklist: DataFrame | None = None,
     domain_cap_n: int | None = None,
     shard_output: int | None = None,
+    extract_html: bool = False,
 ) -> PipelineResult:
     """Run the full curation flow and write chunked training examples to
     ``out_path`` partitioned by ``split``. Returns per-stage audit
@@ -115,6 +116,11 @@ def curate_corpus(
     drops disallowed hosts, and ``domain_cap_n`` keeps at most N docs
     per registrable domain (quality proxy = text length, skew-sharded
     window) so no single host dominates the mixture.
+
+    ``extract_html=True`` runs markup→text extraction
+    (``text.strip_html``) immediately after the URL gate, so raw-crawl
+    HTML never reaches the quality heuristics or dedup keys — the WET
+    stage of a web pipeline, 0-shuffle.
 
     ``shard_output=N`` (optional) writes the examples as N
     content-deterministic training shards with a ``_manifest.json``
@@ -174,6 +180,17 @@ def curate_corpus(
             )
         docs = with_domain.drop("_domain")
         metrics["after_url_gate"] = float(docs.count())
+
+    # 0b. HTML extraction (optional) — markup→text BEFORE any quality
+    #     stage so tag/entity noise never reaches the Gopher heuristics
+    #     or dedup keys. A 0-shuffle per-row projection (text.strip_html)
+    #     that rewrites text_col in place; raw markup is not carried
+    #     forward (re-read the bronze store for provenance).
+    if extract_html:
+        docs = docs.withColumn(text_col, TX.strip_html(text_col))
+        metrics["after_html_extract"] = float(
+            docs.filter(F.length(text_col) > 0).count()
+        )
 
     # 1. Quality gate — per-row flags carried inline (keep_cols), so the
     #    gate is a filter, not a join.

@@ -383,3 +383,34 @@ def test_cli_train_pq_writes_codebooks(spark, tmp_path, capsys):
     )
     codes = dbl.select(SIM.pq_encode("embedding", books).alias("c")).collect()
     assert all(len(r.c) == 4 and all(0 <= x < 8 for x in r.c) for r in codes)
+
+
+def test_curate_corpus_extract_html(spark, tmp_path):
+    """extract_html=True: markup is stripped BEFORE quality/dedup, so an
+    HTML-wrapped twin of a plain doc exact-dedups against it, and tag
+    soup never inflates the Gopher word counts."""
+    out = str(tmp_path / "training_html")
+    wrapped = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- footer --></body></html>"),
+    )
+    docs = _corpus(spark).withColumn(
+        "text",
+        F.when(F.col("doc_id").isin(1, 4), wrapped).otherwise(
+            F.col("text")
+        ),
+    )
+    res = curate_corpus(spark, docs, out, extract_html=True)
+    m = res.metrics
+    assert "after_html_extract" in m
+    # doc 1 (HTML-wrapped exact dup of 0) still dedups away: extraction
+    # restored the identical text before the hash
+    plain = curate_corpus(spark, _corpus(spark), str(tmp_path / "p"))
+    assert m["after_exact_dedup"] == plain.metrics["after_exact_dedup"]
+    # every downstream gate sees the same extracted corpus as the
+    # never-wrapped baseline — identical audit trail from quality on
+    downstream = [k for k in plain.metrics if k.startswith("after_")]
+    assert {k: m[k] for k in downstream} == {
+        k: plain.metrics[k] for k in downstream
+    }
