@@ -153,6 +153,40 @@ def strip_html_sql(col_sql: str) -> str:
     return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
 
 
+#: Sentence segmentation pattern: a run of non-terminator characters
+#: followed by any run of terminators (which also swallows "..." and
+#: "?!"); trailing terminator-less text forms a final sentence. No
+#: backreferences/lookarounds — Java regex and RE2 agree byte-for-byte.
+_SENT_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Heuristic sentence segmentation → ``array<string>``: split on
+    ``.``/``!``/``?`` runs, trim each piece, drop empties. The segmenter
+    bitext mining and sentence-grain dedup consume — deliberately a
+    deterministic rule set (no abbreviation lexicon: "Dr. Smith" splits;
+    at corpus scale the downstream operators tolerate over-splitting,
+    and a lexicon would make the oracle engine-dependent). 0-shuffle
+    per-row projection; the DuckDB twin (`split_sentences_sql`) is
+    byte-identical by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(_SENT_RE), 0)
+    # NOT transform(pieces, F.trim): transform passes (element, index)
+    # and the two-arg trim(str, trimStr) signature silently consumes the
+    # index as the trim character set — an explicit lambda pins 1-arg trim
+    trimmed = F.transform(pieces, lambda s: F.trim(s))
+    return F.filter(trimmed, lambda s: s != "")
+
+
+def split_sentences_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`split_sentences`."""
+    return (
+        f"list_filter(list_transform(regexp_extract_all({col_sql}, "
+        f"'{_SENT_RE}'), s -> trim(s)), s -> s <> '')"
+    )
+
+
 def norm_text(col: Column | str) -> Column:
     """Lowercase + collapse runs of whitespace — canonical text form used
     by every hash/fingerprint so trivial formatting differences dedup."""

@@ -2323,3 +2323,70 @@ def _patch_html_extract_sql() -> None:
 
 
 _patch_html_extract_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): sentence segmentation
+# ---------------------------------------------------------------------------
+
+
+def _sentence_profile_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.text import (
+        split_sentences_sql,
+    )
+
+    # deterministic punctuation decoration so the segmenter faces
+    # terminator runs, empty pieces, and a trailing terminator-less
+    # sentence on every doc (the raw testdata text is word soup)
+    decorated = (
+        "'First intro. Second one! ' || COALESCE(text, '') ||"
+        " '? Mixed?! run... trailing tail'"
+    )
+    sents = split_sentences_sql(decorated)
+    return f"""
+    WITH s AS (SELECT doc_id, {sents} AS sents FROM documents)
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(list_sum(list_transform(sents, x -> length(x)))
+                AS BIGINT) AS total_sent_chars,
+           md5(array_to_string(sents, chr(31))) AS sentences_md5
+    FROM s
+    """
+
+
+@register("sentence_profile", None)  # SQL patched below
+def q_sentence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (operators/text.py ``split_sentences``):
+    each doc decorated with a deterministic punctuation harness, then
+    segmented — sentence count, total sentence chars, and the md5 of
+    the joined sentence list pin every boundary decision against the
+    DuckDB twin."""
+    from streaming_etl_pipeline_spark.operators.text import split_sentences
+
+    docs = read_table(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit("First intro. Second one! "),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("? Mixed?! run... trailing tail"),
+    )
+    sents = split_sentences(decorated)
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.aggregate(
+            sents, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_sent_chars"),
+        F.md5(F.array_join(sents, "\x1f")).alias("sentences_md5"),
+    )
+
+
+def _patch_sentence_profile_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    spec = QUERIES["sentence_profile"]
+    QUERIES["sentence_profile"] = spec.__class__(
+        fn=spec.fn, sql=_sentence_profile_sql(), bench=spec.bench
+    )
+
+
+_patch_sentence_profile_sql()

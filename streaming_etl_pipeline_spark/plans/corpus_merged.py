@@ -66,7 +66,8 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          lm AS ({_sql("charlm_quality")}),
          rp AS ({_sql("repetition_stats")}),
          sm AS ({_sql("script_mix")}),
-         he AS ({_sql("html_extract")})
+         he AS ({_sql("html_extract")}),
+         sp AS ({_sql("sentence_profile")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
@@ -78,11 +79,12 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            sm.n_chars, sm.n_latin, sm.n_digit, sm.n_space, sm.n_cyrillic,
            sm.n_cjk, sm.n_other, sm.latin_frac, sm.digit_frac,
            sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script,
-           he.extracted_md5, he.extracted_chars
+           he.extracted_md5, he.extracted_chars,
+           sp.n_sentences, sp.total_sent_chars, sp.sentences_md5
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
             JOIN hf USING (doc_id) JOIN lm USING (doc_id)
             JOIN rp USING (doc_id) JOIN sm USING (doc_id)
-            JOIN he USING (doc_id)
+            JOIN he USING (doc_id) JOIN sp USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +102,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_run("repetition_stats", spark, sf_dir), "doc_id")
         .join(_run("script_mix", spark, sf_dir), "doc_id")
         .join(_run("html_extract", spark, sf_dir), "doc_id")
+        .join(_run("sentence_profile", spark, sf_dir), "doc_id")
     )
 
 
@@ -1969,6 +1972,9 @@ COVERED_BY: dict[str, str] = {
     # r6: HTML extraction rides the per-doc text profile (md5 of every
     # extracted string + its length)
     "html_extract": "text_profile",
+    # r6: sentence segmentation rides the same profile (count, char
+    # total, md5 of the joined sentence list)
+    "sentence_profile": "text_profile",
 }
 
 DRIVER_SET: list[str] = [

@@ -2152,3 +2152,32 @@ def test_strip_html_extraction_rules(spark):
     assert got[5] == "orphan bold"
     assert got[6] == "Mixed CASE text"
     assert got[7] is None
+
+
+def test_split_sentences_rules(spark):
+    from streaming_etl_pipeline_spark.operators import text as TX
+
+    cases = spark.createDataFrame(
+        [
+            (1, "One. Two! Three?"),
+            (2, "Ellipsis... then?! mixed runs."),
+            (3, "no terminator at all"),
+            (4, "  . ! ?  "),          # terminators only → no sentences
+            (5, ""),
+            (6, None),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r.id: r.s
+        for r in cases.select(
+            "id", TX.split_sentences("t").alias("s")
+        ).collect()
+    }
+    assert got[1] == ["One.", "Two!", "Three?"]
+    # terminator runs swallow into the preceding sentence
+    assert got[2] == ["Ellipsis...", "then?!", "mixed runs."]
+    assert got[3] == ["no terminator at all"]
+    assert got[4] == [".", "!", "?"]  # lone terminators survive as pieces
+    assert got[5] == []
+    assert got[6] is None
