@@ -1002,14 +1002,20 @@ def paragraph_dedup_sql(
     table: str = "documents",
     text_col: str = "text",
     extra_ctes: str = "",
+    chunks_sql: str | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`paragraph_dedup`. Keep-first is a
     ``row_number`` over each chunk's occurrences — fine at oracle scale;
-    the Spark side folds to a min-struct instead (see docstring)."""
+    the Spark side folds to a min-struct instead (see docstring).
+    ``chunks_sql=`` swaps the fixed-width word chunking for any other
+    ``(doc_id, pos, chunk)`` source (e.g. ``sentence_chunks_sql`` for
+    sentence-grain dedup), mirroring the operator's ``chunks=`` hook."""
     from streaming_etl_pipeline_spark.operators.text import doc_chunks_sql
 
+    if chunks_sql is None:
+        chunks_sql = doc_chunks_sql(table, text_col)
     return f"""
-    WITH {extra_ctes}chunks AS ({doc_chunks_sql(table, text_col)}),
+    WITH {extra_ctes}chunks AS ({chunks_sql}),
     flagged AS (
       SELECT doc_id, pos, chunk,
              (row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1)

@@ -187,6 +187,31 @@ def split_sentences_sql(col_sql: str) -> str:
     )
 
 
+def sentence_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode each document into ordered sentences as
+    ``(doc_id, pos, chunk)`` — the sentence-grain twin of
+    :func:`doc_chunks`, so every chunk-grain operator (keep-first
+    dedup, boilerplate removal, substring stores) runs at the grain
+    OSCAR/CCNet line-level dedup actually uses. Pure projection +
+    posexplode — no shuffle."""
+    return df.select(
+        "doc_id",
+        F.posexplode(split_sentences(text_col)).alias("pos", "chunk"),
+    )
+
+
+def sentence_chunks_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`sentence_chunks` (lockstep multi-unnest,
+    same pattern as :func:`doc_chunks_sql`)."""
+    sents = split_sentences_sql(text_col)
+    return f"""
+    SELECT doc_id,
+           unnest(range(len(sents))) AS pos,
+           unnest(sents) AS chunk
+    FROM (SELECT doc_id, {sents} AS sents FROM {table})
+    """
+
+
 def norm_text(col: Column | str) -> Column:
     """Lowercase + collapse runs of whitespace — canonical text form used
     by every hash/fingerprint so trivial formatting differences dedup."""

@@ -2390,3 +2390,65 @@ def _patch_sentence_profile_sql() -> None:
 
 
 _patch_sentence_profile_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): sentence-grain keep-first dedup
+# ---------------------------------------------------------------------------
+
+
+def _sentence_dedup_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.dedup import (
+        paragraph_dedup_sql,
+    )
+    from streaming_etl_pipeline_spark.operators.text import (
+        sentence_chunks_sql,
+    )
+
+    # the same punctuation harness as sentence_profile: the decoration
+    # sentences repeat across EVERY doc, so keep-first has real
+    # cross-doc work on this corpus (only doc 0 keeps "First intro.")
+    decorated = (
+        "(SELECT doc_id, 'First intro. Second one! ' ||"
+        " COALESCE(text, '') || '? Mixed?! run... trailing tail'"
+        " AS text FROM documents)"
+    )
+    return paragraph_dedup_sql(
+        chunks_sql=sentence_chunks_sql(table=decorated)
+    )
+
+
+@register("sentence_dedup", None)  # SQL patched below
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain keep-first dedup (OSCAR/CCNet line-level
+    semantics): ``paragraph_dedup`` fed by ``sentence_chunks`` instead
+    of fixed-width word chunks — each repeated sentence survives only at
+    its first (doc_id, pos) occurrence. The punctuation harness plants
+    four sentences repeated across every doc, so the keeper choice,
+    per-doc dup fractions, and kept-text md5s all carry real cross-doc
+    signal."""
+    from streaming_etl_pipeline_spark.operators.dedup import paragraph_dedup
+    from streaming_etl_pipeline_spark.operators.text import sentence_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("First intro. Second one! "),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("? Mixed?! run... trailing tail"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(decorated, chunks=sentence_chunks(decorated))
+
+
+def _patch_sentence_dedup_sql() -> None:
+    from streaming_etl_pipeline_spark.plans.corpus import QUERIES
+
+    spec = QUERIES["sentence_dedup"]
+    QUERIES["sentence_dedup"] = spec.__class__(
+        fn=spec.fn, sql=_sentence_dedup_sql(), bench=spec.bench
+    )
+
+
+_patch_sentence_dedup_sql()

@@ -859,7 +859,8 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          s AS ({_sql("substring_dupes")}),
          cn AS ({_sql("canonical_dedup")}),
          pd AS ({_sql("paragraph_dedup")}),
-         ck AS ({_sql("cluster_keep_best")})
+         ck AS ({_sql("cluster_keep_best")}),
+         sd AS ({_sql("sentence_dedup")})
     SELECT b.doc_id, b.n_chunks, b.n_kept, b.n_removed, b.clean_md5,
            g.n_words, g.mean_word_len, g.stop_hits, g.keep,
            c.canonical_id, c.cluster_size,
@@ -869,13 +870,17 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            cn.nfc_folds,
            pd.n_paras, pd.n_kept AS para_kept, pd.para_dup_frac,
            pd.kept_md5 AS para_kept_md5,
-           ck.rep_id, ck.is_rep
+           ck.rep_id, ck.is_rep,
+           sd.n_paras AS sent_n, sd.n_kept AS sent_kept,
+           sd.para_dup_frac AS sent_dup_frac,
+           sd.kept_md5 AS sent_kept_md5
     FROM b LEFT JOIN g ON b.doc_id = g.doc_id
            LEFT JOIN c ON b.doc_id = c.doc_id
            LEFT JOIN s ON b.doc_id = s.doc_id
            LEFT JOIN cn ON b.doc_id = cn.doc_id
            LEFT JOIN pd ON b.doc_id = pd.doc_id
            LEFT JOIN ck ON b.doc_id = ck.doc_id
+           LEFT JOIN sd ON b.doc_id = sd.doc_id
     """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,6 +948,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.select("doc_id", F.length("text").alias("score")),
         hint_small=True,  # persisted cluster map is pair-output-sized
     ).select("doc_id", "rep_id", "is_rep")
+    sd = _run("sentence_dedup", spark, sf_dir).select(
+        "doc_id",
+        F.col("n_paras").alias("sent_n"),
+        F.col("n_kept").alias("sent_kept"),
+        F.col("para_dup_frac").alias("sent_dup_frac"),
+        F.col("kept_md5").alias("sent_kept_md5"),
+    )
     return (
         b.join(g, "doc_id", "left")
         .join(c, "doc_id", "left")
@@ -950,6 +962,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cn, "doc_id", "left")
         .join(pd, "doc_id", "left")
         .join(ck, "doc_id", "left")
+        .join(sd, "doc_id", "left")
         .select(
             "doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5",
             "n_words", "mean_word_len", "stop_hits", "keep",
@@ -959,6 +972,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nfc_folds",
             "n_paras", "para_kept", "para_dup_frac", "para_kept_md5",
             "rep_id", "is_rep",
+            "sent_n", "sent_kept", "sent_dup_frac", "sent_kept_md5",
         )
     )
 
@@ -1975,6 +1989,9 @@ COVERED_BY: dict[str, str] = {
     # r6: sentence segmentation rides the same profile (count, char
     # total, md5 of the joined sentence list)
     "sentence_profile": "text_profile",
+    # r6: sentence-grain keep-first dedup rides the curation surface
+    # (per-doc sentence counts, dup fraction, kept-text md5)
+    "sentence_dedup": "corpus_curation",
 }
 
 DRIVER_SET: list[str] = [

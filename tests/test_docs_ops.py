@@ -2181,3 +2181,29 @@ def test_split_sentences_rules(spark):
     assert got[4] == [".", "!", "?"]  # lone terminators survive as pieces
     assert got[5] == []
     assert got[6] is None
+
+
+def test_sentence_dedup_keep_first(spark):
+    from streaming_etl_pipeline_spark.operators.dedup import paragraph_dedup
+    from streaming_etl_pipeline_spark.operators.text import sentence_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared line. Unique alpha."),
+            (2, "Shared line. Unique beta! Shared line."),
+            (3, "Only here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            docs, chunks=sentence_chunks(docs)
+        ).collect()
+    }
+    # doc 1 owns the first "Shared line." (lowest doc_id, pos 0)
+    assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    # doc 2 loses BOTH copies (cross-doc + within-doc repeat)
+    assert (out[2].n_paras, out[2].n_kept) == (3, 1)
+    assert out[2].para_dup_frac == round(1 - 1 / 3, 6)
+    assert (out[3].n_paras, out[3].n_kept) == (1, 1)
