@@ -98,6 +98,28 @@ def make_parser() -> argparse.ArgumentParser:
     tq.add_argument("--id-col", default="vec_id")
     tq.add_argument("--vec-col", default="embedding")
 
+    pp = sub.add_parser(
+        "prune",
+        help="prototype-based data pruning (Sorscher et al.): rank "
+        "vectors by cosine to their centroid, drop the easiest "
+        "fraction of each cell; writes (id, centroid_id, proto_sim, "
+        "proto_rank, cell_n, kept)",
+    )
+    pp.add_argument("--input", required=True, help="parquet with vec_id,embedding")
+    pp.add_argument(
+        "--centroids", required=True,
+        help="centroid parquet (train-quantizer output)",
+    )
+    pp.add_argument("--output", required=True, help="pruning-decision parquet out")
+    pp.add_argument("--drop-frac", type=float, default=0.25)
+    pp.add_argument("--id-col", default="vec_id")
+    pp.add_argument("--vec-col", default="embedding")
+    pp.add_argument(
+        "--expression-assign", action="store_true",
+        help="use the literal-expression assignment instead of the "
+        "Arrow GEMM path (the default; ~100x cosine throughput)",
+    )
+
     tp = sub.add_parser(
         "train-pq",
         help="train product-quantization codebooks over an embedding "
@@ -334,6 +356,27 @@ def main(argv: list[str] | None = None) -> int:
         cents.write.mode("overwrite").parquet(args.output)
         metrics["quantizer.k"] = args.k
         metrics["quantizer.centroids"] = spark.read.parquet(args.output).count()
+    if args.cmd == "prune":
+        from streaming_etl_pipeline_spark.operators.clustering import (
+            prototype_prune,
+        )
+
+        vecs = spark.read.parquet(args.input)
+        cents = spark.read.parquet(args.centroids)
+        decisions = prototype_prune(
+            vecs,
+            cents,
+            drop_frac=args.drop_frac,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            use_arrow=not args.expression_assign,
+        )
+        decisions.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        kept = written.filter("kept").count()
+        metrics["prune.total"] = written.count()
+        metrics["prune.kept"] = kept
+        metrics["prune.drop_frac"] = args.drop_frac
     if args.cmd == "train-pq":
         from streaming_etl_pipeline_spark.operators.similarity import pq_fit
 

@@ -414,3 +414,41 @@ def test_curate_corpus_extract_html(spark, tmp_path):
     assert {k: m[k] for k in downstream} == {
         k: plain.metrics[k] for k in downstream
     }
+
+
+def test_cli_prune_writes_decisions(spark, tmp_path, capsys):
+    import json
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+
+    cents = str(tmp_path / "cents")
+    rc = main(
+        [
+            "train-quantizer",
+            "--input", "/root/testdata/sf0.001/embeddings.parquet",
+            "--output", cents,
+            "--k", "8", "--iters", "1",
+        ]
+    )
+    assert rc == 0
+    out = str(tmp_path / "decisions")
+    rc = main(
+        [
+            "prune",
+            "--input", "/root/testdata/sf0.001/embeddings.parquet",
+            "--centroids", cents,
+            "--output", out,
+            "--drop-frac", "0.25",
+        ]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    written = spark.read.parquet(out)
+    n_in = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert metrics["prune.total"] == written.count() == n_in
+    # per-cell floor(0.25*n) pruning lands the global keep near 75%
+    assert abs(metrics["prune.kept"] / metrics["prune.total"] - 0.75) < 0.02
+    assert {"vec_id", "centroid_id", "proto_sim", "proto_rank", "cell_n",
+            "kept"} <= set(written.columns)
