@@ -129,6 +129,28 @@ def main() -> int:
             "cluster_representatives": CC.cluster_representatives(
                 clusters, scores, hint_small=True
             ),
+            "strip_html (full wrap, 0-shuffle)": docs.select(
+                "doc_id",
+                TX.strip_html(
+                    F.concat(
+                        F.lit("<html><head><script>var x=1;</script>"
+                              "</head><body><!-- c --><p>"),
+                        "text",
+                        F.lit("</p>&amp; &lt;footer&gt;</body></html>"),
+                    )
+                ).alias("clean"),
+            ),
+            "sentence_dedup (keep-first, sentence grain)": DD.paragraph_dedup(
+                docs,
+                chunks=TX.sentence_chunks(
+                    docs.select(
+                        "doc_id",
+                        F.concat(
+                            F.lit("Shared intro. "), "text", F.lit(". Tail")
+                        ).alias("text"),
+                    )
+                ),
+            ),
             # allocation sized so epochs land fractional (extra-copy
             # hash evaluated for every row, the worst case)
             "materialize_epochs (2.x epochs)": SP.materialize_epochs(
