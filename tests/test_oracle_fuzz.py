@@ -66,7 +66,11 @@ Perturbation classes (≥5):
                         (remainder-to-earlier-tiles parity);
 18. ``epoch_materialization_edges`` — integral epochs (fractional
                         threshold exactly 0), all-capped and starved
-                        budgets, through the copy-explosion twin.
+                        budgets, through the copy-explosion twin;
+19. ``markup_in_text`` — hostile markup inside document text
+                        (unterminated '<', '&amp;' fragments, dangling
+                        comment/script openers) through the HTML
+                        extraction and sentence twins.
 """
 
 from __future__ import annotations
@@ -650,3 +654,31 @@ def test_fuzz_epoch_materialization_edges(spark, tmp_path):
     rows = materialize_epochs(sdf, epoch_allocation(sdf, 6000)).collect()
     assert len(rows) == 30 * 4
     assert all(r.n_copies == 4 for r in rows)
+
+
+def test_fuzz_markup_in_text(spark, tmp_path):
+    """Hostile markup INSIDE document text (not just the harness wrap):
+    unterminated '<' comparisons, entity-lookalike '&amp;' fragments,
+    dangling '<!--' comment openers, and '<script>' without a closer.
+    The strip/segment twins must make identical choices — e.g. 'a < b'
+    swallows text up to the next '>' in BOTH engines, and an unclosed
+    comment eats to end-of-string in both — so the md5s still match."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mod = pc.bit_wise_and(tbl["doc_id"], 7)
+        frags = [
+            " price is 3 < 5 and 9 > 2",
+            " tag <b>bold</b> &amp; more",
+            " dangling <!-- comment opener",
+            " rogue <script> no closer",
+        ]
+        text = tbl["text"].combine_chunks()
+        for j, frag in enumerate(frags):
+            decorated = pc.binary_join_element_wise(
+                text, pa.scalar(frag), ""
+            )
+            text = pc.if_else(pc.equal(mod, j), decorated, text)
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["html_extract", "sentence_profile", "sentence_dedup"])
