@@ -96,8 +96,11 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avg_len"),
     )
+    # doc_term's grain is (doc, term) — one row per posting — so plain
+    # count IS the document frequency; countDistinct here planned a
+    # two-phase expand (one extra exchange) for the same value
     df_tbl = doc_term.groupBy("term").agg(
-        F.countDistinct(id_col).alias("df")
+        F.count(F.lit(1)).alias("df")
     )
     idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
         "term",
