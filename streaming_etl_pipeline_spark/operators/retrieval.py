@@ -55,6 +55,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_terms_col: str = "qterm",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """BM25 top-``k`` documents per query.
 
@@ -67,6 +68,16 @@ def bm25_topk(
 
     Output: ``(query_id, rank, neighbor_id, score)`` — ties broken by
     ascending doc id, same contract as the dense ANN family.
+
+    Precondition: ``id_col`` is unique in ``docs`` (one text per doc
+    id). df is computed as a plain count over the (doc, term) posting
+    grain in BOTH engines — duplicate doc ids would inflate df
+    identically on both sides rather than diverge, but the scores would
+    count the duplicated document twice, so dedup ids upstream.
+
+    ``exclude_self=True`` drops the candidate whose doc id equals the
+    query id before ranking — the hybrid-ensemble contract, where the
+    dense arms also exclude the query vector itself.
     """
     from pyspark import StorageLevel
 
@@ -125,10 +136,13 @@ def bm25_topk(
         ),
         6,
     )
+    scored = doc_term.join(F.broadcast(q_terms), "term").join(
+        F.broadcast(idf_tbl), "term"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
     scored = (
-        doc_term.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(idf_tbl), "term")
-        .select("query_id", F.col(id_col), comp.alias("c"))
+        scored.select("query_id", F.col(id_col), comp.alias("c"))
         .groupBy("query_id", id_col)
         .agg(
             F.sum(F.col("c").cast("decimal(38,6)"))
@@ -154,6 +168,7 @@ def bm25_topk_sql(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_self: bool = False,
 ) -> str:
     """DuckDB oracle twin of :func:`bm25_topk`. ``docs_sql`` yields
     (doc_id, text); ``queries_sql`` yields exploded (query_id, qterm).
@@ -184,7 +199,9 @@ def bm25_topk_sql(
       FROM (SELECT len({toks}) AS dl FROM d) WHERE dl > 0
     ),
     df_tbl AS (
-      SELECT term, CAST(count(DISTINCT {id_col}) AS BIGINT) AS df
+      -- doc_term's grain is (doc, term): plain count IS the document
+      -- frequency, and matches the Spark side even on degenerate input
+      SELECT term, CAST(count(*) AS BIGINT) AS df
       FROM doc_term
       GROUP BY term
     ),
@@ -202,6 +219,7 @@ def bm25_topk_sql(
                   * (1.0 - {BM25_B} + {BM25_B} * (doc_len / avg_len))), 6)
              AS DECIMAL(38,6))) AS DOUBLE) AS score
       FROM doc_term dt JOIN q USING (term) JOIN idf_tbl USING (term)
+      {"WHERE q.query_id <> dt." + id_col if exclude_self else ""}
       GROUP BY 1, 2
     )
     SELECT query_id,

@@ -1576,7 +1576,17 @@ def pq_encode_arrow(
     distance GEMM per subspace instead of 1024 scalar expressions per
     row. Identical codes to the expression path: scores rounded to 9dp,
     argmin takes the first (lowest-code) minimum. The bulk-encode path
-    for index builds; the expression path remains the oracle twin."""
+    for index builds; the expression path remains the oracle twin.
+
+    Rounding mode: Spark's ``F.round`` is HALF_UP (away from zero), so
+    the 9dp round here is a sign-aware ``floor(|x|·1e9 + 0.5)`` rather
+    than ``np.round`` (half-to-even) — a score landing exactly on a
+    .5e-9 boundary rounds the same way on both paths, making the
+    code-equality structural instead of empirical. (The residual
+    difference — Spark rounds the double's SHORTEST DECIMAL repr, numpy
+    the binary value — can only bite when the two reprs straddle a
+    boundary at the 17th significant digit, beyond these scores'
+    meaningful precision.)"""
     import numpy as np
     import pandas as pd
 
@@ -1596,9 +1606,11 @@ def pq_encode_arrow(
             for s, bk in enumerate(bks):
                 sub = v[:, s * sub_len:(s + 1) * sub_len]
                 # ||c||^2 - 2 v_s . c  (the common ||v_s||^2 cancels)
-                scores = np.round(
-                    (bk * bk).sum(axis=1)[None, :] - 2.0 * (sub @ bk.T), 9
-                )
+                raw = (bk * bk).sum(axis=1)[None, :] - 2.0 * (sub @ bk.T)
+                # HALF_UP like Spark's round(), not numpy's half-to-even
+                scores = np.copysign(
+                    np.floor(np.abs(raw) * 1e9 + 0.5), raw
+                ) / 1e9
                 codes[:, s] = np.argmin(scores, axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "codes": list(codes)}

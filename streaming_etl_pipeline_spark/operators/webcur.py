@@ -50,7 +50,15 @@ def _c(col: Column | str) -> Column:
 
 def url_host(url: Column | str) -> Column:
     """Lowercased host: authority minus a default port (:80/:443) and a
-    leading ``www.``."""
+    leading ``www.``.
+
+    Scheme-less or malformed URLs yield ``''`` (regexp no-match), so
+    every malformed row collapses into one empty pseudo-domain
+    downstream. The curate pipeline's URL pre-gate therefore exempts
+    ``''`` from :func:`domain_cap` (they are not one real domain) and
+    reports them via a ``url_gate_malformed`` metric; callers applying
+    the cap directly should do the same or pre-filter to well-formed
+    absolute URLs."""
     hostport = F.lower(F.regexp_extract(_c(url), _HOSTPORT_RE, 1))
     host = F.regexp_replace(hostport, ":(80|443)$", "")
     return F.regexp_replace(host, "^www\\.", "")
@@ -151,6 +159,13 @@ def domain_cap(
     the raw row count; rows cut in phase 1 are provably outside the
     global top-``cap`` (their shard already had ``cap`` better rows).
     Rows dropped early never shuffle into the hot partition.
+
+    Output contract under ``skew``: phase 1 physically DROPS its cut
+    rows, so the result contains only the ≤ S×cap per-domain survivors
+    — ``kept=false`` rows are NOT the complete delete list (only
+    ``kept=true`` is meaningful; treat absence as dropped, as
+    ``curate_corpus``'s ``.filter("kept")`` already does). Without
+    ``skew`` every input row comes back with its flag.
     """
     ordering = [F.col(order_col).desc(), F.col(id_col).asc()]
     if skew:

@@ -166,9 +166,17 @@ def curate_corpus(
                 with_domain, domain_blocklist, domain_col="_domain"
             )
         if domain_cap_n:
+            # Malformed / scheme-less URLs derive an empty host, so they
+            # would all collapse into ONE '' pseudo-domain and the cap
+            # would silently drop most of them. Route them past the cap
+            # (they are not a real domain) and surface the count.
+            malformed = with_domain.filter(F.col("_domain") == "")
+            metrics["url_gate_malformed"] = float(malformed.count())
             with_domain = (
                 WC.domain_cap(
-                    with_domain.withColumn("_q", F.length(text_col)),
+                    with_domain.filter(F.col("_domain") != "").withColumn(
+                        "_q", F.length(text_col)
+                    ),
                     cap=domain_cap_n,
                     domain_col="_domain",
                     order_col="_q",
@@ -177,6 +185,7 @@ def curate_corpus(
                 )
                 .filter("kept")
                 .drop("domain_rank", "kept", "_q")
+                .unionByName(malformed)
             )
         docs = with_domain.drop("_domain")
         metrics["after_url_gate"] = float(docs.count())

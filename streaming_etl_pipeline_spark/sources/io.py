@@ -585,6 +585,25 @@ def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+def _shard_row_sig(cols: list) -> "F.Column":
+    """Injective per-row signature input: each column is rendered as
+    ``n`` (NULL) or ``v<len>:<value>`` — a prefix code, so values
+    containing the ``|`` joiner, empty strings, and NULLs all encode
+    distinctly (plain ``concat_ws`` skips NULLs and cannot distinguish
+    ``a|b`` in one column from ``a``,``b`` in two)."""
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return md5_long(F.concat_ws("|", *parts))
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -605,8 +624,9 @@ def write_training_shards(
     rows between shards. The manifest carries per-shard row counts and
     an order-independent 60-bit content checksum (sum of per-row md5s
     mod 2^60 — the same construction as the oracle gate's checksum
-    rollups), computed in the SAME job that writes, one extra
-    ``n_shards``-row aggregate.
+    rollups; rows are encoded null-safely with length-prefixed fields,
+    see :func:`_shard_row_sig`), computed in the SAME job that writes,
+    one extra ``n_shards``-row aggregate.
 
     Returns the manifest dict. Verify after a copy/transfer with
     :func:`verify_training_shards`.
@@ -620,12 +640,7 @@ def write_training_shards(
     writer = with_shard.write.mode(mode).partitionBy("shard")
     getattr(writer, fmt)(path)
 
-    row_sig = md5_long(
-        F.concat_ws(
-            "|",
-            *[F.col(c).cast("string") for c in df.columns],
-        )
-    )
+    row_sig = _shard_row_sig(df.columns)
     per_shard = (
         with_shard.groupBy("shard")
         .agg(
@@ -637,6 +652,7 @@ def write_training_shards(
         .collect()  # bounded: n_shards rows
     )
     manifest = {
+        "sig_version": 2,  # v2: null-safe length-prefixed row encoding
         "n_shards": n_shards,
         "format": fmt,
         "id_col": id_col,
@@ -659,15 +675,11 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     distributed pass, n_shards-row result."""
     import json as _json
 
-    from streaming_etl_pipeline_spark.functions.core import md5_long
-
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = _json.load(f)
     cols = [c for c in manifest["columns"]]
     df = getattr(spark.read, manifest["format"])(path)
-    row_sig = md5_long(
-        F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-    )
+    row_sig = _shard_row_sig(cols)
     got = {
         str(r["shard"]): (int(r["rows"]), int(r["checksum"]))
         for r in df.groupBy("shard").agg(

@@ -335,6 +335,28 @@ def test_curate_corpus_url_gate(spark, tmp_path):
         curate_corpus(spark, docs, out, domain_cap_n=5)
 
 
+def test_curate_corpus_url_gate_malformed_urls_bypass_cap(spark, tmp_path):
+    """Scheme-less / malformed URLs all derive the '' pseudo-domain; the
+    cap must NOT treat them as one domain and silently drop them — they
+    route past the cap and surface in the url_gate_malformed metric."""
+    out = str(tmp_path / "training_url_malformed")
+    # docs 0/1/2/5 get malformed URLs (> cap of 2); the rest one domain
+    docs = _corpus(spark).withColumn(
+        "url",
+        F.when(
+            F.col("doc_id").isin(0, 1, 2, 5),
+            F.concat(F.lit("not a url "), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("https://ok.example.org/d/"), F.col("doc_id"))
+        ),
+    )
+    res = curate_corpus(spark, docs, out, url_col="url", domain_cap_n=2)
+    m = res.metrics
+    assert m["url_gate_malformed"] == 4.0
+    # example.org has 3 docs (3, 4, 6) capped to 2; malformed all pass
+    assert m["after_url_gate"] == m["input_docs"] - 1
+
+
 def test_curate_corpus_shard_output(spark, tmp_path):
     """shard_output writes manifest-verified training shards; the split
     column survives as data and the shard manifest passes the verify
