@@ -101,18 +101,78 @@ def canonicalize_sql(
     return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
 
 
-#: HTML entities decoded by :func:`strip_html`, in application order —
-#: ``&amp;`` LAST so ``&amp;lt;`` decodes to the literal text ``&lt;``
-#: (one decoding pass, the lxml/html.unescape convention), never to ``<``.
-_HTML_ENTITIES: list[tuple[str, str]] = [
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&apos;", "'"),
-    ("&nbsp;", " "),
-    ("&amp;", "&"),
-]
+#: Named HTML entities decoded by :func:`strip_html`. Decoding happens
+#: in ONE tokenize-and-lookup pass (the html.unescape convention), so
+#: ``&amp;lt;`` tokenizes as ``&amp;`` + ``lt;`` and decodes to the
+#: literal text ``&lt;`` — never to ``<``; no application-order tricks.
+_HTML_NAMED_ENTITIES: dict[str, str] = {
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&apos;": "'",
+    "&nbsp;": " ",
+    "&amp;": "&",
+}
+
+#: General-punctuation codepoints whose numeric refs are decoded in
+#: addition to ASCII + Latin-1 — the characters real WET-stage HTML is
+#: full of (curly quotes, dashes, ellipsis, bullets, €, ™).
+_HTML_PUNCT_CPS: tuple[int, ...] = (
+    0x2010, 0x2011, 0x2012, 0x2013, 0x2014, 0x2015,
+    0x2018, 0x2019, 0x201A, 0x201C, 0x201D, 0x201E,
+    0x2020, 0x2021, 0x2022, 0x2026, 0x2030, 0x2032, 0x2033,
+    0x2039, 0x203A, 0x20AC, 0x2122,
+)
+
+
+def _build_html_entity_map() -> dict[str, str]:
+    """Entity → replacement table: the named entities plus numeric
+    character references (``&#NNNN;`` decimal, ``&#xHHHH;`` hex with
+    either ``x``/``X`` and all-lower or all-upper hex digits; 3-digit
+    zero-padded decimals for cp < 100) over tab/LF/CR, printable ASCII,
+    the 0x80–0x9F range (WHATWG windows-1252 remapping, via
+    ``html.unescape`` — ``&#146;`` → ``’``), Latin-1, and the common
+    general-punctuation block. NBSP decodes to a plain space (like
+    ``&nbsp;`` — the trailing ``\\s+`` collapse is ASCII-only in both
+    engines). Refs outside the table — mixed-case hex digits,
+    non-canonical padding, astral codepoints, C1 refs the WHATWG table
+    leaves as controls — pass through as literal text, deterministically
+    on both engines (they simply miss the map)."""
+    import html as _html
+
+    m = dict(_HTML_NAMED_ENTITIES)
+    cps = (
+        [9, 10, 13]
+        + list(range(32, 127))
+        + list(range(128, 256))
+        + list(_HTML_PUNCT_CPS)
+    )
+    for cp in cps:
+        val = _html.unescape(f"&#{cp};")
+        if val in ("\t", "\n", "\r", "\xa0"):
+            val = " "
+        if len(val) == 1 and (ord(val) < 32 or 127 <= ord(val) <= 159):
+            continue  # would emit a raw control char — leave undecoded
+        m[f"&#{cp};"] = val
+        if cp < 100:
+            m[f"&#{cp:03d};"] = val
+        h = format(cp, "x")
+        for x in ("x", "X"):
+            for digs in {h, h.upper()}:
+                m[f"&#{x}{digs};"] = val
+    return m
+
+
+_HTML_ENTITY_MAP: dict[str, str] = _build_html_entity_map()
+
+#: Tokenizer for the single decode pass: entity-shaped spans, maximal
+#: non-``&`` runs, or a bare ``&`` — every position starts exactly one
+#: token, so reassembly is lossless; leftmost-first alternation is the
+#: same in Java regex and RE2.
+_HTML_ENT_TOKEN_RE = (
+    "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|&[a-zA-Z][a-zA-Z0-9]*;"
+    "|[^&]+|&"
+)
 
 
 def strip_html(col: Column | str) -> Column:
@@ -120,7 +180,9 @@ def strip_html(col: Column | str) -> Column:
     pipeline, cf. CCNet/C4 which consume pre-extracted text): drop
     ``<script>``/``<style>`` blocks and HTML comments wholesale, strip
     every remaining tag (replaced by a space so adjacent words don't
-    fuse), decode the common entities, and collapse whitespace. Case is
+    fuse), decode entities — the named ones plus numeric character
+    references (see :func:`_build_html_entity_map`) in one
+    tokenize-and-lookup pass — and collapse whitespace. Case is
     PRESERVED — this is extraction, not normalization; feed the result
     to :func:`canonicalize`/:func:`norm_text` for dedup keys.
 
@@ -129,27 +191,57 @@ def strip_html(col: Column | str) -> Column:
     pinned by the ``html_extract`` oracle row. Unclosed script/style
     blocks keep their text content (both engines, deterministically);
     a real boilerplate pass (``remove_boilerplate``) runs downstream.
+    The entity table is a literal map expression (constant-folded
+    JVM-side; ~1k entries), looked up once per entity-shaped token.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
     s = F.regexp_replace(s, r"<[^>]*>", " ")
-    for ent, repl in _HTML_ENTITIES:
-        s = F.replace(s, F.lit(ent), F.lit(repl))
+    ent_map = F.create_map(
+        *[F.lit(x) for kv in _HTML_ENTITY_MAP.items() for x in kv]
+    )
+    toks = F.regexp_extract_all(s, F.lit(_HTML_ENT_TOKEN_RE), 0)
+    dec = F.transform(
+        toks, lambda t: F.coalesce(F.try_element_at(ent_map, t), t)
+    )
+    s = F.array_join(dec, "")
     return F.trim(F.regexp_replace(s, r"\s+", " "))
 
 
 def strip_html_sql(col_sql: str) -> str:
     """DuckDB twin of :func:`strip_html` (RE2 — the patterns use no
-    backreferences or lookarounds by construction)."""
+    backreferences or lookarounds by construction; the entity table is
+    the same literal map)."""
     s = rf"regexp_replace({col_sql}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
     s = rf"regexp_replace({s}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     s = rf"regexp_replace({s}, '(?s)<!--.*?-->', ' ', 'g')"
     s = rf"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
-    for ent, repl in _HTML_ENTITIES:
-        lit = repl.replace("'", "''")
-        s = f"replace({s}, '{ent}', '{lit}')"
+
+    def q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    entries = ", ".join(
+        f"{q(k)}: {q(v)}" for k, v in _HTML_ENTITY_MAP.items()
+    )
+    # The lookup runs in a decorrelated scalar subquery, NOT a
+    # list_transform lambda: DuckDB re-constructs constant expressions
+    # inside lambdas per ELEMENT (measured 25 s / 500 docs for the
+    # ~1.1k-entry map) but constant-folds them in a plain projection
+    # (0.04 s). string_agg over zero tokens is NULL (Spark's array_join
+    # is ''), so coalesce empty inputs back to '' while keeping NULL
+    # inputs NULL, matching Spark's null propagation.
+    joined = (
+        f"(SELECT string_agg(coalesce(map_extract(MAP {{{entries}}}, "
+        f"_toks[_i])[1], _toks[_i]), '' ORDER BY _i) "
+        f"FROM (SELECT regexp_extract_all({s}, '{_HTML_ENT_TOKEN_RE}') "
+        f"AS _toks) _ent_sub, unnest(range(1, len(_toks)+1)) AS _u(_i))"
+    )
+    s = (
+        f"(CASE WHEN {col_sql} IS NULL THEN NULL "
+        f"ELSE coalesce({joined}, '') END)"
+    )
     return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
 
 

@@ -2257,7 +2257,10 @@ _HTML_WRAP_SQL = (
     " CAST(doc_id AS VARCHAR) || ';</script></head>'"
     " || '<body><!-- boilerplate --><h1>Doc &amp;amp; &lt;' ||"
     " lang || '&gt;</h1><p>' || COALESCE(text, '') ||"
-    " '</p>&nbsp;<div class=\"footer\">src=' || source ||"
+    " '</p><p>It&#8217;s &#x201C;doc&#x201D; &#39;' ||"
+    " CAST(doc_id AS VARCHAR) ||"
+    " '&#039; &#146;cp1252&#148; &#999999; &#xZZ; &#X20AC;</p>'"
+    " || '&nbsp;<div class=\"footer\">src=' || source ||"
     " '</div></body></html>'"
 )
 
@@ -2274,7 +2277,10 @@ def _html_wrap_col() -> F.Column:
         F.col("lang"),
         F.lit("&gt;</h1><p>"),
         F.coalesce(F.col("text"), F.lit("")),
-        F.lit('</p>&nbsp;<div class="footer">src='),
+        F.lit("</p><p>It&#8217;s &#x201C;doc&#x201D; &#39;"),
+        F.col("doc_id").cast("string"),
+        F.lit("&#039; &#146;cp1252&#148; &#999999; &#xZZ; &#X20AC;</p>"),
+        F.lit('&nbsp;<div class="footer">src='),
         F.col("source"),
         F.lit("</div></body></html>"),
     )

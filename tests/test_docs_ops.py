@@ -2136,6 +2136,14 @@ def test_strip_html_extraction_rules(spark):
             # whitespace collapse + trim, case preserved
             (6, "  Mixed   CASE\n\ttext  "),
             (7, None),
+            # numeric refs: decimal/padded/hex/upper-X decode; C1 range
+            # remaps per WHATWG (&#146; is ’); NBSP becomes plain space
+            (8, "it&#8217;s &#039;x&#39; &#x201C;q&#X201D; "
+                "&#146;y&#148; a&#160;b &#9;tab"),
+            # out-of-table refs pass through; decoded &#60; is literal
+            # text (single pass — never re-parsed as a tag)
+            (9, "&#999999999; &#x110000; &#xZz; &#x; "
+                "&#60;b&#62;kept&#60;/b&#62; &amp;#39;"),
         ],
         "id long, html string",
     )
@@ -2152,6 +2160,8 @@ def test_strip_html_extraction_rules(spark):
     assert got[5] == "orphan bold"
     assert got[6] == "Mixed CASE text"
     assert got[7] is None
+    assert got[8] == "it’s 'x' “q” ’y” a b tab"
+    assert got[9] == "&#999999999; &#x110000; &#xZz; &#x; <b>kept</b> &#39;"
 
 
 def test_split_sentences_rules(spark):

@@ -70,7 +70,11 @@ Perturbation classes (≥5):
 19. ``markup_in_text`` — hostile markup inside document text
                         (unterminated '<', '&amp;' fragments, dangling
                         comment/script openers) through the HTML
-                        extraction and sentence twins.
+                        extraction and sentence twins;
+20. ``numeric_char_refs`` — decimal/hex/zero-padded/C1-remapped/
+                        malformed numeric character references (and
+                        double-escaped &amp;#39;) through the HTML
+                        extraction twin's single decode pass.
 """
 
 from __future__ import annotations
@@ -671,6 +675,36 @@ def test_fuzz_markup_in_text(spark, tmp_path):
             " tag <b>bold</b> &amp; more",
             " dangling <!-- comment opener",
             " rogue <script> no closer",
+        ]
+        text = tbl["text"].combine_chunks()
+        for j, frag in enumerate(frags):
+            decorated = pc.binary_join_element_wise(
+                text, pa.scalar(frag), ""
+            )
+            text = pc.if_else(pc.equal(mod, j), decorated, text)
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["html_extract", "sentence_profile", "sentence_dedup"])
+
+
+def test_fuzz_numeric_char_refs(spark, tmp_path):
+    """Numeric character references planted inside document text:
+    canonical decimal/hex, zero-padded, uppercase-X, WHATWG C1-remapped
+    (&#146;), out-of-table (astral / overlong / malformed / mixed-case
+    hex digits), and double-escaped &amp;#39; — decodable refs decode
+    to the same bytes in both engines, the rest pass through as literal
+    text, and the single-pass rule keeps &amp;#39; as the text '&#39;'."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mod = pc.bit_wise_and(tbl["doc_id"], 7)
+        frags = [
+            " it&#8217;s &#x2019; &#X2019; quoted",
+            " pad &#039; &#39; &#0039; tab&#9;end",
+            " cp1252 &#146;x&#148; euro &#x20AC; nb&#160;sp",
+            " bad &#999999999; &#x110000; &#xZz; &#1f600; &#x;",
+            " double &amp;#39; &amp;#x2019; still text",
+            " angle &#60;b&#62;not a tag&#60;/b&#62; amp &#38;lt;",
         ]
         text = tbl["text"].combine_chunks()
         for j, frag in enumerate(frags):
