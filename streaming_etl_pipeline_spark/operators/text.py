@@ -43,6 +43,17 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = LANG_PROFILES["en"]
 
+#: Codepoint classes fused into the language-ID argmax for languages
+#: written WITHOUT whitespace tokens — unsegmented zh/ja/ko text has no
+#: stopword tokens to count, so the stopword argmax alone routes it to
+#: "unknown"/tie-default. Ranges are embedded as literal characters (the
+#: :data:`SCRIPT_CLASSES` convention) so Java regex and RE2 agree.
+CJK_SCRIPT_CLASSES: dict[str, str] = {
+    "han": f"{chr(0x4E00)}-{chr(0x9FFF)}",        # CJK Unified Ideographs
+    "kana": f"{chr(0x3040)}-{chr(0x30FF)}",       # Hiragana + Katakana
+    "hangul": f"{chr(0xAC00)}-{chr(0xD7AF)}",     # Hangul syllables
+}
+
 
 # StringType() (not the "string" DDL shorthand): parsing a DDL string at
 # decoration time needs an active SparkContext, which this module must
@@ -580,11 +591,19 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic stopword-profile language scorer.
+    """Deterministic language scorer: stopword profiles fused with a
+    codepoint-script prior.
 
-    For each language profile, score = (# tokens found in the profile) /
-    (# tokens); prediction = argmax with fixed alphabetical tiebreak.
-    Pure columnar expression — at 100 TB this is a projection, no shuffle.
+    Latin-script languages score as (# tokens found in the profile) /
+    (# tokens). Unsegmented CJK text has no whitespace tokens for the
+    stopword path to count, so the zh/ja/ko scores fuse a character-
+    class fraction (:data:`CJK_SCRIPT_CLASSES`): ``ko`` = Hangul
+    fraction, ``ja`` = (2·kana + han) / (2·chars) — kana weighs double
+    so Japanese prose (kanji + kana mix) outscores the pure-Han reading
+    while pure-Chinese text (no kana) still halves below its own ``zh``
+    score — and ``zh`` = max(pinyin-stopword score, Han fraction).
+    Prediction = argmax with fixed alphabetical tiebreak. Pure columnar
+    expression — at 100 TB this is a projection, no shuffle.
     """
     toks = tokenize(norm_text(text_col))
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -598,12 +617,28 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         for lang, words in sorted(LANG_PROFILES.items())
     }
+    txt = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    n_chars = F.greatest(F.length(txt), F.lit(1)).cast("double")
+
+    def _cnt(cls: str) -> Column:
+        return (
+            F.length(txt) - F.length(F.regexp_replace(txt, f"[{cls}]", ""))
+        ).cast("double")
+
+    han = _cnt(CJK_SCRIPT_CLASSES["han"])
+    kana = _cnt(CJK_SCRIPT_CLASSES["kana"])
+    hangul = _cnt(CJK_SCRIPT_CLASSES["hangul"])
+    scores["zh"] = F.greatest(scores["zh"], F.round(han / n_chars, 6))
+    scores["ja"] = F.round((2.0 * kana + han) / (2.0 * n_chars), 6)
+    scores["ko"] = F.round(hangul / n_chars, 6)
     best_score = F.greatest(*scores.values())
     # argmax with a fixed alphabetical tiebreak: first language (in sorted
     # order) whose score equals the max — a plain CASE chain, identical in
     # the DuckDB oracle.
     predicted = F.lit(None).cast("string")
-    for lang in sorted(LANG_PROFILES, reverse=True):
+    for lang in sorted(scores, reverse=True):
         predicted = F.when(scores[lang] == best_score, lang).otherwise(predicted)
     return df.select(
         "doc_id",

@@ -121,6 +121,23 @@ def _language_id_sql() -> str:
             f"round(len(list_filter({_TOKS}, t -> t IN ({inlist})))::DOUBLE"
             f" / {nt}, 6)"
         )
+    # codepoint-script prior for the token-less CJK languages (twin of
+    # the CJK_SCRIPT_CLASSES fusion in operators/text.py::language_id)
+    txt = "coalesce(text, '')"
+    nc = f"CAST(greatest(length({txt}), 1) AS DOUBLE)"
+
+    def _cnt(cls: str) -> str:
+        return (
+            f"CAST(length({txt}) - length(regexp_replace({txt}, "
+            f"'[{cls}]', '', 'g')) AS DOUBLE)"
+        )
+
+    han = _cnt(TX.CJK_SCRIPT_CLASSES["han"])
+    kana = _cnt(TX.CJK_SCRIPT_CLASSES["kana"])
+    hangul = _cnt(TX.CJK_SCRIPT_CLASSES["hangul"])
+    scores["zh"] = f"greatest({scores['zh']}, round({han} / {nc}, 6))"
+    scores["ja"] = f"round((2.0 * {kana} + {han}) / (2.0 * {nc}), 6)"
+    scores["ko"] = f"round({hangul} / {nc}, 6)"
     best = "greatest(" + ", ".join(scores.values()) + ")"
     pred = (
         "CASE "

@@ -123,6 +123,24 @@ def test_language_id_profiles(spark, docs):
     assert out[5].lang_predicted == "de"
 
 
+def test_language_id_raw_cjk(spark):
+    """Unsegmented CJK (no whitespace tokens for the stopword path):
+    the codepoint-script prior classifies zh/ja/ko; kanji+kana mixes go
+    ja (kana double weight), pure Han goes zh; a Latin doc with a few
+    CJK chars stays with its stopword language."""
+    rows = [
+        (1, "zh", "你好世界这是一个测试文档没有空格"),
+        (2, "ja", "これは日本語のテスト文書です漢字も含む"),
+        (3, "ko", "안녕하세요이것은한국어테스트문서입니다"),
+        (4, "en", "the cat sat on the mat 好 with more of the words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in TX.language_id(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i].lang_predicted == out[i].lang_actual, out[i]
+        assert out[i].lang_match
+
+
 def test_shingles_and_jaccard(spark, docs):
     sh = docs.select("doc_id", DD.shingles("text", 3).alias("sh"))
     rows = {r.doc_id: r.sh for r in sh.collect()}

@@ -74,7 +74,11 @@ Perturbation classes (≥5):
 20. ``numeric_char_refs`` — decimal/hex/zero-padded/C1-remapped/
                         malformed numeric character references (and
                         double-escaped &amp;#39;) through the HTML
-                        extraction twin's single decode pass.
+                        extraction twin's single decode pass;
+21. ``mixed_script_text`` — raw unsegmented zh/ja/ko, kanji+kana
+                        mixes, Latin+CJK hybrids and Hangul docs
+                        through the fused stopword+script language-ID
+                        and script-mix twins.
 """
 
 from __future__ import annotations
@@ -686,6 +690,41 @@ def test_fuzz_markup_in_text(spark, tmp_path):
 
     sf = _clone_sf(tmp_path, "documents", mutate)
     _gate(spark, sf, ["html_extract", "sentence_profile", "sentence_dedup"])
+
+
+def test_fuzz_mixed_script_text(spark, tmp_path):
+    """Raw unsegmented CJK and mixed-script documents: whole-doc
+    replacements (no whitespace tokens at all — the regime the stopword
+    argmax alone cannot classify) plus Latin+CJK suffix hybrids. The
+    fused stopword+script language-ID, the script-mix counts, and the
+    tokenizing quality twins must agree codepoint-for-codepoint."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mod = pc.bit_wise_and(tbl["doc_id"], 7)
+        text = tbl["text"].combine_chunks()
+        # whole-doc CJK replacements (unsegmented: zero spaces)
+        whole = {
+            0: "你好世界这是一个测试文档没有空格也没有标点",
+            1: "これは日本語のテスト文書です漢字も含むかな多め",
+            2: "안녕하세요이것은한국어테스트문서입니다공백없음",
+        }
+        for j, doc in whole.items():
+            text = pc.if_else(
+                pc.equal(mod, j), pa.scalar(doc), text
+            )
+        # Latin docs with CJK decoration (mixed script, stopwords win)
+        for j, frag in ((3, " 好的 — каша"), (4, " カタカナです 混ぜ")):
+            decorated = pc.binary_join_element_wise(
+                text, pa.scalar(frag), ""
+            )
+            text = pc.if_else(pc.equal(mod, j), decorated, text)
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(
+        spark, sf,
+        ["language_id", "script_mix", "text_profile", "gopher_quality"],
+    )
 
 
 def test_fuzz_numeric_char_refs(spark, tmp_path):
