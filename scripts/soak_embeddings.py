@@ -256,10 +256,57 @@ def main() -> int:
                     queries, corpus, centroids, k=10, nprobe=1
                 ).localCheckpoint(eager=True),
             }
+            # hybrid lexical arm: a quantized "lexical view" of each
+            # vector (64 dims × 64 buckets → one token per dim), BM25
+            # over the token corpus — the standard lexical+dense hybrid
+            # with the lexical signal derived deterministically from the
+            # same data, so its misses (bucket-edge artifacts) are
+            # uncorrelated with the dense indexes' (cell/plane misses)
+            from streaming_etl_pipeline_spark.operators.retrieval import (
+                bm25_topk,
+            )
+
+            buckets = 64
+            def _lex_text(vec):
+                bucket = lambda j: F.least(
+                    F.lit(buckets - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.element_at(vec, j) + 2.56) * (buckets / 5.12)
+                        ).cast("int"),
+                    ),
+                ).cast("string")
+                return F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(DIM)),
+                        lambda j: F.concat(
+                            F.lit("d"), j.cast("string"), F.lit("x"),
+                            bucket(j),
+                        ),
+                    ),
+                    " ",
+                )
+
+            lex_docs = corpus.select(
+                F.col("vec_id").alias("doc_id"),
+                _lex_text(F.col("embedding")).alias("text"),
+            )
+            lex_q = queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(
+                    F.split(_lex_text(F.col("embedding")), " ")
+                ).alias("qterm"),
+            )
+            arms["bm25_lex"] = bm25_topk(
+                lex_docs, lex_q, k=10, exclude_self=True
+            ).localCheckpoint(eager=True)
             for name, df in arms.items():
                 report[f"rrf_arm_recall_{name}"] = _recall(df)
-            fused = rrf_fuse(list(arms.values()), k=10)
+            fused = rrf_fuse([arms["lsh"], arms["ivf"]], k=10)
             report["rrf_fused_recall"] = _recall(fused)
+            hybrid = rrf_fuse(list(arms.values()), k=10)
+            report["rrf_hybrid_fused_recall"] = _recall(hybrid)
             report["phases"]["rrf"] = round(time.time() - t0, 1)
 
         # ---- pq: codebooks fit on a sample, bulk Arrow encode

@@ -381,6 +381,7 @@ def pagerank(
     dst_col: str = "dst",
     hint_small: bool = False,
     teleport: DataFrame | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — link-graph
     authority for crawl curation (seed prioritization, per-domain
@@ -389,9 +390,18 @@ def pagerank(
     and the DuckDB twin (:func:`pagerank_sql`) can unroll it exactly.
 
     Returns ``(node, rank)`` with rank quantized to 6dp (micro-unit
-    integers divided out — see PAGERANK_SCALE). Dangling mass is dropped
-    (nodes without out-edges redistribute nothing), the standard
-    simplification; ranks then sum to slightly under 1.
+    integers divided out — see PAGERANK_SCALE). By default dangling
+    mass is dropped (nodes without out-edges redistribute nothing), the
+    standard simplification; ranks then sum to slightly under 1 — fine
+    for curation ranking, but crawl graphs are sink-heavy.
+    ``redistribute_dangling=True`` adds the classic correction: each
+    iteration sums the dangling nodes' rank (one exact BIGINT scalar,
+    carried as a broadcast 1-row frame — no driver collect) and spreads
+    ``damping × D/N`` uniformly, so rank mass is conserved to rounding.
+    Cost: one nodes-sized semi-join + scalar aggregate per iteration —
+    edges stay the only corpus-sized frame. Only the uniform walk
+    supports it (a personalized walk would redistribute by the teleport
+    vector — raise rather than silently pick one).
 
     ``teleport`` (optional) personalizes the walk: a ``(node,
     weight)`` frame (weights need not be normalized — they are divided
@@ -432,6 +442,18 @@ def pagerank(
     n = nodes.count()  # bounded scalar (one long) — not a data collect
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ed = e.join(deg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    if redistribute_dangling:
+        if teleport is not None:
+            raise ValueError(
+                "redistribute_dangling supports only the uniform walk; "
+                "a personalized walk would redistribute by the teleport "
+                "vector — not implemented"
+            )
+        dang = nodes.join(
+            e.select(F.col("src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # python float ops are the same IEEE doubles the engines compute —
     # embed the results as literals so both plans carry identical ints
@@ -485,33 +507,43 @@ def pagerank(
         )
         summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         s = F.broadcast(summed) if hint_small else summed
-        ranks = (
-            nodes.join(s, nodes["node"] == s["dst"], "left")
-            .join(tel_b, "node")
-            .select(
-                "node",
-                (
-                    F.col("tel_u")
-                    + F.floor(
-                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0))
-                        + 0.5
-                    )
-                ).cast("long").alias("rank_u"),
-            )
+        step = nodes.join(s, nodes["node"] == s["dst"], "left").join(
+            tel_b, "node"
         )
+        new_rank = F.col("tel_u") + F.floor(
+            F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)) + 0.5
+        )
+        if redistribute_dangling:
+            # exact BIGINT dangling mass as a broadcast 1-row frame (no
+            # driver collect); the uniform share is the same scalar for
+            # every node: floor(damping * (D / N) + 0.5) micro-units
+            d_mass = ranks.join(dang, "node").agg(
+                F.coalesce(F.sum("rank_u"), F.lit(0)).alias("dang_u")
+            )
+            step = step.crossJoin(F.broadcast(d_mass))
+            new_rank = new_rank + F.floor(
+                F.lit(damping)
+                * (F.col("dang_u").cast("double") / F.lit(float(n)))
+                + 0.5
+            )
+        ranks = step.select("node", new_rank.cast("long").alias("rank_u"))
     return ranks.select(
         "node", (F.col("rank_u") / F.lit(float(PAGERANK_SCALE))).alias("rank")
     )
 
 
 def pagerank_sql(
-    edges_sql: str, iters: int = 3, damping: float = 0.85
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    redistribute_dangling: bool = False,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the fixed power iteration
     unrolled into one CTE per step. Micro-unit integer ranks make the
     twin exact: floor(double + 0.5) is IEEE-identical in both engines
     and the per-dst sums are integer arithmetic (DuckDB's HUGEINT sum
-    cast back to BIGINT)."""
+    cast back to BIGINT). ``redistribute_dangling`` mirrors the Spark
+    flag: one exact BIGINT dangling-mass scalar per unrolled step."""
     sc = PAGERANK_SCALE
     n = "(SELECT CAST(count(*) AS DOUBLE) FROM nodes)"
     parts = [
@@ -522,6 +554,11 @@ def pagerank_sql(
         f"r0 AS (SELECT node, CAST(floor({sc} / {n} + 0.5) AS BIGINT) "
         "AS rank_u FROM nodes)",
     ]
+    if redistribute_dangling:
+        parts.append(
+            "dang AS (SELECT node FROM nodes LEFT JOIN deg "
+            "ON nodes.node = deg.src WHERE deg.src IS NULL)"
+        )
     tel = f"CAST(floor({sc} * (1.0 - {damping}) / {n} + 0.5) AS BIGINT)"
     for i in range(iters):
         parts.append(
@@ -531,10 +568,20 @@ def pagerank_sql(
             f"FROM e JOIN r{i} r ON e.src = r.node "
             f"JOIN deg ON e.src = deg.src GROUP BY e.dst)"
         )
+        extra = ""
+        if redistribute_dangling:
+            parts.append(
+                f"d{i + 1} AS (SELECT CAST(coalesce(sum(rank_u), 0) "
+                f"AS BIGINT) AS dang_u FROM r{i} JOIN dang USING (node))"
+            )
+            extra = (
+                f" + CAST(floor({damping} * (CAST((SELECT dang_u FROM "
+                f"d{i + 1}) AS DOUBLE) / {n}) + 0.5) AS BIGINT)"
+            )
         parts.append(
             f"r{i + 1} AS (SELECT nodes.node, {tel} + CAST(floor("
-            f"{damping} * CAST(coalesce(s, 0) AS DOUBLE) + 0.5) AS BIGINT) "
-            f"AS rank_u "
+            f"{damping} * CAST(coalesce(s, 0) AS DOUBLE) + 0.5) AS BIGINT)"
+            f"{extra} AS rank_u "
             f"FROM nodes LEFT JOIN s{i + 1} ON nodes.node = s{i + 1}.dst)"
         )
     return (

@@ -1890,6 +1890,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.bm25_topk(docs, queries, k=5)
 
 
+#: Hybrid lexical arm for the RRF ensemble: the SAME query ids as the
+#: dense arms (ids < 20 — documents and embeddings are id-aligned in
+#: the testdata, the usual one-row-per-item layout where doc k's
+#: embedding is vector k), query terms from each query doc's first 8
+#: distinct tokens, self excluded like the dense arms.
+_HYBRID_QUERIES_SQL = f"""
+  SELECT doc_id AS query_id,
+         unnest(list_distinct(({_TOKS})[1:8])) AS qterm
+  FROM documents WHERE doc_id < 20
+"""
+
+
+def _hybrid_bm25_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = tokenize(TX.norm_text("text"))
+    queries = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, 8))).alias("qterm"),
+    )
+    return RT.bm25_topk(docs, queries, k=5, exclude_self=True)
+
+
 @register(
     "rrf_ann_ensemble",
     RT.rrf_fuse_sql(
@@ -1900,15 +1926,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rrf_ann_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the three approximate ANN indexes
-    (multi-probe LSH, IVF, metadata-filtered) — ensembling indexes with
-    uncorrelated misses recovers recall without score calibration; the
-    standard hybrid/ensemble retrieval combiner (RRF, Cormack et al.)."""
+    (multi-probe LSH, IVF, metadata-filtered) PLUS a lexical BM25 arm
+    over the same query ids — the textbook hybrid retrieval recipe
+    (lexical + dense fused rank-only, no score calibration; RRF,
+    Cormack et al.). The dense arms' misses are index artifacts, the
+    lexical arm's misses are vocabulary artifacts — uncorrelated, which
+    is what fusion exploits."""
     from streaming_etl_pipeline_spark.plans.corpus import QUERIES
 
     parts = [
         QUERIES[n].fn(spark, sf_dir)
         for n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_filtered")
     ]
+    parts.append(_hybrid_bm25_arm(spark, sf_dir))
     return RT.rrf_fuse(parts, k=5)
 
 
@@ -1920,6 +1950,14 @@ def _patch_rrf_sql() -> None:
         [
             QUERIES[n].sql
             for n in ("ann_topk_lsh", "ann_topk_ivf", "ann_topk_filtered")
+        ]
+        + [
+            RT.bm25_topk_sql(
+                "SELECT doc_id, text FROM documents",
+                _HYBRID_QUERIES_SQL,
+                k=5,
+                exclude_self=True,
+            )
         ],
         k=5,
     )
@@ -2083,6 +2121,37 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return CC.pagerank(edges, iters=3, hint_small=True)
+
+
+# sink-heavy variant of the link graph: only residues < 40 emit edges,
+# so the 20 nodes appearing purely as destinations are dangling — the
+# crawl-graph regime where dropped dangling mass visibly deflates ranks
+_PR_DANGLING_EDGES_SQL = (
+    f"SELECT doc_id % 40 AS src, {md5_long_sql('doc_id', 'pr')} % 60 AS dst "
+    f"FROM documents WHERE doc_id % 40 <> {md5_long_sql('doc_id', 'pr')} % 60"
+)
+
+
+@register(
+    "link_pagerank_dangling",
+    CC.pagerank_sql(_PR_DANGLING_EDGES_SQL, iters=3, redistribute_dangling=True),
+)
+def q_link_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution over a sink-heavy
+    graph (a third of the nodes have no out-edges): each step's dangling
+    rank sum is an exact BIGINT scalar, broadcast back as a 1-row frame
+    and spread uniformly — rank mass conserved to rounding, bit-exact
+    against the unrolled twin in both modes."""
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
+    edges = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return CC.pagerank(
+        edges, iters=3, hint_small=True, redistribute_dangling=True
+    )
 
 
 @register(

@@ -472,11 +472,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # RRF arm fuses the three approximate indexes already computed above
     # (identical operators/params to the granular query, shared scan)
+    # plus the hybrid lexical BM25 arm over the same query ids
     from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.plans.corpus_docs import (
+        _hybrid_bm25_arm,
+    )
 
     arm_by_name = dict(arms)
     rrf = RT.rrf_fuse(
-        [arm_by_name["lsh"], arm_by_name["ivf"], arm_by_name["filtered"]],
+        [
+            arm_by_name["lsh"], arm_by_name["ivf"], arm_by_name["filtered"],
+            _hybrid_bm25_arm(spark, sf_dir),
+        ],
         k=5,
     ).select(
         F.lit("rrf").alias("method"),
@@ -1167,6 +1174,10 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'pagerank' AS method, node AS id_a, node AS id_b, rank AS score
     FROM ({_sql("link_pagerank")})
+    UNION ALL
+    SELECT 'pagerank_dangling' AS method, node AS id_a, node AS id_b,
+           rank AS score
+    FROM ({_sql("link_pagerank_dangling")})
     """,
 )
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,16 +1225,22 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long("source_b").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
-    # link-authority arm: node id doubles as both pair columns
+    # link-authority arms: node id doubles as both pair columns
     pr = _run("link_pagerank", spark, sf_dir).select(
         F.lit("pagerank").alias("method"),
         F.col("node").alias("id_a"),
         F.col("node").alias("id_b"),
         F.col("rank").alias("score"),
     )
+    prd = _run("link_pagerank_dangling", spark, sf_dir).select(
+        F.lit("pagerank_dangling").alias("method"),
+        F.col("node").alias("id_a"),
+        F.col("node").alias("id_b"),
+        F.col("rank").alias("score"),
+    )
     return (
         emb.unionByName(fz).unionByName(sd).unionByName(ts)
-        .unionByName(td).unionByName(so).unionByName(pr)
+        .unionByName(td).unionByName(so).unionByName(pr).unionByName(prd)
     )
 
 
@@ -1978,6 +1995,7 @@ COVERED_BY: dict[str, str] = {
     # counts + an order-independent md5 checksum of every domain row
     "url_curation": "metrics_overview",
     "link_pagerank": "neardup_pairs",
+    "link_pagerank_dangling": "neardup_pairs",
     # r6: the materialized epoch stream rides the sampling suite as one
     # (doc, copy)-grain arm; prototype pruning rides the embedding
     # profile with rank/cell/keep pinned per vector

@@ -1914,6 +1914,52 @@ def test_pagerank_star_graph_and_dangling(spark):
     assert sum(out2.values()) < 1.0
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """redistribute_dangling=True: the dangling hub's rank spreads
+    uniformly each step, so total mass stays 1 to rounding even on
+    sink-heavy graphs; drop mode keeps deflating. Step math, star
+    graph: step 1 spreads the hub's INITIAL 0.25 (share 0.053125),
+    step 2 spreads the hub's accumulated 0.728125."""
+    import pytest
+
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    edges = spark.createDataFrame([Row(src=s, dst=0) for s in (1, 2, 3)])
+    out = {
+        r.node: r.rank
+        for r in CC.pagerank(
+            edges, iters=2, redistribute_dangling=True
+        ).collect()
+    }
+    # exact micro-unit replay (floor at every step, like both engines):
+    # step 1: spokes 37500 + 53125; hub 37500 + 637500 + 53125
+    import math
+
+    fl = lambda x: int(math.floor(x + 0.5))
+    s1_spoke_u = 37500 + fl(0.85 * (250000 / 4.0))
+    s1_hub_u = 37500 + fl(0.85 * 750000) + fl(0.85 * (250000 / 4.0))
+    share2_u = fl(0.85 * (s1_hub_u / 4.0))
+    assert out[1] == out[2] == out[3] == (37500 + share2_u) / 1e6
+    assert out[0] == (37500 + fl(0.85 * 3 * s1_spoke_u) + share2_u) / 1e6
+    assert abs(sum(out.values()) - 1.0) < 1e-5
+    # a graph with NO dangling nodes: both modes identical
+    ring = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % 5) for i in range(5)]
+    )
+    a = sorted((r.node, r.rank) for r in CC.pagerank(ring, iters=3).collect())
+    b = sorted(
+        (r.node, r.rank)
+        for r in CC.pagerank(
+            ring, iters=3, redistribute_dangling=True
+        ).collect()
+    )
+    assert a == b
+    # personalized + redistribute is an explicit error, not a silent pick
+    seeds = spark.createDataFrame([Row(node=0, weight=1.0)])
+    with pytest.raises(ValueError):
+        CC.pagerank(edges, teleport=seeds, redistribute_dangling=True)
+
+
 def test_pagerank_hint_small_matches_unhinted(spark):
     from streaming_etl_pipeline_spark.operators import components as CC
 

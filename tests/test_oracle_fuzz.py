@@ -78,7 +78,13 @@ Perturbation classes (≥5):
 21. ``mixed_script_text`` — raw unsegmented zh/ja/ko, kanji+kana
                         mixes, Latin+CJK hybrids and Hangul docs
                         through the fused stopword+script language-ID
-                        and script-mix twins.
+                        and script-mix twins;
+22. ``pagerank_degenerate_graphs`` — dangling-only (bipartite
+                        src→sink), self-loop-only, and mixed graphs
+                        through the micro-unit power iteration in BOTH
+                        dangling modes (direct Spark-vs-DuckDB parity
+                        on handcrafted edges — the graph shape cannot
+                        be reached by perturbing testdata columns).
 """
 
 from __future__ import annotations
@@ -755,3 +761,58 @@ def test_fuzz_numeric_char_refs(spark, tmp_path):
 
     sf = _clone_sf(tmp_path, "documents", mutate)
     _gate(spark, sf, ["html_extract", "sentence_profile", "sentence_dedup"])
+
+
+def test_fuzz_pagerank_degenerate_graphs(spark):
+    """Degenerate link graphs through the micro-unit power iteration,
+    BOTH dangling modes, Spark vs the unrolled DuckDB twin. These graph
+    shapes cannot be reached by perturbing testdata columns (the
+    registered query derives its edges from doc_id), so the parity runs
+    directly on handcrafted edge lists: dangling-only (bipartite
+    src→sink — ALL rank mass passes through sinks every step),
+    self-loop-only (rank feeds back; no dangling mass at all), and a
+    mixed graph with a sink hub plus self-loops."""
+    import duckdb
+
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    graphs = {
+        "dangling_only": [(i, 100 + i) for i in range(6)],
+        "self_loops": [(i, i) for i in range(5)],
+        "mixed": [(1, 0), (2, 0), (3, 3), (4, 0)],
+    }
+    con = duckdb.connect()
+    for name, edges in graphs.items():
+        sdf = spark.createDataFrame(edges, "src long, dst long")
+        con.register("edges_pr", __import__("pandas").DataFrame(
+            edges, columns=["src", "dst"]
+        ))
+        for redis in (False, True):
+            got = sorted(
+                (r.node, r.rank)
+                for r in CC.pagerank(
+                    sdf, iters=3, redistribute_dangling=redis
+                ).collect()
+            )
+            sql = CC.pagerank_sql(
+                "SELECT src, dst FROM edges_pr",
+                iters=3,
+                redistribute_dangling=redis,
+            )
+            want = sorted(
+                (r[0], r[1]) for r in con.execute(sql).fetchall()
+            )
+            assert got == want, (name, redis, got, want)
+        # self-loop-only graphs have no dangling nodes: modes agree
+        if name == "self_loops":
+            a = sorted(
+                (r.node, r.rank)
+                for r in CC.pagerank(sdf, iters=3).collect()
+            )
+            b = sorted(
+                (r.node, r.rank)
+                for r in CC.pagerank(
+                    sdf, iters=3, redistribute_dangling=True
+                ).collect()
+            )
+            assert a == b
