@@ -29,10 +29,23 @@ Phases (each timed; shuffle/spill/peak-mem from the event log at exit):
                 ``lsh_bucket_arrow`` at 20 planes (2^20 cells keeps the
                 cell-local join quadratic term ~N²/2^20) → wall time +
                 planted-twin recall;
-- ``rrf``     — reciprocal-rank-fusion ensemble (multi-probe LSH +
-                IVF nprobe 1) recall@10 vs each arm alone and vs the
-                same brute-force truth — the fusion should recover
-                recall the individual approximate indexes miss;
+- ``rrf``     — reciprocal-rank-fusion ensemble on a planted-twin
+                retrieval task (every 1000th vector is a 0.25-jitter
+                near-twin of its predecessor; recall@10 = fraction of
+                twin queries whose twin is found): multi-probe LSH and
+                IVF nprobe-1 dense arms plus a HYBRID lexical arm —
+                BM25 over a quantized lexical view of each vector (64
+                dims × 32 buckets → one token per dim), the standard
+                lexical+dense hybrid with each arm's misses structural
+                and uncorrelated (plane flips vs cell boundaries vs
+                bucket edges). Reports each arm, the dense-only fusion,
+                and the hybrid fusion;
+- ``ingest``  — incremental IVF-PQ index maintenance
+                (streaming/ingest.start_ann_index_sink's batch body):
+                two 1M-vector triggers encode + append against frozen
+                centroids/codebooks → per-trigger wall + rows/s, then a
+                200-query ivf_pq_topk over the maintained
+                ``corpus_index=`` → search wall;
 - ``prune``   — prototype-based keep-hard pruning over the clustered
                 corpus: Arrow-GEMM centroid assignment + the one
                 per-cell ranking window → rows/s + realized keep
@@ -229,51 +242,75 @@ def main() -> int:
                     len(got & truth) / max(len(truth), 1), 3
                 )
 
-        # ---- rrf: ensemble of approximate indexes vs each alone ----
+        # ---- rrf: hybrid lexical+dense ensemble on planted twins ----
         if "rrf" in phases:
             from streaming_etl_pipeline_spark.operators.retrieval import (
+                bm25_topk,
                 rrf_fuse,
             )
 
-            queries = corpus.filter(
-                F.col("vec_id") % max(n // q, 1) == 3
-            ).limit(q).localCheckpoint(eager=True)
-            truth = {
-                (r.query_id, r.neighbor_id)
-                for r in SIM.cosine_topk_arrow(queries, corpus, k=10).collect()
-            }
-
-            def _recall(df) -> float:
-                got = {(r.query_id, r.neighbor_id) for r in df.collect()}
-                return round(len(got & truth) / max(len(truth), 1), 3)
-
+            # hard-twin corpus: every 1000th vector = predecessor +
+            # 0.25-amplitude jitter — close enough that exact cosine
+            # ranks the twin first, far enough that each approximate
+            # arm structurally misses a few percent (plane flips, cell
+            # boundaries, bucket edges — different few percent each)
             t0 = time.time()
+            hard_path = os.path.join(work, "hard_twins")
+            hard = synth_vectors(spark, n, clusters=997, noise=1.7)
+            h_src = F.col("vec_id") - 1
+            is_twin = (F.col("vec_id") % 1000 == 0) & (F.col("vec_id") > 0)
+            hard = hard.select(
+                "vec_id",
+                F.when(
+                    is_twin,
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(DIM)),
+                        lambda j: (
+                            F.sin(((h_src % 997) + 1.0).cast("double")
+                                  * j.cast("double") * 0.7)
+                            + 1.7 * F.sin((h_src + 17.0).cast("double")
+                                          * (j.cast("double") + 5.0) * 1.3)
+                            + 0.25 * F.sin((F.col("vec_id") + 3.0)
+                                           * j.cast("double") * 2.9)
+                        ),
+                    ),
+                ).otherwise(F.col("embedding")).alias("embedding"),
+            )
+            hard.repartition(64).write.parquet(hard_path)
+            hard = spark.read.parquet(hard_path)
+            queries = hard.filter(is_twin).limit(q).localCheckpoint(
+                eager=True
+            )
+            nq = queries.count()
+
+            def _twin_recall(df) -> float:
+                got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+                found = sum(1 for (a, b) in got if b == a - 1)
+                return round(found / max(nq, 1), 3)
+
+            h_cents = hard.filter(
+                F.col("vec_id") % max(n // k, 1) == 7
+            ).limit(k).localCheckpoint(eager=True)
             arms = {
                 "lsh": SIM.lsh_ann_topk(
-                    queries, corpus, k=10, n_planes=4, multiprobe=True
+                    queries, hard, k=10, n_planes=6, multiprobe=True
                 ).localCheckpoint(eager=True),
                 "ivf": SIM.ivf_ann_topk(
-                    queries, corpus, centroids, k=10, nprobe=1
+                    queries, hard, h_cents, k=10, nprobe=1
                 ).localCheckpoint(eager=True),
             }
-            # hybrid lexical arm: a quantized "lexical view" of each
-            # vector (64 dims × 64 buckets → one token per dim), BM25
-            # over the token corpus — the standard lexical+dense hybrid
-            # with the lexical signal derived deterministically from the
-            # same data, so its misses (bucket-edge artifacts) are
-            # uncorrelated with the dense indexes' (cell/plane misses)
-            from streaming_etl_pipeline_spark.operators.retrieval import (
-                bm25_topk,
-            )
-
-            buckets = 64
+            # hybrid lexical arm: BM25 over a quantized lexical view
+            # (one token per dim, 32 buckets) — twins share most bucket
+            # tokens, unrelated vectors share ~2, so the idf-weighted
+            # overlap IS a lexical retrieval signal on this corpus
+            buckets = 32
             def _lex_text(vec):
                 bucket = lambda j: F.least(
                     F.lit(buckets - 1),
                     F.greatest(
                         F.lit(0),
                         F.floor(
-                            (F.element_at(vec, j) + 2.56) * (buckets / 5.12)
+                            (F.element_at(vec, j) + 4.0) * (buckets / 8.0)
                         ).cast("int"),
                     ),
                 ).cast("string")
@@ -288,7 +325,7 @@ def main() -> int:
                     " ",
                 )
 
-            lex_docs = corpus.select(
+            lex_docs = hard.select(
                 F.col("vec_id").alias("doc_id"),
                 _lex_text(F.col("embedding")).alias("text"),
             )
@@ -302,11 +339,11 @@ def main() -> int:
                 lex_docs, lex_q, k=10, exclude_self=True
             ).localCheckpoint(eager=True)
             for name, df in arms.items():
-                report[f"rrf_arm_recall_{name}"] = _recall(df)
+                report[f"rrf_arm_recall_{name}"] = _twin_recall(df)
             fused = rrf_fuse([arms["lsh"], arms["ivf"]], k=10)
-            report["rrf_fused_recall"] = _recall(fused)
+            report["rrf_fused_recall"] = _twin_recall(fused)
             hybrid = rrf_fuse(list(arms.values()), k=10)
-            report["rrf_hybrid_fused_recall"] = _recall(hybrid)
+            report["rrf_hybrid_fused_recall"] = _twin_recall(hybrid)
             report["phases"]["rrf"] = round(time.time() - t0, 1)
 
         # ---- pq: codebooks fit on a sample, bulk Arrow encode
@@ -395,6 +432,39 @@ def main() -> int:
                 / max(queries.count(), 1),
                 3,
             )
+
+        # ---- ingest: per-trigger cost of the streaming ANN index ----
+        if "ingest" in phases:
+            from streaming_etl_pipeline_spark.streaming.ingest import (
+                ann_index_batch,
+                load_ann_index,
+            )
+
+            idx_path = os.path.join(work, "ann_index")
+            m = min(n, 1_000_000)
+            for epoch in (0, 1):
+                batch = corpus.filter(
+                    (F.col("vec_id") >= epoch * m)
+                    & (F.col("vec_id") < (epoch + 1) * m)
+                )
+                t0 = time.time()
+                ann_index_batch(
+                    batch, epoch, idx_path, centroids, run_token="soak"
+                )
+                wall = time.time() - t0
+                report["phases"][f"ingest_trigger{epoch}"] = round(wall, 1)
+                report[f"ingest_trigger{epoch}_rows_per_sec"] = round(m / wall)
+            queries = corpus.filter(
+                F.col("vec_id") % max(n // q, 1) == 3
+            ).limit(q).localCheckpoint(eager=True)
+            idx = load_ann_index(spark, idx_path).localCheckpoint(eager=True)
+            t0 = time.time()
+            found = SIM.ivf_pq_topk(
+                queries, None, centroids, k=10, nprobe=8, corpus_index=idx
+            ).count()
+            report["phases"]["ingest_probe"] = round(time.time() - t0, 1)
+            report["ingest_index_rows"] = idx.count()
+            report["ingest_probe_results"] = found
 
         # ---- prune: prototype-based keep-hard over the clustered
         #      corpus (Arrow GEMM assignment + one per-cell window) ----

@@ -437,6 +437,116 @@ def dedup_ingest_batch(
         )
 
 
+def start_ann_index_sink(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    centroids: DataFrame,
+    codebooks: "list[list[list[float]]] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Incremental IVF-PQ index maintenance: every micro-batch of new
+    embeddings is coarse-assigned against the TRAINED centroids and
+    PQ-encoded against the TRAINED codebooks, and the resulting
+    ``(id, centroid_id, codes)`` rows append to the stored index that
+    ``similarity.ivf_pq_topk(corpus_index=...)`` consumes — the
+    embedding-side mirror of :func:`start_dedup_ingest_sink`, so a
+    100 TB deployment keeps its ANN index fresh from the ingest stream
+    instead of re-encoding the corpus in nightly batches. Quantizer
+    drift is the retrain trigger, not this sink's job: encode is a pure
+    per-row map of frozen model state (assign + encode, 0 shuffles,
+    Arrow GEMM per batch), so per-trigger cost scales with the batch,
+    never the corpus.
+
+    Idempotence: foreachBatch is at-least-once; partitions are
+    namespaced ``<checkpoint-token>-<epoch>`` with dynamic partition
+    overwrite (the :func:`_ingest_run_token` contract), so a replayed
+    epoch rewrites its own partition byte-for-byte (encode is
+    deterministic) and a checkpoint reset appends beside prior runs
+    instead of clobbering them. Read the index back with
+    :func:`load_ann_index`.
+    """
+    token = _ingest_run_token(vectors.sparkSession, checkpoint)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ann_index_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            centroids,
+            codebooks=codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            run_token=token,
+            use_arrow=use_arrow,
+        )
+
+    writer = (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def ann_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    centroids: DataFrame,
+    codebooks: "list[list[list[float]]] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    run_token: str | None = None,
+    use_arrow: bool = True,
+) -> None:
+    """One idempotent micro-batch of :func:`start_ann_index_sink`
+    (module-level so crash-replay and checkpoint-reset behavior can be
+    exercised deterministically in tests). Assign + encode are pure
+    functions of the batch and the frozen quantizer state, so a replay
+    rewrites identical rows into its own partition."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+
+    if batch_df.isEmpty():
+        return
+    books = codebooks if codebooks is not None else SIM.PQ_CODEBOOKS
+    part_val = f"{run_token}-{batch_id}" if run_token else str(batch_id)
+    if use_arrow:
+        assigned = SIM.ivf_assign_arrow(
+            batch_df, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "centroid_id")
+        codes = SIM.pq_encode_arrow(
+            batch_df, books, id_col=id_col, vec_col=vec_col
+        )
+        index = assigned.join(codes, id_col)
+    else:
+        index = SIM.ivf_assign(
+            batch_df, centroids, id_col=id_col, vec_col=vec_col
+        ).select(
+            id_col,
+            "centroid_id",
+            SIM.pq_encode(vec_col, books).alias("codes"),
+        )
+    (
+        index.withColumn("ingest_batch_id", F.lit(part_val))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id")
+        .parquet(index_path)
+    )
+
+
+def load_ann_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Read the streaming-maintained IVF-PQ index back in the
+    ``(vec_id, centroid_id, codes)`` shape ``ivf_pq_topk`` expects as
+    ``corpus_index=`` (the partition column is bookkeeping, dropped)."""
+    return spark.read.parquet(index_path).drop("ingest_batch_id")
+
+
 def start_gold_upsert_sink(
     bronze: DataFrame,
     path: str,

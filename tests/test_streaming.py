@@ -1335,3 +1335,128 @@ def test_dedup_ingest_tolerates_legacy_store(spark, tmp_path):
     dedup_ingest_batch(b0, 0, out, store, run_token="run-c")
     # 4 near-dups the legacy store entry → dropped; 5 is novel
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [5]
+
+
+def _ann_vec(i: int, dim: int = 64) -> list:
+    import math
+
+    return [
+        math.sin((i % 7 + 1.0) * j * 0.7) + 0.4 * math.sin((i + 3.0) * j * 1.3)
+        for j in range(1, dim + 1)
+    ]
+
+
+def test_streaming_ann_index_sink_two_triggers(spark, tmp_path):
+    """Incremental IVF-PQ index maintenance: two triggers append
+    encoded partitions; ivf_pq_topk(corpus_index=load_ann_index(...))
+    finds vectors from BOTH batches; a crash-replay of an epoch
+    rewrites its partition instead of duplicating rows; a checkpoint
+    reset appends beside the old run."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        ann_index_batch,
+        load_ann_index,
+        read_jsonl_stream,
+        start_ann_index_sink,
+    )
+
+    in_dir = str(tmp_path / "vecs_in")
+    idx = str(tmp_path / "ann_index")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    centroids = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(7)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+
+    def vec_line(i):
+        return _json.dumps({"vec_id": i, "embedding": _ann_vec(i)}) + "\n"
+
+    def run_once():
+        stream = read_jsonl_stream(spark, in_dir, schema)
+        q = start_ann_index_sink(
+            stream, idx, ck, centroids, trigger={"availableNow": True}
+        )
+        q.awaitTermination(300)
+
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        for i in range(100, 110):
+            f.write(vec_line(i))
+    run_once()
+    n1 = spark.read.parquet(idx).count()
+    assert n1 == 10
+
+    with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+        for i in range(200, 210):
+            f.write(vec_line(i))
+    run_once()
+    index = load_ann_index(spark, idx)
+    assert index.count() == 20
+    assert set(index.columns) == {"vec_id", "centroid_id", "codes"}
+
+    # search through the maintained index: queries jittered copies of
+    # one batch-1 and one batch-2 vector — full probe so IVF routing
+    # can't hide an encode bug; their sources must rank first
+    queries = spark.createDataFrame(
+        [
+            (1, [v + 1e-4 for v in _ann_vec(103)]),
+            (2, [v + 1e-4 for v in _ann_vec(205)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.query_id: r.neighbor_id
+        for r in SIM.ivf_pq_topk(
+            queries, None, centroids, k=1, nprobe=7, corpus_index=index
+        ).collect()
+    }
+    assert got[1] == 103 and got[2] == 205
+
+    # crash-replay: same epoch id re-runs — partition rewritten, not duped
+    b2 = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(200, 210)],
+        "vec_id long, embedding array<double>",
+    )
+    tok = {
+        r.ingest_batch_id
+        for r in spark.read.parquet(idx)
+        .select("ingest_batch_id").distinct().collect()
+    }
+    replay_part = sorted(tok)[-1]
+    run_token, epoch = replay_part.rsplit("-", 1)
+    ann_index_batch(b2, int(epoch), idx, centroids, run_token=run_token)
+    assert spark.read.parquet(idx).count() == 20
+
+    # checkpoint reset: epoch 0 under a new token lands BESIDE old data
+    b3 = spark.createDataFrame(
+        [(300, _ann_vec(300))], "vec_id long, embedding array<double>"
+    )
+    ann_index_batch(b3, 0, idx, centroids, run_token="fresh-run")
+    assert load_ann_index(spark, idx).count() == 21
+
+    # arrow and expression encode paths write identical index rows
+    expr_idx = str(tmp_path / "ann_index_expr")
+    ann_index_batch(b2, 0, expr_idx, centroids, use_arrow=False)
+    a = {
+        (r.vec_id, r.centroid_id, tuple(r.codes))
+        for r in spark.read.parquet(expr_idx).collect()
+    }
+    # re-read: the replay rewrote a partition, invalidating the old
+    # frame's file listing
+    b = {
+        (r.vec_id, r.centroid_id, tuple(r.codes))
+        for r in load_ann_index(spark, idx).filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 210)
+        ).collect()
+    }
+    assert a == b
