@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Opt-in BM25 corpus-scale soak (judge r6 item #7): measure lexical
+retrieval at multi-million-document scale — the regime the sf0.1 bench
+never touches — and confirm the scale shape the operator's docstring
+argues: the ONLY corpus-sized cost is the tokenize/explode scan feeding
+the query-vocabulary filter (no corpus-sized exchange), the tf shuffle
+is |query-term postings|-sized, and scoring cost scales with the query
+set, not the corpus.
+
+Corpus: synthetic docs with a SHARED Zipf-ish vocabulary (unlike
+bench_curation.synth_docs, whose md5 words are unique per doc and would
+make every posting list a singleton — unrealistically cheap): each doc
+carries 30 "common" tokens from a 2k vocabulary plus 10 "rare" tokens
+from a 1M vocabulary, so common-term posting lists are ~n·30/2000 docs
+long — the fat-head/long-tail df profile real text has.
+
+Queries: every (n/q)-th doc's first 8 distinct tokens (the registered
+query's construction) — so query terms hit both fat and thin postings.
+
+Phases (all timed; shuffle/spill from the event log at exit):
+
+- ``topk_qX``  — bm25_topk(k=10) end-to-end at X queries, for X in
+                 (20, q): the X=20 vs X=q delta isolates the
+                 query-proportional scoring cost from the fixed
+                 corpus-scan cost;
+- ``halfsize`` — the q-query run again on n/2 docs: the wall ratio vs
+                 the full run shows the corpus-proportional index cost.
+
+Usage:
+    python scripts/soak_bm25.py                  # 5M docs, 200 queries
+    python scripts/soak_bm25.py --n 500000       # smoke
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from soak_curation import _eventlog_metrics, _java_peak_rss_gb  # noqa: E402
+
+from streaming_etl_pipeline_spark.session import build_session  # noqa: E402
+
+
+def _arg(name: str, default):
+    if name in sys.argv:
+        return type(default)(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def synth_corpus(spark, n: int, common_vocab: int = 2_000,
+                 rare_vocab: int = 1_000_000):
+    """n docs × 40 whitespace tokens: 30 common ("cK") + 10 rare
+    ("rK"), K from xxhash64(id, position) — all JVM-side."""
+    from pyspark.sql import functions as F
+
+    def tok(i):
+        h = F.xxhash64(F.col("id"), F.lit(i))
+        return F.when(
+            F.lit(i) < 30,
+            F.concat(F.lit("c"), F.pmod(h, F.lit(common_vocab)).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("r"), F.pmod(h, F.lit(rare_vocab)).cast("string"))
+        )
+
+    text = F.concat_ws(" ", *[tok(i) for i in range(40)])
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+    from streaming_etl_pipeline_spark.operators.retrieval import bm25_topk
+    from streaming_etl_pipeline_spark.operators.text import norm_text
+
+    n = _arg("--n", 5_000_000)
+    q = _arg("--queries", 200)
+
+    work = tempfile.mkdtemp(prefix="soak_bm25_")
+    log_dir = os.path.join(work, "eventlog")
+    os.makedirs(log_dir)
+    spark = build_session(
+        app_name="soak-bm25",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    report: dict = {
+        "metric": "bm25_soak", "unit": "sec", "n": n, "queries": q,
+        "phases": {},
+    }
+    try:
+        t0 = time.time()
+        corpus_path = os.path.join(work, "docs")
+        synth_corpus(spark, n).repartition(64).write.parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+        report["phases"]["gen"] = round(time.time() - t0, 1)
+
+        def queries_of(frame, nq):
+            toks = tokenize(norm_text("text"))
+            step = max(n // nq, 1)
+            return (
+                frame.filter(F.col("doc_id") % step == 3)
+                .limit(nq)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.explode(
+                        F.array_distinct(F.slice(toks, 1, 8))
+                    ).alias("qterm"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        for nq in (20, q):
+            qs = queries_of(docs, nq)
+            t0 = time.time()
+            hits = bm25_topk(docs, qs, k=10).count()
+            wall = time.time() - t0
+            report["phases"][f"topk_q{nq}"] = round(wall, 1)
+            report[f"topk_q{nq}_rows_per_sec"] = round(n / wall)
+            report[f"topk_q{nq}_results"] = hits
+        # corpus-proportionality: same q queries, half the corpus
+        half = docs.filter(F.col("doc_id") < n // 2)
+        qs = queries_of(half, q)
+        t0 = time.time()
+        bm25_topk(half, qs, k=10).count()
+        report["phases"]["halfsize"] = round(time.time() - t0, 1)
+
+        spark.stop()  # flush event log
+        report["resources"] = {
+            **_eventlog_metrics(log_dir),
+            "jvm_peak_rss_gb": _java_peak_rss_gb(),
+        }
+        report["value"] = round(sum(report["phases"].values()), 1)
+        print(json.dumps(report))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

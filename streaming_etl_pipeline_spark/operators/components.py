@@ -382,6 +382,7 @@ def pagerank(
     hint_small: bool = False,
     teleport: DataFrame | None = None,
     redistribute_dangling: bool = False,
+    scale: int = PAGERANK_SCALE,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — link-graph
     authority for crawl curation (seed prioritization, per-domain
@@ -402,6 +403,14 @@ def pagerank(
     edges stay the only corpus-sized frame. Only the uniform walk
     supports it (a personalized walk would redistribute by the teleport
     vector — raise rather than silently pick one).
+
+    ``scale`` is the micro-unit denominator. The default (10^6) gives
+    6dp ranks — right for the domain-sized graphs the oracle rows pin,
+    but per-node rank is ~scale/N units, so at crawl-scale N the
+    default quantizes ranks to nothing (measured: a 200k-node graph
+    kept only 0.24 of its mass through 3 drop-mode steps). Size it
+    ≳ 10^6 × N; exactness holds while scale ≤ 2^53 (every rank_u is an
+    exactly-representable double in both engines).
 
     ``teleport`` (optional) personalizes the walk: a ``(node,
     weight)`` frame (weights need not be normalized — they are divided
@@ -458,9 +467,9 @@ def pagerank(
     # python float ops are the same IEEE doubles the engines compute —
     # embed the results as literals so both plans carry identical ints
     if teleport is None:
-        r0_u = int(math.floor(PAGERANK_SCALE / float(n) + 0.5))
+        r0_u = int(math.floor(scale / float(n) + 0.5))
         teleport_u = int(
-            math.floor(PAGERANK_SCALE * (1.0 - damping) / float(n) + 0.5)
+            math.floor(scale * (1.0 - damping) / float(n) + 0.5)
         )
         tel = nodes.select(
             "node", F.lit(teleport_u).cast("long").alias("tel_u")
@@ -486,7 +495,7 @@ def pagerank(
         tel = seeded.select(
             "node",
             F.floor(
-                F.lit(float(PAGERANK_SCALE))
+                F.lit(float(scale))
                 * (F.lit(1.0) - F.lit(damping))
                 * F.col("w_norm")
                 + 0.5
@@ -495,7 +504,7 @@ def pagerank(
         ranks = seeded.select(
             "node",
             F.floor(
-                F.lit(float(PAGERANK_SCALE)) * F.col("w_norm") + 0.5
+                F.lit(float(scale)) * F.col("w_norm") + 0.5
             ).cast("long").alias("rank_u"),
         )
     tel_b = F.broadcast(tel) if hint_small else tel
@@ -528,7 +537,7 @@ def pagerank(
             )
         ranks = step.select("node", new_rank.cast("long").alias("rank_u"))
     return ranks.select(
-        "node", (F.col("rank_u") / F.lit(float(PAGERANK_SCALE))).alias("rank")
+        "node", (F.col("rank_u") / F.lit(float(scale))).alias("rank")
     )
 
 
@@ -537,6 +546,7 @@ def pagerank_sql(
     iters: int = 3,
     damping: float = 0.85,
     redistribute_dangling: bool = False,
+    scale: int = PAGERANK_SCALE,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the fixed power iteration
     unrolled into one CTE per step. Micro-unit integer ranks make the
@@ -544,7 +554,7 @@ def pagerank_sql(
     and the per-dst sums are integer arithmetic (DuckDB's HUGEINT sum
     cast back to BIGINT). ``redistribute_dangling`` mirrors the Spark
     flag: one exact BIGINT dangling-mass scalar per unrolled step."""
-    sc = PAGERANK_SCALE
+    sc = scale
     n = "(SELECT CAST(count(*) AS DOUBLE) FROM nodes)"
     parts = [
         f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",

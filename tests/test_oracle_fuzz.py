@@ -803,6 +803,24 @@ def test_fuzz_pagerank_degenerate_graphs(spark):
                 (r[0], r[1]) for r in con.execute(sql).fetchall()
             )
             assert got == want, (name, redis, got, want)
+        # crawl-scale micro-unit denominator: parity must hold at a
+        # non-default scale too (the soak sizes it to 1e6 × N)
+        if name == "mixed":
+            got = sorted(
+                (r.node, r.rank)
+                for r in CC.pagerank(
+                    sdf, iters=3, redistribute_dangling=True,
+                    scale=10**12,
+                ).collect()
+            )
+            sql = CC.pagerank_sql(
+                "SELECT src, dst FROM edges_pr",
+                iters=3,
+                redistribute_dangling=True,
+                scale=10**12,
+            )
+            want = sorted((r[0], r[1]) for r in con.execute(sql).fetchall())
+            assert got == want, (name, "scale", got, want)
         # self-loop-only graphs have no dangling nodes: modes agree
         if name == "self_loops":
             a = sorted(
