@@ -458,8 +458,10 @@ def pagerank(
                 "a personalized walk would redistribute by the teleport "
                 "vector — not implemented"
             )
+        # deg is already one row per src — reuse it instead of paying a
+        # second distinct over the edge list
         dang = nodes.join(
-            e.select(F.col("src").alias("node")).distinct(),
+            deg.select(F.col("src").alias("node")),
             "node",
             "left_anti",
         ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -30,10 +30,14 @@ DECIMAL(38,6) so accumulation order cannot matter.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "Bm25Index",
+    "bm25_build_index",
     "bm25_topk",
     "bm25_topk_sql",
     "rrf_fuse",
@@ -47,6 +51,66 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+class Bm25Index(NamedTuple):
+    """A built (vocabulary-filtered) BM25 index: the persisted
+    (doc, term, doc_len, tf) posting frame and the broadcastable
+    (term, idf, avg_len) statistics table. One index serves any query
+    workload whose terms fall inside the vocabulary it was built with —
+    the production shape (build once at ingest, score many query
+    batches), and the carrier-plan shape (the method arm and the hybrid
+    ensemble arm share one build)."""
+
+    doc_term: DataFrame
+    idf_tbl: DataFrame
+
+
+def bm25_build_index(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Bm25Index:
+    """Build the inverted index + idf table for every term in ``vocab``
+    (a 1-column ``term`` frame, broadcast). A term's posting list, df,
+    and idf are independent of what OTHER terms the vocabulary holds,
+    so an index built over a vocabulary UNION scores each query set
+    identically to a per-set build — pinned by
+    ``test_bm25_shared_index_matches_standalone``."""
+    from pyspark import StorageLevel
+
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+    from streaming_etl_pipeline_spark.operators.text import norm_text
+
+    toks = tokenize(norm_text(text_col))
+    base = docs.select(
+        F.col(id_col), F.explode(toks).alias("term"),
+        F.size(toks).alias("doc_len"),
+    ).join(F.broadcast(vocab.select("term").distinct()), "term")
+    doc_term = base.groupBy(id_col, "term", "doc_len").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stats = docs.select(F.size(toks).alias("dl")).filter("dl > 0").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avg_len"),
+    )
+    # doc_term's grain is (doc, term) — one row per posting — so plain
+    # count IS the document frequency; countDistinct here planned a
+    # two-phase expand (one extra exchange) for the same value
+    df_tbl = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            6,
+        ).alias("idf"),
+        "avg_len",
+    )
+    return Bm25Index(doc_term=doc_term, idf_tbl=idf_tbl)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -56,6 +120,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_terms_col: str = "qterm",
     exclude_self: bool = False,
+    index: Bm25Index | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` documents per query.
 
@@ -78,52 +143,29 @@ def bm25_topk(
     ``exclude_self=True`` drops the candidate whose doc id equals the
     query id before ranking — the hybrid-ensemble contract, where the
     dense arms also exclude the query vector itself.
+
+    ``index=``: a pre-built :class:`Bm25Index` (from
+    :func:`bm25_build_index`, possibly over a vocabulary union serving
+    several query workloads) skips the build — only the scoring joins
+    and the per-query top-k window run.
     """
-    from pyspark import StorageLevel
-
-    from streaming_etl_pipeline_spark.functions.core import tokenize
-    from streaming_etl_pipeline_spark.operators.text import norm_text
-
-    toks = tokenize(norm_text(text_col))
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_terms_col).alias("term"),
     ).distinct()
-    vocab = q_terms.select("term").distinct()
-    # Query-vocabulary filter BEFORE the tf aggregation: only postings
-    # of query terms ever reach a shuffle, and the one aggregated
-    # posting frame (persisted — it is |query-term postings|-sized, not
-    # corpus-sized) serves both the df branch and the scoring branch.
-    # Aggregating the full corpus index here would shuffle every term
-    # AND recompute it per consumer — measured 62 s → 24 s at 550k docs (the rest is the one corpus tokenize pass).
-    base = docs.select(
-        F.col(id_col), F.explode(toks).alias("term"),
-        F.size(toks).alias("doc_len"),
-    ).join(F.broadcast(vocab), "term")
-    doc_term = base.groupBy(id_col, "term", "doc_len").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    stats = docs.select(F.size(toks).alias("dl")).filter("dl > 0").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avg_len"),
-    )
-    # doc_term's grain is (doc, term) — one row per posting — so plain
-    # count IS the document frequency; countDistinct here planned a
-    # two-phase expand (one extra exchange) for the same value
-    df_tbl = doc_term.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.round(
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                + 1.0
-            ),
-            6,
-        ).alias("idf"),
-        "avg_len",
-    )
+    if index is None:
+        # Query-vocabulary filter BEFORE the tf aggregation: only
+        # postings of query terms ever reach a shuffle, and the one
+        # aggregated posting frame (persisted — it is |query-term
+        # postings|-sized, not corpus-sized) serves both the df branch
+        # and the scoring branch. Aggregating the full corpus index
+        # here would shuffle every term AND recompute it per consumer —
+        # measured 62 s → 24 s at 550k docs (the rest is the one corpus
+        # tokenize pass).
+        index = bm25_build_index(
+            docs, q_terms.select("term"), id_col=id_col, text_col=text_col
+        )
+    doc_term, idf_tbl = index.doc_term, index.idf_tbl
     # per-(query, doc, term) score component — operation order mirrored
     # character-for-character in the SQL twin
     comp = F.round(

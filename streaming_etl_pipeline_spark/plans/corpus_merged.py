@@ -464,25 +464,48 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "neighbor_id",
         F.col("cosine_sim").alias("score"),
     )
-    from streaming_etl_pipeline_spark.plans.corpus_docs import q_bm25_topk
+    # Both BM25 runs (the method arm at doc_id % 50 queries and the
+    # hybrid ensemble arm at doc_id < 20 queries) share ONE index built
+    # over the UNION of their query vocabularies — a term's postings,
+    # df and idf don't depend on what other terms the vocabulary holds,
+    # so each run scores identically to its standalone build (pinned by
+    # test_bm25_shared_index_matches_standalone) while the carrier pays
+    # the tokenize/tf/df machinery once instead of twice.
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.operators import text as TX2
 
-    bm = q_bm25_topk(spark, sf_dir).select(
+    docs_bm = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks_bm = tokenize(TX2.norm_text("text"))
+    q_exp = F.explode(F.array_distinct(F.slice(toks_bm, 1, 8))).alias("qterm")
+    q_method = docs_bm.filter(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("query_id"), q_exp
+    )
+    q_hybrid = docs_bm.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"), q_exp
+    )
+    shared_idx = RT.bm25_build_index(
+        docs_bm,
+        q_method.select(F.col("qterm").alias("term")).unionByName(
+            q_hybrid.select(F.col("qterm").alias("term"))
+        ),
+    )
+    bm = RT.bm25_topk(docs_bm, q_method, k=5, index=shared_idx).select(
         F.lit("bm25").alias("method"),
         "query_id", "rank", "neighbor_id", "score",
     )
     # RRF arm fuses the three approximate indexes already computed above
     # (identical operators/params to the granular query, shared scan)
     # plus the hybrid lexical BM25 arm over the same query ids
-    from streaming_etl_pipeline_spark.operators import retrieval as RT
-    from streaming_etl_pipeline_spark.plans.corpus_docs import (
-        _hybrid_bm25_arm,
-    )
-
     arm_by_name = dict(arms)
     rrf = RT.rrf_fuse(
         [
             arm_by_name["lsh"], arm_by_name["ivf"], arm_by_name["filtered"],
-            _hybrid_bm25_arm(spark, sf_dir),
+            RT.bm25_topk(
+                docs_bm, q_hybrid, k=5, exclude_self=True, index=shared_idx
+            ),
         ],
         k=5,
     ).select(

@@ -1762,6 +1762,48 @@ def test_perplexity_buckets_tiles_by_typicality(spark):
     )
 
 
+def test_bm25_shared_index_matches_standalone(spark):
+    """An index built over the UNION of two query workloads' vocabularies
+    scores each workload identically to a per-workload build — a term's
+    postings/df/idf do not depend on the rest of the vocabulary. This is
+    the contract the ann_topk carrier leans on to pay the tokenize/tf/df
+    machinery once for its method arm and its hybrid ensemble arm."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i % 5} w{i % 7} shared common w{i} tail{i % 3}")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    qa = spark.createDataFrame(
+        [(1, "w1"), (1, "common"), (2, "w3"), (2, "tail1")],
+        "query_id long, qterm string",
+    )
+    qb = spark.createDataFrame(
+        [(7, "w2"), (7, "shared"), (8, "w13")],
+        "query_id long, qterm string",
+    )
+    union_vocab = qa.select(F.col("qterm").alias("term")).unionByName(
+        qb.select(F.col("qterm").alias("term"))
+    )
+    idx = RT.bm25_build_index(docs, union_vocab)
+    for q, excl in ((qa, False), (qb, True)):
+        standalone = sorted(
+            tuple(r) for r in RT.bm25_topk(
+                docs, q, k=3, exclude_self=excl
+            ).collect()
+        )
+        shared = sorted(
+            tuple(r) for r in RT.bm25_topk(
+                docs, q, k=3, exclude_self=excl, index=idx
+            ).collect()
+        )
+        assert standalone == shared
+    idx.doc_term.unpersist()
+
+
 def test_bm25_topk_ranking(spark):
     """Known term statistics: rarer terms (higher idf) outrank repeated
     common terms; within one term, higher tf wins at equal length; ties
