@@ -2134,14 +2134,17 @@ _PR_DANGLING_EDGES_SQL = (
 
 @register(
     "link_pagerank_dangling",
-    CC.pagerank_sql(_PR_DANGLING_EDGES_SQL, iters=3, redistribute_dangling=True),
+    CC.pagerank_sql(_PR_DANGLING_EDGES_SQL, iters=2, redistribute_dangling=True),
 )
 def q_link_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank with dangling-mass redistribution over a sink-heavy
     graph (a third of the nodes have no out-edges): each step's dangling
     rank sum is an exact BIGINT scalar, broadcast back as a 1-row frame
     and spread uniformly — rank mass conserved to rounding, bit-exact
-    against the unrolled twin in both modes."""
+    against the unrolled twin in both modes. Two power steps (vs the
+    drop-mode row's three): the redistribution math differs at step 1
+    (initial mass) and step 2 (accumulated mass) — a third step re-runs
+    the same shape for ~4 more carrier exchanges."""
     from streaming_etl_pipeline_spark.functions.core import md5_long
 
     docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
@@ -2150,7 +2153,7 @@ def q_link_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return CC.pagerank(
-        edges, iters=3, hint_small=True, redistribute_dangling=True
+        edges, iters=2, hint_small=True, redistribute_dangling=True
     )
 
 
