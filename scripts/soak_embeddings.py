@@ -344,6 +344,11 @@ def main() -> int:
             report["rrf_fused_recall"] = _twin_recall(fused)
             hybrid = rrf_fuse(list(arms.values()), k=10)
             report["rrf_hybrid_fused_recall"] = _twin_recall(hybrid)
+            # the minimal lexical+dense pairing — ONE dense retriever +
+            # BM25 — is where hybrid lift is visible (two dense arms
+            # with uncorrelated structural misses already saturate)
+            pair = rrf_fuse([arms["ivf"], arms["bm25_lex"]], k=10)
+            report["rrf_ivf_bm25_pair_recall"] = _twin_recall(pair)
             report["phases"]["rrf"] = round(time.time() - t0, 1)
 
         # ---- pq: codebooks fit on a sample, bulk Arrow encode

@@ -30,6 +30,7 @@ DECIMAL(38,6) so accumulation order cannot matter.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, Window
@@ -40,10 +41,13 @@ __all__ = [
     "bm25_build_index",
     "bm25_topk",
     "bm25_topk_sql",
+    "bm25_topk_from_store",
+    "write_bm25_postings",
     "rrf_fuse",
     "rrf_fuse_sql",
     "BM25_K1",
     "BM25_B",
+    "BM25_STORE_BUCKETS",
     "RRF_C",
 ]
 
@@ -165,6 +169,20 @@ def bm25_topk(
         index = bm25_build_index(
             docs, q_terms.select("term"), id_col=id_col, text_col=text_col
         )
+    return _bm25_score(
+        index, q_terms, k=k, id_col=id_col, exclude_self=exclude_self
+    )
+
+
+def _bm25_score(
+    index: Bm25Index,
+    q_terms: DataFrame,
+    k: int,
+    id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Score + rank against a built index: two broadcast joins, one
+    (query, doc)-keyed DECIMAL sum, one per-query top-k window."""
     doc_term, idf_tbl = index.doc_term, index.idf_tbl
     # per-(query, doc, term) score component — operation order mirrored
     # character-for-character in the SQL twin
@@ -352,3 +370,141 @@ def rrf_fuse_sql(ranking_sqls: "list[str]", k: int = 5, c: int = RRF_C) -> str:
     FROM fused
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Stored full-vocabulary posting index: build → prune-scan scoring
+# ---------------------------------------------------------------------------
+
+#: Term-hash bucket count for the stored posting layout. Query-time
+#: scans prune to the buckets of the query's terms, so each term costs
+#: ~1/BM25_STORE_BUCKETS of the store regardless of corpus size.
+BM25_STORE_BUCKETS = 64
+
+
+def _term_bucket(term, buckets: int):
+    return F.pmod(F.xxhash64(term), F.lit(buckets)).cast("int")
+
+
+def write_bm25_postings(
+    docs: DataFrame,
+    path: str,
+    buckets: int = BM25_STORE_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the FULL-vocabulary inverted index as a stored
+    artifact: ``(term, doc_id, doc_len, tf)`` parquet partitioned by
+    ``term_bucket = pmod(xxhash64(term), buckets)``, plus a 1-row
+    ``stats`` subdirectory (n_docs, sum_len). This is the 100 TB
+    lexical-index shape: the corpus-sized tokenize+aggregate runs ONCE
+    at build time; every later query batch reads only its query terms'
+    buckets (partition pruning — see
+    :func:`bm25_topk_from_store`), so query cost is ∝ query-term
+    postings, independent of vocabulary and corpus size. The ad-hoc
+    :func:`bm25_build_index` remains the right tool for one-shot query
+    sets (it never materializes non-query postings at all).
+
+    Contrast with the ANN side: centroids/codebooks are frozen model
+    state, but BM25's idf/avg_len are CORPUS state — so they are stored
+    (and, in the streaming sink, accumulated per batch) rather than
+    baked into scores; scoring folds them in at query time.
+    """
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+    from streaming_etl_pipeline_spark.operators.text import norm_text
+
+    toks = tokenize(norm_text(text_col))
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(toks).alias("term"),
+            F.size(toks).alias("doc_len"),
+        )
+        .groupBy(id_col, "term", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _term_bucket(F.col("term"), buckets))
+    )
+    (
+        postings.write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    (
+        docs.select(F.size(toks).alias("dl"))
+        .filter("dl > 0")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_len"),
+        )
+        .write.mode(mode)
+        .parquet(os.path.join(path, "stats"))
+    )
+
+
+def bm25_topk_from_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    buckets: int = BM25_STORE_BUCKETS,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_terms_col: str = "qterm",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 top-``k`` against a stored posting index
+    (:func:`write_bm25_postings` / the streaming sink) — identical
+    scores to :func:`bm25_topk` over the same corpus (pinned by
+    ``test_bm25_store_matches_direct``).
+
+    The posting scan filters on ``term_bucket IN (query buckets)`` —
+    a PARTITION filter, so only the query terms' buckets are listed and
+    read — then on the exact terms. df is a plain count over the
+    (doc, term) grain of the pruned read (only query terms need df);
+    idf/avg_len fold in from the stored stats (summed across streaming
+    batch partitions, so an appended store stays consistent).
+    """
+    q_terms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_terms_col).alias("term"),
+    ).distinct()
+    vocab = q_terms.select("term").distinct().withColumn(
+        "term_bucket", _term_bucket(F.col("term"), buckets)
+    )
+    bucket_list = [
+        r.term_bucket for r in vocab.select("term_bucket").distinct().collect()
+    ]  # bounded: ≤ min(|query vocab|, buckets) ints
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(bucket_list))
+        .join(F.broadcast(vocab.select("term")), "term")
+        .select(id_col, "term", "doc_len", "tf")
+    )
+    from pyspark import StorageLevel
+
+    doc_term = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = spark.read.parquet(os.path.join(path, "stats")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (
+            F.sum("sum_len").cast("double") / F.sum("n_docs").cast("double")
+        ).alias("avg_len"),
+    )
+    df_tbl = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+            6,
+        ).alias("idf"),
+        "avg_len",
+    )
+    return _bm25_score(
+        Bm25Index(doc_term=doc_term, idf_tbl=idf_tbl),
+        q_terms,
+        k=k,
+        id_col=id_col,
+        exclude_self=exclude_self,
+    )

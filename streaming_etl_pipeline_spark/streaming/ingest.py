@@ -547,6 +547,111 @@ def load_ann_index(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path).drop("ingest_batch_id")
 
 
+def start_bm25_index_sink(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Incremental full-vocabulary BM25 posting maintenance: every
+    micro-batch of documents tokenizes, aggregates its own (doc, term)
+    postings, and appends them — partitioned by ``term_bucket`` for
+    query-time pruning AND by the ``<checkpoint-token>-<epoch>``
+    idempotence key — plus a per-batch (n_docs, sum_len) stats row.
+    ``retrieval.bm25_topk_from_store`` consumes the result directly
+    (it sums the stats partitions and computes df from the pruned
+    posting read, so corpus-level statistics stay consistent as batches
+    append — unlike the ANN sink's frozen centroids/codebooks, BM25's
+    idf/avg_len are CORPUS state and must accumulate).
+
+    Per-trigger cost ∝ batch postings (one batch-local aggregation, no
+    store read at all); replays rewrite their own partitions
+    byte-for-byte. Precondition (same as :func:`dedup_stream` hands
+    off): doc ids unique across batches — a re-sent doc id would
+    double-count in df/tf. Route the stream through the dedup ingest
+    first when the source replays content."""
+    token = _ingest_run_token(docs.sparkSession, checkpoint)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_postings_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            buckets=buckets,
+            id_col=id_col,
+            text_col=text_col,
+            run_token=token,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def bm25_postings_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    run_token: str | None = None,
+) -> None:
+    """One idempotent micro-batch of :func:`start_bm25_index_sink`
+    (module-level for deterministic replay tests). Postings partition
+    by (ingest_batch_id, term_bucket) — dynamic overwrite of the
+    epoch's partitions replaces BOTH levels under that epoch, so a
+    replay cannot leave orphan buckets behind."""
+    import os as _os
+
+    from streaming_etl_pipeline_spark.functions.core import tokenize
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.operators.text import norm_text
+
+    if batch_df.isEmpty():
+        return
+    b = buckets if buckets is not None else RT.BM25_STORE_BUCKETS
+    part_val = f"{run_token}-{batch_id}" if run_token else str(batch_id)
+    batch_df = batch_df.localCheckpoint(eager=True)
+    toks = tokenize(norm_text(text_col))
+    postings = (
+        batch_df.select(
+            F.col(id_col), F.explode(toks).alias("term"),
+            F.size(toks).alias("doc_len"),
+        )
+        .groupBy(id_col, "term", "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", RT._term_bucket(F.col("term"), b))
+        .withColumn("ingest_batch_id", F.lit(part_val))
+    )
+    (
+        postings.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id", "term_bucket")
+        .parquet(_os.path.join(index_path, "postings"))
+    )
+    (
+        batch_df.select(F.size(toks).alias("dl"))
+        .filter("dl > 0")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_len"),
+        )
+        .withColumn("ingest_batch_id", F.lit(part_val))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id")
+        .parquet(_os.path.join(index_path, "stats"))
+    )
+
+
 def start_gold_upsert_sink(
     bronze: DataFrame,
     path: str,

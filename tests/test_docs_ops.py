@@ -1804,6 +1804,52 @@ def test_bm25_shared_index_matches_standalone(spark):
     idx.doc_term.unpersist()
 
 
+def test_bm25_store_matches_direct_and_prunes(spark, tmp_path, docs):
+    """The stored full-vocabulary posting index scores identically to
+    the direct (ad-hoc) path, and the query-time posting scan carries a
+    term_bucket PARTITION filter — only the query terms' buckets are
+    listed/read, the property that makes the stored layout ∝ query
+    cost at any corpus size."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    store = str(tmp_path / "bm25_store")
+    corpus = docs.select("doc_id", "text")
+    RT.write_bm25_postings(corpus, store, buckets=16)
+    queries = spark.createDataFrame(
+        [(100, "the"), (100, "quick"), (200, "numbers"), (200, "with")],
+        "query_id long, qterm string",
+    )
+    direct = sorted(
+        tuple(r) for r in RT.bm25_topk(corpus, queries, k=3).collect()
+    )
+    stored_df = RT.bm25_topk_from_store(
+        spark, store, queries, k=3, buckets=16
+    )
+    stored = sorted(tuple(r) for r in stored_df.collect())
+    assert direct == stored and len(stored) > 0
+    # partition pruning: the posting FileScan must filter on term_bucket
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
+    # exclude_self parity too
+    d2 = sorted(
+        tuple(r)
+        for r in RT.bm25_topk(
+            corpus,
+            queries.withColumn("query_id", F.lit(1)),
+            k=3,
+            exclude_self=True,
+        ).collect()
+    )
+    s2 = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries.withColumn("query_id", F.lit(1)),
+            k=3, buckets=16, exclude_self=True,
+        ).collect()
+    )
+    assert d2 == s2
+
+
 def test_bm25_topk_ranking(spark):
     """Known term statistics: rarer terms (higher idf) outrank repeated
     common terms; within one term, higher tf wins at equal length; ties

@@ -1337,6 +1337,87 @@ def test_dedup_ingest_tolerates_legacy_store(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [5]
 
 
+def test_streaming_bm25_index_sink_two_triggers(spark, tmp_path):
+    """Incremental BM25 posting maintenance: two triggers append
+    bucketed postings + per-batch stats; bm25_topk_from_store over the
+    maintained store equals the direct path over the union corpus
+    (df/idf/avg_len accumulate correctly across batches); a replayed
+    epoch rewrites its partitions instead of double-counting df."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        bm25_postings_batch,
+        read_jsonl_stream,
+        start_bm25_index_sink,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    store = str(tmp_path / "bm25_store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = [(i, f"shared common w{i % 5} unique{i}") for i in range(10)]
+    b2 = [(i, f"shared rare{i % 3} w{i % 5} unique{i}") for i in range(10, 20)]
+
+    def run_once():
+        stream = read_jsonl_stream(spark, in_dir, schema)
+        q = start_bm25_index_sink(
+            stream, store, ck, buckets=8, trigger={"availableNow": True}
+        )
+        q.awaitTermination(300)
+
+    for name, batch in (("b1", b1), ("b2", b2)):
+        with open(os.path.join(in_dir, f"{name}.jsonl"), "w") as f:
+            for i, t in batch:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+        run_once()
+
+    corpus = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "shared"), (1, "w3"), (2, "rare1"), (2, "unique4")],
+        "query_id long, qterm string",
+    )
+    direct = sorted(
+        tuple(r) for r in RT.bm25_topk(corpus, queries, k=4).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=4, buckets=8
+        ).collect()
+    )
+    assert direct == stored and len(stored) > 0
+
+    # crash-replay of the LAST epoch: partitions rewritten, df unchanged
+    parts = {
+        r.ingest_batch_id
+        for r in spark.read.parquet(os.path.join(store, "stats"))
+        .select("ingest_batch_id").collect()
+    }
+    assert len(parts) == 2
+    replay = sorted(parts)[-1]
+    token, epoch = replay.rsplit("-", 1)
+    bm25_postings_batch(
+        spark.createDataFrame(b2, "doc_id long, text string"),
+        int(epoch), store, buckets=8, run_token=token,
+    )
+    again = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=4, buckets=8
+        ).collect()
+    )
+    assert again == direct
+
+
 def _ann_vec(i: int, dim: int = 64) -> list:
     import math
 
