@@ -1651,3 +1651,119 @@ def pq_reconstruct_arrow(
             )
 
     return codes.mapInPandas(decode, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF quantizer-drift monitor — the retrain trigger for the streaming index
+# ---------------------------------------------------------------------------
+
+
+def ivf_occupancy_drift(
+    ref_cells: DataFrame,
+    cur_cells: DataFrame,
+    n_cells: int,
+    cell_col: str = "centroid_id",
+) -> DataFrame:
+    """Per-cell IVF occupancy drift: PSI of the CURRENT assignment
+    distribution against the TRAINING-TIME reference, cell ids as the
+    bins. This is the retrain trigger the streaming index-maintenance
+    sink defers to (``start_ann_index_sink`` encodes against FROZEN
+    centroids/codebooks; when new traffic concentrates in cells the
+    quantizer carved for a different mix, recall decays silently —
+    occupancy drift is the observable).
+
+    Inputs are assignment frames (one row per vector with ``cell_col``
+    — ``ivf_assign`` output or ``load_ann_index``). Output: one row per
+    cell ``(centroid_id, cnt_ref, cnt_cur, psi_term, psi, drifted)``
+    with the same Laplace smoothing, 0.1 threshold, and reading as
+    ``quality/drift.psi`` (< 0.1 stable, > 0.25 retrain). ``psi_term``
+    rounds to 6dp; the total accumulates the 9dp-rounded terms as
+    DECIMAL over a cells-wide window, so both engines agree bit-for-bit
+    regardless of row order.
+
+    Scale: each side is one map-side-combined count per cell (the
+    assignment frames are the stored index — no vector math at all);
+    everything after is ≤ n_cells rows.
+    """
+    spark = ref_cells.sparkSession
+
+    def counts(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.select(F.col(cell_col).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias(f"cnt_{label}"))
+        )
+
+    bins = (
+        spark.range(n_cells)
+        .select(F.col("id").alias("cell"))
+        .join(counts(ref_cells, "ref"), "cell", "left")
+        .join(counts(cur_cells, "cur"), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("cnt_ref", F.lit(0)).alias("cnt_ref"),
+            F.coalesce("cnt_cur", F.lit(0)).alias("cnt_cur"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("cnt_ref").alias("n_ref"), F.sum("cnt_cur").alias("n_cur")
+    )
+    p_ref = (F.col("cnt_ref") + 0.5) / (F.col("n_ref") + 0.5 * n_cells)
+    p_cur = (F.col("cnt_cur") + 0.5) / (F.col("n_cur") + 0.5 * n_cells)
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = bins.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").alias(cell_col),
+        "cnt_ref",
+        "cnt_cur",
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term.cast("decimal(38,9)")).over(w).cast("double"), 6
+        ).alias("psi"),
+    )
+    return out.withColumn("drifted", F.col("psi") >= 0.1)
+
+
+def ivf_occupancy_drift_sql(
+    ref_sql: str,
+    cur_sql: str,
+    n_cells: int,
+    cell_col: str = "centroid_id",
+) -> str:
+    """DuckDB oracle twin of :func:`ivf_occupancy_drift` —
+    ``ref_sql``/``cur_sql`` yield one assignment row per vector with
+    ``cell_col``."""
+    return f"""
+    WITH refc AS (
+      SELECT {cell_col} AS cell, count(*) AS cnt
+      FROM ({ref_sql}) GROUP BY 1),
+    curc AS (
+      SELECT {cell_col} AS cell, count(*) AS cnt
+      FROM ({cur_sql}) GROUP BY 1),
+    bins AS (
+      SELECT b.cell,
+             coalesce(refc.cnt, 0) AS cnt_ref,
+             coalesce(curc.cnt, 0) AS cnt_cur
+      FROM (SELECT unnest(range({n_cells})) AS cell) b
+      LEFT JOIN refc USING (cell) LEFT JOIN curc USING (cell)),
+    tot AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
+                   CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM bins),
+    terms AS (
+      SELECT cell, cnt_ref, cnt_cur,
+             round(((cnt_cur + 0.5) / (n_cur + 0.5 * {n_cells})
+                    - (cnt_ref + 0.5) / (n_ref + 0.5 * {n_cells}))
+                   * ln(((cnt_cur + 0.5) / (n_cur + 0.5 * {n_cells}))
+                        / ((cnt_ref + 0.5) / (n_ref + 0.5 * {n_cells}))),
+                   9) AS t
+      FROM bins, tot)
+    SELECT cell AS {cell_col}, CAST(cnt_ref AS BIGINT) AS cnt_ref,
+           CAST(cnt_cur AS BIGINT) AS cnt_cur,
+           round(t, 6) AS psi_term,
+           round(CAST(sum(CAST(t AS DECIMAL(38,9))) OVER () AS DOUBLE), 6)
+             AS psi,
+           round(CAST(sum(CAST(t AS DECIMAL(38,9))) OVER () AS DOUBLE), 6)
+             >= 0.1 AS drifted
+    FROM terms
+    """

@@ -2201,6 +2201,52 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ASSIGN_SQL = f"""
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS} DESC, cent.centroid_id) AS rn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) v
+    CROSS JOIN (SELECT vec_id AS centroid_id,
+                       CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings WHERE vec_id < 16) cent
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "ivf_occupancy_drift",
+    SIM.ivf_occupancy_drift_sql(
+        _IVF_ASSIGN_SQL,
+        f"SELECT * FROM ({_IVF_ASSIGN_SQL}) WHERE vec_id % 3 = 0",
+        n_cells=16,
+    ),
+)
+def q_ivf_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer-drift monitor: PSI of a shifted subpopulation's
+    cell-occupancy distribution (every 3rd vector — a different traffic
+    mix) against the full-corpus reference assignment — the retrain
+    trigger for the streaming ANN index sink. The assignment computes
+    ONCE; the current side is a filter of it (assigning a subpopulation
+    IS the filtered assignment)."""
+    from pyspark import StorageLevel
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    centroids = dbl.filter(F.col("vec_id") < 16)
+    asg = (
+        SIM.ivf_assign(dbl, centroids)
+        .select("vec_id", "centroid_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return SIM.ivf_occupancy_drift(
+        asg, asg.filter(F.col("vec_id") % 3 == 0), n_cells=16
+    )
+
+
 @register(
     "embedding_projection",
     f"""

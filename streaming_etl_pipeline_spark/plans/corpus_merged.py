@@ -1314,6 +1314,12 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            proto_sim AS m1, CAST(proto_rank AS DOUBLE) AS m2,
            CAST(cell_n AS DOUBLE) AS m3, CAST(0 AS DOUBLE) AS m4
     FROM ({_sql("prototype_pruning")})
+    UNION ALL
+    SELECT 'ivf_drift' AS emb_op, centroid_id AS k1,
+           CAST(drifted AS VARCHAR) AS k2,
+           CAST(cnt_ref AS DOUBLE) AS m1, CAST(cnt_cur AS DOUBLE) AS m2,
+           psi_term AS m3, psi AS m4
+    FROM ({_sql("ivf_occupancy_drift")})
     """,
 )
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,10 +1394,19 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_n").cast("double").alias("m3"),
         F.lit(0.0).alias("m4"),
     )
+    drift = _run("ivf_occupancy_drift", spark, sf_dir).select(
+        F.lit("ivf_drift").alias("emb_op"),
+        F.col("centroid_id").alias("k1"),
+        F.col("drifted").cast("string").alias("k2"),
+        F.col("cnt_ref").cast("double").alias("m1"),
+        F.col("cnt_cur").cast("double").alias("m2"),
+        F.col("psi_term").alias("m3"),
+        F.col("psi").alias("m4"),
+    )
     return (
         dims.unionByName(quant).unionByName(pool)
         .unionByName(decon).unionByName(bitext).unionByName(jl)
-        .unionByName(prune)
+        .unionByName(prune).unionByName(drift)
     )
 
 
@@ -2024,6 +2039,7 @@ COVERED_BY: dict[str, str] = {
     # profile with rank/cell/keep pinned per vector
     "epoch_materialization": "sampling_suite",
     "prototype_pruning": "embedding_profile",
+    "ivf_occupancy_drift": "embedding_profile",
     # r6: HTML extraction rides the per-doc text profile (md5 of every
     # extracted string + its length)
     "html_extract": "text_profile",

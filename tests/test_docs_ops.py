@@ -1804,6 +1804,36 @@ def test_bm25_shared_index_matches_standalone(spark):
     idx.doc_term.unpersist()
 
 
+def test_ivf_occupancy_drift_detects_shifted_mix(spark):
+    """Quantizer-drift monitor: an identical assignment mix reads
+    stable (psi ≈ 0); traffic concentrated into one cell reads drifted
+    (psi ≥ 0.1). Smoothing keeps empty cells defined; the total is the
+    DECIMAL-accumulated sum of the per-cell terms on every row."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+
+    ref = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "vec_id long, centroid_id long"
+    )
+    same = SIM.ivf_occupancy_drift(ref, ref, n_cells=4).collect()
+    assert len(same) == 4
+    assert all(not r.drifted for r in same)
+    assert all(abs(r.psi) < 1e-6 for r in same)
+    # new traffic all lands in cell 0 → strong drift
+    cur = spark.createDataFrame(
+        [(i, 0) for i in range(100)], "vec_id long, centroid_id long"
+    )
+    moved = SIM.ivf_occupancy_drift(ref, cur, n_cells=4).collect()
+    assert all(r.drifted for r in moved)
+    psi = {r.psi for r in moved}
+    assert len(psi) == 1 and psi.pop() >= 0.25
+    row = {r.centroid_id: r for r in moved}
+    assert row[0].cnt_cur == 100 and row[1].cnt_cur == 0
+    # cells past the assignment range still appear (smoothed), and the
+    # summary matches the sum of the 6dp terms to rounding
+    total = sum(r.psi_term for r in moved)
+    assert abs(total - moved[0].psi) < 1e-5
+
+
 def test_bm25_store_matches_direct_and_prunes(spark, tmp_path, docs):
     """The stored full-vocabulary posting index scores identically to
     the direct (ad-hoc) path, and the query-time posting scan carries a
