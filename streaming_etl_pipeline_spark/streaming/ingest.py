@@ -547,6 +547,67 @@ def load_ann_index(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path).drop("ingest_batch_id")
 
 
+def compact_ingest_store(
+    spark: SparkSession,
+    path: str,
+    secondary_partition_cols: "tuple[str, ...]" = (),
+    label: str | None = None,
+) -> dict:
+    """Offline small-file compaction for the token-namespaced ingest
+    stores (dedup signature store, ANN index, BM25 postings/stats):
+    every trigger appends one ``ingest_batch_id=<token>-<epoch>``
+    partition, so a long-running stream accumulates thousands of tiny
+    partitions/files — the classic small-file problem that slows every
+    downstream listing and scan. This folds ALL partitions into one
+    (``compacted-<digest>``, digest of the folded partition values so
+    re-compacting an already-compacted store is a no-op rename),
+    preserving any secondary partition columns (the BM25 postings keep
+    their ``term_bucket`` pruning layout).
+
+    Contract: run with the stream STOPPED and its checkpoint retired —
+    a later replay of a compacted epoch would re-append that epoch's
+    partition beside the compacted rows (the idempotence key is gone).
+    Atomicity via directory swap: the rewritten store lands beside the
+    original (``<path>.__compact__``) and is swapped in with two
+    renames; a crash before the final rename leaves the original store
+    untouched (at worst a stale ``.__compact__``/``.__old__`` directory
+    to clean up). Returns ``{"partitions_before", "rows", "label"}``.
+    """
+    import hashlib
+
+    df = spark.read.parquet(path)
+    parts = sorted(
+        str(r.ingest_batch_id)
+        for r in df.select("ingest_batch_id").distinct().collect()
+    )  # bounded: one value per trigger
+    if label is None:
+        digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+        label = f"compacted-{digest}"
+    if parts == [label]:
+        return {"partitions_before": 1, "rows": df.count(), "label": label}
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    n_rows = df.count()
+    (
+        df.withColumn("ingest_batch_id", F.lit(label))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch_id", *secondary_partition_cols)
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    fs.rename(jpath, jvm.org.apache.hadoop.fs.Path(old))
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return {
+        "partitions_before": len(parts),
+        "rows": int(n_rows),
+        "label": label,
+    }
+
+
 def start_bm25_index_sink(
     docs: DataFrame,
     index_path: str,

@@ -1418,6 +1418,82 @@ def test_streaming_bm25_index_sink_two_triggers(spark, tmp_path):
     assert again == direct
 
 
+def test_compact_ingest_store_preserves_results(spark, tmp_path):
+    """Offline compaction folds per-trigger partitions into one while
+    preserving rows, secondary partition layout, and downstream
+    results: the BM25 store scores identically afterward, the signature
+    store still probes, and re-compacting is a no-op."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        bm25_postings_batch,
+        compact_ingest_store,
+        dedup_ingest_batch,
+    )
+
+    store = str(tmp_path / "bm25_store")
+    b1 = [(i, f"shared common w{i % 5} unique{i}") for i in range(10)]
+    b2 = [(i, f"shared rare{i % 3} w{i % 5} unique{i}") for i in range(10, 20)]
+    for epoch, batch in enumerate((b1, b2)):
+        bm25_postings_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            epoch, store, buckets=8, run_token="run-x",
+        )
+    queries = spark.createDataFrame(
+        [(1, "shared"), (1, "w3"), (2, "rare1")],
+        "query_id long, qterm string",
+    )
+    before = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=4, buckets=8
+        ).collect()
+    )
+    r1 = compact_ingest_store(
+        spark, os.path.join(store, "postings"),
+        secondary_partition_cols=("term_bucket",),
+    )
+    r2 = compact_ingest_store(spark, os.path.join(store, "stats"))
+    assert r1["partitions_before"] == 2 and r2["partitions_before"] == 2
+    after = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=4, buckets=8
+        ).collect()
+    )
+    assert before == after
+    # term_bucket layout survives (pruning still possible)
+    post = spark.read.parquet(os.path.join(store, "postings"))
+    assert "term_bucket" in post.columns
+    parts = {
+        r.ingest_batch_id
+        for r in post.select("ingest_batch_id").distinct().collect()
+    }
+    assert len(parts) == 1 and next(iter(parts)).startswith("compacted-")
+    # idempotent: same label → no-op
+    r3 = compact_ingest_store(
+        spark, os.path.join(store, "postings"),
+        secondary_partition_cols=("term_bucket",),
+    )
+    assert r3["partitions_before"] == 1 and r3["rows"] == r1["rows"]
+
+    # the dedup signature store keeps probing after compaction
+    out = str(tmp_path / "clean")
+    sig = str(tmp_path / "sig_store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d0 = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    dedup_ingest_batch(d0, 0, out, sig, run_token="run-a")
+    compact_ingest_store(spark, sig)
+    d1 = spark.createDataFrame(
+        [(2, base), (3, "completely different words about parquet files")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(d1, 0, out, sig, run_token="run-b")
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]  # 2 near-dups the compacted store's entry
+
+
 def _ann_vec(i: int, dim: int = 64) -> list:
     import math
 
