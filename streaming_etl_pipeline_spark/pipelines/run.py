@@ -120,6 +120,32 @@ def make_parser() -> argparse.ArgumentParser:
         "Arrow GEMM path (the default; ~100x cosine throughput)",
     )
 
+    bi = sub.add_parser(
+        "build-bm25-index",
+        help="materialize the full-vocabulary BM25 posting index "
+        "(term-hash-bucketed parquet + stats) — the build-once layout "
+        "bm25_topk_from_store scores against with partition pruning",
+    )
+    bi.add_argument("--input", required=True, help="parquet with doc_id,text")
+    bi.add_argument("--output", required=True, help="index directory out")
+    bi.add_argument("--buckets", type=int, default=64)
+    bi.add_argument("--id-col", default="doc_id")
+    bi.add_argument("--text-col", default="text")
+
+    cs = sub.add_parser(
+        "compact-store",
+        help="offline small-file compaction of a token-namespaced "
+        "ingest store (dedup signatures / ANN index / BM25 "
+        "postings+stats): folds per-trigger partitions into one; run "
+        "with the stream stopped and its checkpoint retired",
+    )
+    cs.add_argument("--path", required=True, help="store directory")
+    cs.add_argument(
+        "--secondary-partition-cols", default="",
+        help="comma list of partition columns to preserve below "
+        "ingest_batch_id (e.g. term_bucket for BM25 postings)",
+    )
+
     tp = sub.add_parser(
         "train-pq",
         help="train product-quantization codebooks over an embedding "
@@ -356,6 +382,36 @@ def main(argv: list[str] | None = None) -> int:
         cents.write.mode("overwrite").parquet(args.output)
         metrics["quantizer.k"] = args.k
         metrics["quantizer.centroids"] = spark.read.parquet(args.output).count()
+    if args.cmd == "build-bm25-index":
+        from streaming_etl_pipeline_spark.operators.retrieval import (
+            write_bm25_postings,
+        )
+
+        docs = spark.read.parquet(args.input)
+        write_bm25_postings(
+            docs,
+            args.output,
+            buckets=args.buckets,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        metrics["bm25_index.docs"] = docs.count()
+        metrics["bm25_index.buckets"] = float(args.buckets)
+    if args.cmd == "compact-store":
+        from streaming_etl_pipeline_spark.streaming.ingest import (
+            compact_ingest_store,
+        )
+
+        cols = tuple(
+            c for c in args.secondary_partition_cols.split(",") if c
+        )
+        res = compact_ingest_store(
+            spark, args.path, secondary_partition_cols=cols
+        )
+        metrics["compact.partitions_before"] = float(
+            res["partitions_before"]
+        )
+        metrics["compact.rows"] = float(res["rows"])
     if args.cmd == "prune":
         from streaming_etl_pipeline_spark.operators.clustering import (
             prototype_prune,

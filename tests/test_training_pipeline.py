@@ -407,6 +407,55 @@ def test_cli_train_pq_writes_codebooks(spark, tmp_path, capsys):
     assert all(len(r.c) == 4 and all(0 <= x < 8 for x in r.c) for r in codes)
 
 
+def test_cli_bm25_index_and_compact_store(spark, tmp_path, capsys):
+    import json
+
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.pipelines.run import main
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        bm25_postings_batch,
+    )
+
+    idx = str(tmp_path / "bm25_index")
+    rc = main(
+        [
+            "build-bm25-index",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", idx,
+            "--buckets", "8",
+        ]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["bm25_index.docs"] > 0
+    queries = spark.createDataFrame(
+        [(1, "the"), (1, "data")], "query_id long, qterm string"
+    )
+    got = RT.bm25_topk_from_store(spark, idx, queries, k=3, buckets=8)
+    assert got.count() > 0
+
+    # compact-store over a two-trigger posting store
+    store = str(tmp_path / "bm25_stream_store")
+    for epoch in (0, 1):
+        bm25_postings_batch(
+            spark.createDataFrame(
+                [(epoch * 10 + i, f"w{i} shared") for i in range(5)],
+                "doc_id long, text string",
+            ),
+            epoch, store, buckets=8, run_token="run-z",
+        )
+    rc = main(
+        [
+            "compact-store",
+            "--path", str(tmp_path / "bm25_stream_store" / "postings"),
+            "--secondary-partition-cols", "term_bucket",
+        ]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["compact.partitions_before"] == 2.0
+
+
 def test_curate_corpus_extract_html(spark, tmp_path):
     """extract_html=True: markup is stripped BEFORE quality/dedup, so an
     HTML-wrapped twin of a plain doc exact-dedups against it, and tag
