@@ -24,7 +24,13 @@ Phases (all timed; shuffle/spill from the event log at exit):
                  query-proportional scoring cost from the fixed
                  corpus-scan cost;
 - ``halfsize`` — the q-query run again on n/2 docs: the wall ratio vs
-                 the full run shows the corpus-proportional index cost.
+                 the full run shows the corpus-proportional index cost;
+- ``store``    — the build-once layout: write_bm25_postings (the one
+                 corpus-sized job, timed) then bm25_topk_from_store at
+                 q queries — the store path skips the per-query-batch
+                 corpus tokenize, so repeated query batches cost a
+                 fraction of the direct path (the partition-pruned
+                 posting read is ∝ query-term postings).
 
 Usage:
     python scripts/soak_bm25.py                  # 5M docs, 200 queries
@@ -137,6 +143,25 @@ def main() -> int:
         t0 = time.time()
         bm25_topk(half, qs, k=10).count()
         report["phases"]["halfsize"] = round(time.time() - t0, 1)
+
+        # stored layout: build once, score many query batches cheaply
+        from streaming_etl_pipeline_spark.operators.retrieval import (
+            bm25_topk_from_store,
+            write_bm25_postings,
+        )
+
+        store = os.path.join(work, "bm25_store")
+        t0 = time.time()
+        write_bm25_postings(docs, store, buckets=64)
+        wall = time.time() - t0
+        report["phases"]["store_build"] = round(wall, 1)
+        report["store_build_rows_per_sec"] = round(n / wall)
+        qs = queries_of(docs, q)
+        t0 = time.time()
+        hits = bm25_topk_from_store(spark, store, qs, k=10).count()
+        wall = time.time() - t0
+        report["phases"]["store_query"] = round(wall, 1)
+        report["store_query_results"] = hits
 
         spark.stop()  # flush event log
         report["resources"] = {

@@ -535,7 +535,11 @@ def ann_index_batch(
         index.withColumn("ingest_batch_id", F.lit(part_val))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch_id")
+        # centroid_id as a second partition level: an IVF probe reads
+        # only its nprobe cells' directories — static pruning when the
+        # caller filters on probed cells, dynamic partition pruning
+        # when ivf_pq_topk's broadcast cell join supplies them
+        .partitionBy("ingest_batch_id", "centroid_id")
         .parquet(index_path)
     )
 
