@@ -1470,6 +1470,7 @@ def ivf_pq_topk(
     nprobe: int = 1,
     codebooks: list[list[list[float]]] = PQ_CODEBOOKS,
     corpus_index: DataFrame | None = None,
+    prune_stored_cells: bool = False,
 ) -> DataFrame:
     """IVF-PQ (the FAISS-standard billion-scale layout): candidates are
     restricted to the query's ``nprobe`` nearest IVF cells AND the
@@ -1484,12 +1485,30 @@ def ivf_pq_topk(
     ``corpus_index``: a pre-built ``(id_col, centroid_id, codes)``
     frame (the stored-at-ingest shape) skips both the quantizer scan
     and the encode pass for repeated query batches.
+
+    ``prune_stored_cells=True`` (with ``corpus_index``): collect the
+    probed cell ids (bounded — ≤ queries × nprobe longs) and push an
+    ``isin`` filter into the index scan. When the index is the
+    streaming sink's centroid_id-partitioned store, this is STATIC
+    partition pruning — only the probed cells' directories are listed
+    and read, so probe I/O is ∝ nprobe/n_cells of the index regardless
+    of corpus size. Semantically a no-op (candidates are cell-join-
+    restricted anyway — pinned by the pruned-vs-unpruned equality
+    test); opt-in because it runs one small eager job per call.
     """
     q = ivf_probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid_id",
     )
+    if corpus_index is not None and prune_stored_cells:
+        probed = [
+            r.centroid_id
+            for r in q.select("centroid_id").distinct().collect()
+        ]
+        corpus_index = corpus_index.filter(
+            F.col("centroid_id").isin(probed)
+        )
     if corpus_index is None:
         corpus_index = ivf_assign(corpus, centroids, id_col, vec_col).select(
             id_col, "centroid_id", pq_encode(vec_col, codebooks).alias("codes")

@@ -1578,6 +1578,27 @@ def test_streaming_ann_index_sink_two_triggers(spark, tmp_path):
         ).collect()
     }
     assert got[1] == 103 and got[2] == 205
+    # prune_stored_cells: identical results, and the probed-cell isin
+    # lands in the scan's PartitionFilters (the store is partitioned by
+    # centroid_id, so only the probed cells' directories are read)
+    pruned_df = SIM.ivf_pq_topk(
+        queries, None, centroids, k=1, nprobe=2,
+        corpus_index=load_ann_index(spark, idx), prune_stored_cells=True,
+    )
+    unpruned = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in SIM.ivf_pq_topk(
+            queries, None, centroids, k=1, nprobe=2, corpus_index=index
+        ).collect()
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in pruned_df.collect()
+    } == unpruned
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
 
     # crash-replay: same epoch id re-runs — partition rewritten, not duped
     b2 = spark.createDataFrame(
