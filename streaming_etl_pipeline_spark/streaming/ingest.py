@@ -446,6 +446,7 @@ def start_ann_index_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = True,
+    partition_by_cell: bool = False,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Incremental IVF-PQ index maintenance: every micro-batch of new
@@ -482,6 +483,7 @@ def start_ann_index_sink(
             vec_col=vec_col,
             run_token=token,
             use_arrow=use_arrow,
+            partition_by_cell=partition_by_cell,
         )
 
     writer = (
@@ -503,6 +505,7 @@ def ann_index_batch(
     vec_col: str = "embedding",
     run_token: str | None = None,
     use_arrow: bool = True,
+    partition_by_cell: bool = False,
 ) -> None:
     """One idempotent micro-batch of :func:`start_ann_index_sink`
     (module-level so crash-replay and checkpoint-reset behavior can be
@@ -531,15 +534,23 @@ def ann_index_batch(
             "centroid_id",
             SIM.pq_encode(vec_col, books).alias("codes"),
         )
+    # centroid_id as an OPT-IN second partition level: probe-heavy
+    # deployments get static cell pruning (ivf_pq_topk's
+    # prune_stored_cells reads only nprobe cells' directories), at the
+    # cost of ~3x slower triggers (tasks x cells small files — measured
+    # 8 s -> 23 s per 1M-vector trigger at 256 cells). Write-heavy
+    # deployments keep the flat layout and re-shape at compaction time
+    # (compact_ingest_store folds the small files either way).
+    part_cols = (
+        ["ingest_batch_id", "centroid_id"]
+        if partition_by_cell
+        else ["ingest_batch_id"]
+    )
     (
         index.withColumn("ingest_batch_id", F.lit(part_val))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        # centroid_id as a second partition level: an IVF probe reads
-        # only its nprobe cells' directories — static pruning when the
-        # caller filters on probed cells, dynamic partition pruning
-        # when ivf_pq_topk's broadcast cell join supplies them
-        .partitionBy("ingest_batch_id", "centroid_id")
+        .partitionBy(*part_cols)
         .parquet(index_path)
     )
 

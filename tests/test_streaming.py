@@ -1581,9 +1581,20 @@ def test_streaming_ann_index_sink_two_triggers(spark, tmp_path):
     # prune_stored_cells: identical results, and the probed-cell isin
     # lands in the scan's PartitionFilters (the store is partitioned by
     # centroid_id, so only the probed cells' directories are read)
+    cell_idx = str(tmp_path / "ann_index_bycell")
+    ann_index_batch(
+        spark.createDataFrame(
+            [(i, _ann_vec(i)) for i in range(100, 110)]
+            + [(i, _ann_vec(i)) for i in range(200, 210)],
+            "vec_id long, embedding array<double>",
+        ),
+        0, cell_idx, centroids, run_token="cells",
+        partition_by_cell=True,
+    )
     pruned_df = SIM.ivf_pq_topk(
         queries, None, centroids, k=1, nprobe=2,
-        corpus_index=load_ann_index(spark, idx), prune_stored_cells=True,
+        corpus_index=load_ann_index(spark, cell_idx),
+        prune_stored_cells=True,
     )
     unpruned = {
         (r.query_id, r.neighbor_id, r.cosine_sim)
