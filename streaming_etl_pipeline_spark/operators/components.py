@@ -511,6 +511,13 @@ def pagerank(
         )
     tel_b = F.broadcast(tel) if hint_small else tel
     for _ in range(iters):
+        if redistribute_dangling:
+            # ranks is consumed TWICE per step (contribs + d_mass); an
+            # unpersisted frame would double the logical plan per
+            # iteration (~2^iters lineage and recomputation). Eager
+            # localCheckpoint truncates lineage to O(1) per step —
+            # values unchanged (exact BIGINT micro-units throughout).
+            ranks = ranks.localCheckpoint(eager=True)
         r = F.broadcast(ranks) if hint_small else ranks
         contribs = ed.join(r, ed["src"] == r["node"]).select(
             "dst",

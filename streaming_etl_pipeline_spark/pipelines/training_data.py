@@ -166,15 +166,17 @@ def curate_corpus(
                 with_domain, domain_blocklist, domain_col="_domain"
             )
         if domain_cap_n:
-            # Malformed / scheme-less URLs derive an empty host, so they
-            # would all collapse into ONE '' pseudo-domain and the cap
-            # would silently drop most of them. Route them past the cap
-            # (they are not a real domain) and surface the count.
-            malformed = with_domain.filter(F.col("_domain") == "")
+            # Malformed / scheme-less URLs derive an empty host (and a
+            # NULL url derives a NULL domain), so they would all collapse
+            # into ONE '' / NULL pseudo-domain and the cap would silently
+            # drop most of them. Route them past the cap (they are not a
+            # real domain) and surface the count.
+            is_malformed = F.col("_domain").isNull() | (F.col("_domain") == "")
+            malformed = with_domain.filter(is_malformed)
             metrics["url_gate_malformed"] = float(malformed.count())
             with_domain = (
                 WC.domain_cap(
-                    with_domain.filter(F.col("_domain") != "").withColumn(
+                    with_domain.filter(~is_malformed).withColumn(
                         "_q", F.length(text_col)
                     ),
                     cap=domain_cap_n,

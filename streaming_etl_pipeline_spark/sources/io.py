@@ -585,14 +585,22 @@ def vacuum_versions(table_dir: str, keep: int = 2) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
-def _shard_row_sig(cols: list) -> "F.Column":
-    """Injective per-row signature input: each column is rendered as
-    ``n`` (NULL) or ``v<len>:<value>`` — a prefix code, so values
-    containing the ``|`` joiner, empty strings, and NULLs all encode
-    distinctly (plain ``concat_ws`` skips NULLs and cannot distinguish
-    ``a|b`` in one column from ``a``,``b`` in two)."""
+def _shard_row_sig(cols: list, sig_version: int = 2) -> "F.Column":
+    """Injective per-row signature input (v2, the default): each column
+    is rendered as ``n`` (NULL) or ``v<len>:<value>`` — a prefix code,
+    so values containing the ``|`` joiner, empty strings, and NULLs all
+    encode distinctly (plain ``concat_ws`` skips NULLs and cannot
+    distinguish ``a|b`` in one column from ``a``,``b`` in two).
+    ``sig_version=1`` reproduces the original plain ``concat_ws``
+    encoding so manifests written before the v2 change still verify."""
     from streaming_etl_pipeline_spark.functions.core import md5_long
 
+    if sig_version == 1:
+        return md5_long(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        )
+    if sig_version != 2:
+        raise ValueError(f"unsupported sig_version: {sig_version}")
     parts = []
     for c in cols:
         s = F.col(c).cast("string")
@@ -672,14 +680,18 @@ def verify_training_shards(spark: SparkSession, path: str) -> dict:
     """Recompute every shard's row count and content checksum and diff
     against ``_manifest.json`` — the post-transfer integrity audit.
     Returns ``{"ok": bool, "mismatched_shards": [...]}``; one
-    distributed pass, n_shards-row result."""
+    distributed pass, n_shards-row result. Recomputes with the row
+    encoding the manifest was WRITTEN with (``sig_version``, default 1
+    for pre-versioning manifests), so old shards verify rather than
+    failing with a mismatch indistinguishable from corruption; an
+    unknown version raises explicitly."""
     import json as _json
 
     with open(os.path.join(path, "_manifest.json")) as f:
         manifest = _json.load(f)
     cols = [c for c in manifest["columns"]]
     df = getattr(spark.read, manifest["format"])(path)
-    row_sig = _shard_row_sig(cols)
+    row_sig = _shard_row_sig(cols, sig_version=manifest.get("sig_version", 1))
     got = {
         str(r["shard"]): (int(r["rows"]), int(r["checksum"]))
         for r in df.groupBy("shard").agg(

@@ -574,28 +574,43 @@ def compact_ingest_store(
     partition, so a long-running stream accumulates thousands of tiny
     partitions/files — the classic small-file problem that slows every
     downstream listing and scan. This folds ALL partitions into one
-    (``compacted-<digest>``, digest of the folded partition values so
-    re-compacting an already-compacted store is a no-op rename),
-    preserving any secondary partition columns (the BM25 postings keep
-    their ``term_bucket`` pruning layout).
+    (``compacted-<digest>``, digest of the folded partition values;
+    a store that is already a single ``compacted-*`` partition is
+    returned untouched, so re-compacting is a true no-op), preserving
+    any secondary partition columns (the BM25 postings keep their
+    ``term_bucket`` pruning layout).
 
     Contract: run with the stream STOPPED and its checkpoint retired —
     a later replay of a compacted epoch would re-append that epoch's
     partition beside the compacted rows (the idempotence key is gone).
     Atomicity via directory swap: the rewritten store lands beside the
     original (``<path>.__compact__``) and is swapped in with two
-    renames; a crash before the final rename leaves the original store
-    untouched (at worst a stale ``.__compact__``/``.__old__`` directory
-    to clean up). Returns ``{"partitions_before", "rows", "label"}``.
+    CHECKED renames (Hadoop ``FileSystem.rename`` reports failure by
+    returning false — and renames src INSIDE an existing dst dir — so
+    both results are raised on); a crash at any point leaves a state
+    :func:`repair_store` (called first, here and standalone) rolls
+    forward or back to a readable store. Returns
+    ``{"partitions_before", "rows", "label"}``.
     """
     import hashlib
 
+    repair_store(spark, path)
     df = spark.read.parquet(path)
     parts = sorted(
         str(r.ingest_batch_id)
         for r in df.select("ingest_batch_id").distinct().collect()
     )  # bounded: one value per trigger
     if label is None:
+        if len(parts) == 1 and parts[0].startswith("compacted-"):
+            # Already compacted: the digest of the CURRENT partition
+            # value would differ from the digest that named it, so
+            # without this short-circuit every invocation would fully
+            # rewrite (and relabel) the store.
+            return {
+                "partitions_before": 1,
+                "rows": df.count(),
+                "label": parts[0],
+            }
         digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
         label = f"compacted-{digest}"
     if parts == [label]:
@@ -613,14 +628,75 @@ def compact_ingest_store(
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(conf)
-    fs.rename(jpath, jvm.org.apache.hadoop.fs.Path(old))
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(jpath, jold):
+        raise RuntimeError(
+            f"compact_ingest_store: rename {path} -> {old} failed "
+            "(Hadoop rename returned false); store left untouched"
+        )
+    if not fs.rename(jtmp, jpath):
+        # Roll back so the live path is never left empty.
+        fs.rename(jold, jpath)
+        raise RuntimeError(
+            f"compact_ingest_store: rename {tmp} -> {path} failed "
+            "(Hadoop rename returned false); original store restored"
+        )
+    fs.delete(jold, True)
     return {
         "partitions_before": len(parts),
         "rows": int(n_rows),
         "label": label,
     }
+
+
+def repair_store(spark: SparkSession, path: str) -> str:
+    """Recover an ingest store from a crash inside
+    :func:`compact_ingest_store`'s directory swap. The swap has three
+    crash windows, each leaving a distinct directory signature beside
+    the live path, and each with exactly one safe resolution:
+
+    - ``.__compact__`` present, live path present (crash after the
+      rewrite, before any rename): the original store is intact —
+      roll BACK by deleting the stale rewrite (it may itself be a
+      partial write, so it is never trusted).
+    - ``.__compact__`` present, live path MISSING, ``.__old__``
+      present (crash between the two renames): the rewrite completed
+      before the renames began — roll FORWARD by renaming it into
+      place, then drop ``.__old__``.
+    - ``.__old__`` present, live path present (crash before the final
+      cleanup delete): the swap finished — drop ``.__old__``.
+
+    Returns which action was taken (``"clean"``, ``"rolled_back"``,
+    ``"rolled_forward"``, ``"dropped_old"``). Called automatically at
+    the top of :func:`compact_ingest_store`; also safe to call at
+    startup before reading a store."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    jtmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact__")
+    jold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+    live, tmp_e, old_e = fs.exists(jpath), fs.exists(jtmp), fs.exists(jold)
+    if tmp_e and live:
+        fs.delete(jtmp, True)
+        if old_e:  # can only co-exist with a live path via manual copies
+            fs.delete(jold, True)
+        return "rolled_back"
+    if tmp_e and not live and old_e:
+        if not fs.rename(jtmp, jpath):
+            raise RuntimeError(f"repair_store: rename to {path} failed")
+        fs.delete(jold, True)
+        return "rolled_forward"
+    if old_e and not live:
+        # Rewrite lost before the swap completed: restore the original.
+        if not fs.rename(jold, jpath):
+            raise RuntimeError(f"repair_store: restore of {path} failed")
+        return "rolled_forward"
+    if old_e:
+        fs.delete(jold, True)
+        return "dropped_old"
+    return "clean"
 
 
 def start_bm25_index_sink(

@@ -1475,6 +1475,9 @@ def test_compact_ingest_store_preserves_results(spark, tmp_path):
         secondary_partition_cols=("term_bucket",),
     )
     assert r3["partitions_before"] == 1 and r3["rows"] == r1["rows"]
+    # label STABLE across re-compactions (no full rewrite/relabel: the
+    # short-circuit keys on the compacted-* partition, not its digest)
+    assert r3["label"] == r1["label"]
 
     # the dedup signature store keeps probing after compaction
     out = str(tmp_path / "clean")
@@ -1492,6 +1495,127 @@ def test_compact_ingest_store_preserves_results(spark, tmp_path):
     dedup_ingest_batch(d1, 0, out, sig, run_token="run-b")
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 3]  # 2 near-dups the compacted store's entry
+
+
+def test_repair_store_crash_states(spark, tmp_path):
+    """Every crash window inside compact_ingest_store's directory swap
+    leaves a distinct signature; repair_store rolls each forward or
+    back to a readable store with row counts intact, and
+    compact_ingest_store self-heals by calling it first."""
+    import shutil
+
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        bm25_postings_batch,
+        compact_ingest_store,
+        repair_store,
+    )
+
+    def fresh(name: str) -> str:
+        store = str(tmp_path / name)
+        for epoch in range(2):
+            bm25_postings_batch(
+                spark.createDataFrame(
+                    [(epoch * 5 + i, f"alpha beta w{i}") for i in range(5)],
+                    "doc_id long, text string",
+                ),
+                epoch, store, buckets=4, run_token="run-r",
+            )
+        return os.path.join(store, "postings")
+
+    def rows(p: str) -> int:
+        return spark.read.parquet(p).count()
+
+    # clean store: no-op
+    p0 = fresh("s0")
+    n = rows(p0)
+    assert repair_store(spark, p0) == "clean"
+
+    # crash AFTER rewrite, BEFORE first rename: live + .__compact__
+    p1 = fresh("s1")
+    shutil.copytree(p1, p1 + ".__compact__")
+    assert repair_store(spark, p1) == "rolled_back"
+    assert not os.path.exists(p1 + ".__compact__") and rows(p1) == n
+
+    # crash BETWEEN the renames: .__old__ + .__compact__, live missing
+    p2 = fresh("s2")
+    shutil.copytree(p2, p2 + ".__compact__")
+    os.rename(p2, p2 + ".__old__")
+    assert repair_store(spark, p2) == "rolled_forward"
+    assert rows(p2) == n
+    assert not os.path.exists(p2 + ".__old__")
+
+    # crash BEFORE final cleanup delete: live + .__old__
+    p3 = fresh("s3")
+    shutil.copytree(p3, p3 + ".__old__")
+    assert repair_store(spark, p3) == "dropped_old"
+    assert not os.path.exists(p3 + ".__old__") and rows(p3) == n
+
+    # .__old__ only, live missing (rewrite lost): original restored
+    p4 = fresh("s4")
+    os.rename(p4, p4 + ".__old__")
+    assert repair_store(spark, p4) == "rolled_forward"
+    assert rows(p4) == n
+
+    # compact_ingest_store self-heals a stale .__compact__ instead of
+    # silently overwriting it / failing on the blocked rename
+    p5 = fresh("s5")
+    shutil.copytree(p5, p5 + ".__compact__")
+    res = compact_ingest_store(spark, p5, secondary_partition_cols=("term_bucket",))
+    assert res["rows"] == n and res["partitions_before"] == 2
+    assert rows(p5) == n
+
+
+def test_verify_training_shards_sig_version_compat(spark, tmp_path):
+    """Manifests written before the length-prefixed (v2) row encoding
+    carry no sig_version; verify must recompute with the v1 concat_ws
+    signature rather than failing them as corrupt — and an unknown
+    version raises explicitly."""
+    import json as _json
+
+    import pytest
+
+    from streaming_etl_pipeline_spark.sources.io import (
+        _shard_row_sig,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}" if i % 3 else None) for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards_v1")
+    write_training_shards(df, path, n_shards=4)
+    # rewrite the manifest as a pre-versioning (v1) artifact
+    mpath = os.path.join(path, "_manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    del manifest["sig_version"]
+    v1 = {
+        str(r["shard"]): (int(r["rows"]), int(r["checksum"]))
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            (
+                F.sum(
+                    _shard_row_sig(["doc_id", "text"], 1).cast("decimal(38,0)")
+                )
+                % F.lit(1 << 60)
+            ).cast("long").alias("checksum"),
+        )
+        .collect()
+    }
+    for s, (r_n, ck) in v1.items():
+        manifest["shards"][s] = {"rows": r_n, "checksum": ck}
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+    assert verify_training_shards(spark, path)["ok"]
+    manifest["sig_version"] = 99
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+    with pytest.raises(ValueError, match="unsupported sig_version"):
+        verify_training_shards(spark, path)
 
 
 def _ann_vec(i: int, dim: int = 64) -> list:

@@ -336,17 +336,21 @@ def test_curate_corpus_url_gate(spark, tmp_path):
 
 
 def test_curate_corpus_url_gate_malformed_urls_bypass_cap(spark, tmp_path):
-    """Scheme-less / malformed URLs all derive the '' pseudo-domain; the
-    cap must NOT treat them as one domain and silently drop them — they
-    route past the cap and surface in the url_gate_malformed metric."""
+    """Scheme-less / malformed URLs all derive the '' pseudo-domain (and
+    a NULL url a NULL domain); the cap must NOT treat them as one domain
+    and silently drop them — they route past the cap and surface in the
+    url_gate_malformed metric."""
     out = str(tmp_path / "training_url_malformed")
-    # docs 0/1/2/5 get malformed URLs (> cap of 2); the rest one domain
+    # docs 0/1/2 get malformed URLs, doc 5 a NULL url (together > cap
+    # of 2); the rest one domain
     docs = _corpus(spark).withColumn(
         "url",
         F.when(
-            F.col("doc_id").isin(0, 1, 2, 5),
+            F.col("doc_id").isin(0, 1, 2),
             F.concat(F.lit("not a url "), F.col("doc_id")),
-        ).otherwise(
+        )
+        .when(F.col("doc_id") == 5, F.lit(None).cast("string"))
+        .otherwise(
             F.concat(F.lit("https://ok.example.org/d/"), F.col("doc_id"))
         ),
     )
