@@ -1335,6 +1335,49 @@ def pq_fit(
     return books
 
 
+def retrain_quantizer(
+    vectors: DataFrame,
+    n_cells: int,
+    codebooks_shape: tuple[int, int] = (PQ_M, PQ_K),
+    iters: int = 5,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+) -> "tuple[DataFrame, list[list[list[float]]]]":
+    """Retrain the full IVF-PQ quantizer state — coarse centroids
+    (:func:`clustering.kmeans_fit`) AND PQ codebooks (:func:`pq_fit`)
+    — from a slice of CURRENT traffic. This is the *react* half of the
+    drift loop: :func:`ivf_occupancy_drift` detects that new vectors
+    concentrate in cells the old quantizer carved for a different mix;
+    this produces the replacement state and
+    :func:`streaming.ingest.reencode_index` migrates the stored index
+    onto it (restart the sink with the new state afterwards — encode is
+    frozen per sink run).
+
+    ``sample_fraction``: train on a deterministic (seed-13) Bernoulli
+    sample — quantizer quality needs a representative sample, not the
+    corpus, so at 100 TB train on ~1M rows and keep every training scan
+    sample-sized. Returns ``(centroids, codebooks)`` in exactly the
+    shapes ``start_ann_index_sink`` / :func:`ivf_pq_topk` accept; the
+    centroid frame is materialized (localCheckpoint) so downstream
+    plans embed trained state, not the training lineage."""
+    from streaming_etl_pipeline_spark.operators.clustering import kmeans_fit
+
+    if sample_fraction is not None:
+        vectors = vectors.sample(fraction=sample_fraction, seed=13)
+    vectors = vectors.localCheckpoint(eager=True)  # scanned m+1 times
+    centroids = kmeans_fit(
+        vectors, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        use_arrow=use_arrow,
+    ).localCheckpoint(eager=True)
+    books = pq_fit(
+        vectors, codebooks_shape=codebooks_shape, iters=iters,
+        id_col=id_col, vec_col=vec_col, use_arrow=use_arrow,
+    )
+    return centroids, books
+
+
 def _pq_subspace_scores(
     sub: Column, book: list[list[float]]
 ) -> Column:

@@ -624,6 +624,22 @@ def compact_ingest_store(
         .partitionBy("ingest_batch_id", *secondary_partition_cols)
         .parquet(tmp)
     )
+    _atomic_swap_dir(spark, path)
+    return {
+        "partitions_before": len(parts),
+        "rows": int(n_rows),
+        "label": label,
+    }
+
+
+def _atomic_swap_dir(spark: SparkSession, path: str) -> None:
+    """Swap ``<path>.__compact__`` (a fully-written replacement store)
+    into place with two CHECKED renames (Hadoop ``FileSystem.rename``
+    reports failure by returning false); a failed second rename rolls
+    the original back so the live path is never left empty. Crash
+    states are the ones :func:`repair_store` resolves."""
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -632,22 +648,17 @@ def compact_ingest_store(
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
     if not fs.rename(jpath, jold):
         raise RuntimeError(
-            f"compact_ingest_store: rename {path} -> {old} failed "
+            f"store swap: rename {path} -> {old} failed "
             "(Hadoop rename returned false); store left untouched"
         )
     if not fs.rename(jtmp, jpath):
         # Roll back so the live path is never left empty.
         fs.rename(jold, jpath)
         raise RuntimeError(
-            f"compact_ingest_store: rename {tmp} -> {path} failed "
+            f"store swap: rename {tmp} -> {path} failed "
             "(Hadoop rename returned false); original store restored"
         )
     fs.delete(jold, True)
-    return {
-        "partitions_before": len(parts),
-        "rows": int(n_rows),
-        "label": label,
-    }
 
 
 def repair_store(spark: SparkSession, path: str) -> str:
@@ -697,6 +708,170 @@ def repair_store(spark: SparkSession, path: str) -> str:
         fs.delete(jold, True)
         return "dropped_old"
     return "clean"
+
+
+def reencode_index(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: "list[list[list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+    partition_by_cell: bool = False,
+    label: str = "reencoded",
+) -> dict:
+    """Migrate a streaming-maintained ANN index onto RETRAINED quantizer
+    state: the stored index's ids are joined back to their fresh
+    vectors, assigned + PQ-encoded against the NEW centroids/codebooks
+    (the same pure 0-shuffle map as :func:`ann_index_batch` — one
+    distributed pass over the index's ids, cost ∝ index size), and the
+    rewritten store is swapped in atomically with the
+    :func:`compact_ingest_store` rename pattern (crash states recover
+    via :func:`repair_store`, called first).
+
+    This is the *react* half of the drift loop —
+    :func:`similarity.ivf_occupancy_drift` detects,
+    :func:`similarity.retrain_quantizer` produces the new state, this
+    migrates the store. Contract: run with the sink STOPPED, then
+    restart it with the new ``centroids=``/``codebooks=`` (encode state
+    is frozen per sink run) and a FRESH checkpoint — the migrated store
+    folds all epochs into one ``<label>`` partition, so the old
+    run's idempotence keys are gone and a replay would re-append.
+
+    ``vectors`` must carry the current embedding for every live id
+    (PQ codes are lossy — re-encoding a reconstruction would compound
+    quantization error, so ids missing from ``vectors`` are DROPPED
+    and surfaced in the returned ``missing_vectors`` count; route
+    takedowns through this path deliberately).
+
+    Returns ``{"rows", "missing_vectors", "label"}``."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+
+    repair_store(spark, index_path)
+    ids = spark.read.parquet(index_path).select(id_col).distinct()
+    n_ids = ids.count()
+    live = vectors.join(ids, id_col).localCheckpoint(eager=True)
+    n_live = live.count()
+    if use_arrow:
+        assigned = SIM.ivf_assign_arrow(
+            live, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "centroid_id")
+        codes = SIM.pq_encode_arrow(
+            live, codebooks, id_col=id_col, vec_col=vec_col
+        )
+        index = assigned.join(codes, id_col)
+    else:
+        index = SIM.ivf_assign(
+            live, centroids, id_col=id_col, vec_col=vec_col
+        ).select(
+            id_col,
+            "centroid_id",
+            SIM.pq_encode(vec_col, codebooks).alias("codes"),
+        )
+    part_cols = (
+        ["ingest_batch_id", "centroid_id"]
+        if partition_by_cell
+        else ["ingest_batch_id"]
+    )
+    tmp = index_path.rstrip("/") + ".__compact__"
+    (
+        index.withColumn("ingest_batch_id", F.lit(label))
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    _atomic_swap_dir(spark, index_path)
+    return {
+        "rows": int(n_live),
+        "missing_vectors": int(n_ids - n_live),
+        "label": label,
+    }
+
+
+def maybe_retrain_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    recent_vectors: DataFrame,
+    corpus_vectors: DataFrame,
+    centroids: DataFrame,
+    n_cells: int | None = None,
+    codebooks_shape: "tuple[int, int] | None" = None,
+    psi_threshold: float = 0.25,
+    sample_fraction: float | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool = True,
+    partition_by_cell: bool = False,
+) -> dict:
+    """The closed drift loop in one call: monitor → (if fired) retrain →
+    migrate. Assigns ``recent_vectors`` against the CURRENT centroids,
+    computes occupancy PSI vs the stored index
+    (:func:`similarity.ivf_occupancy_drift`), and when
+    ``psi >= psi_threshold`` (0.25 = the standard "retrain" band)
+    retrains the quantizer on ``corpus_vectors`` (optionally sampled)
+    and re-encodes/swaps the store via :func:`reencode_index`.
+
+    Monitor cost: one pure-map assignment over ``recent_vectors`` plus
+    two per-cell counts (the stored index is read as assignments — no
+    vector math on the corpus). Returns ``{"psi", "fired", "centroids",
+    "codebooks", "reencode"}`` — ``centroids``/``codebooks`` are the
+    NEW state when fired (restart the sink with them) else the inputs
+    unchanged. Call with the sink stopped; see :func:`reencode_index`
+    for the restart contract."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+
+    n_cells = int(
+        n_cells if n_cells is not None else centroids.count()
+    )  # bounded: quantizer size
+    assign = SIM.ivf_assign_arrow if use_arrow else SIM.ivf_assign
+    cur = assign(
+        recent_vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).select("centroid_id")
+    ref = load_ann_index(spark, index_path).select("centroid_id")
+    psi = float(
+        SIM.ivf_occupancy_drift(ref, cur, n_cells)
+        .agg(F.max("psi"))
+        .first()[0]
+    )
+    out = {
+        "psi": psi,
+        "fired": psi >= psi_threshold,
+        "centroids": centroids,
+        "codebooks": None,
+        "reencode": None,
+    }
+    if not out["fired"]:
+        return out
+    shape = codebooks_shape if codebooks_shape is not None else (
+        SIM.PQ_M, SIM.PQ_K
+    )
+    new_cents, new_books = SIM.retrain_quantizer(
+        corpus_vectors,
+        n_cells=n_cells,
+        codebooks_shape=shape,
+        iters=iters,
+        sample_fraction=sample_fraction,
+        id_col=id_col,
+        vec_col=vec_col,
+        use_arrow=use_arrow,
+    )
+    out["centroids"] = new_cents
+    out["codebooks"] = new_books
+    out["reencode"] = reencode_index(
+        spark,
+        index_path,
+        corpus_vectors,
+        new_cents,
+        new_books,
+        id_col=id_col,
+        vec_col=vec_col,
+        use_arrow=use_arrow,
+        partition_by_cell=partition_by_cell,
+    )
+    return out
 
 
 def start_bm25_index_sink(

@@ -1773,3 +1773,117 @@ def test_streaming_ann_index_sink_two_triggers(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+def _drift_vec(i: int, dim: int = 64) -> list:
+    """A distribution the pattern-A quantizer never saw: one dominant
+    constant direction + small id-dependent wiggle, so drifted traffic
+    concentrates into a single cell of the old quantizer."""
+    import math
+
+    return [
+        1.5
+        + math.sin((i + 1.0) * j * 0.45)
+        + 0.3 * math.sin((i + 2.0) * j * 1.1)
+        for j in range(1, dim + 1)
+    ]
+
+
+def test_drift_loop_monitor_retrain_reencode(spark, tmp_path):
+    """The closed drift loop: a sink built on pattern-A quantizer state
+    ingests drifted (pattern-B) traffic; the occupancy monitor fires,
+    the quantizer retrains on current corpus traffic, and the stored
+    index is re-encoded + atomically swapped — after which stored-index
+    search (with static cell pruning) equals a from-scratch encode
+    against the new state, and drifted queries route correctly at
+    nprobe=1."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        ann_index_batch,
+        load_ann_index,
+        maybe_retrain_ann_index,
+        reencode_index,
+    )
+
+    idx = str(tmp_path / "ann_index")
+    n_cells, shape, iters = 6, (8, 16), 2
+
+    # quantizer trained on pattern A only
+    a_vecs = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(100, 140)],
+        "vec_id long, embedding array<double>",
+    )
+    cents_a, books_a = SIM.retrain_quantizer(
+        a_vecs, n_cells=n_cells, codebooks_shape=shape, iters=iters
+    )
+
+    # epoch 0: pattern-A rows; epoch 1: drifted pattern-B rows encoded
+    # against the FROZEN pattern-A state (what the sink would do)
+    b_vecs = spark.createDataFrame(
+        [(i, _drift_vec(i)) for i in range(200, 240)],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index_batch(a_vecs, 0, idx, cents_a, codebooks=books_a, run_token="t")
+    corpus = a_vecs.unionByName(b_vecs).localCheckpoint(eager=True)
+
+    # recent traffic == the training mix → monitor must NOT fire
+    calm = maybe_retrain_ann_index(
+        spark, idx, a_vecs, corpus, cents_a, psi_threshold=0.25, iters=iters,
+        codebooks_shape=shape,
+    )
+    assert not calm["fired"] and calm["reencode"] is None
+    assert calm["centroids"] is cents_a  # state unchanged
+
+    # the sink keeps encoding drifted traffic against the FROZEN state
+    ann_index_batch(b_vecs, 1, idx, cents_a, codebooks=books_a, run_token="t")
+
+    # drifted recent traffic → fires, retrains, migrates the store
+    res = maybe_retrain_ann_index(
+        spark, idx, b_vecs, corpus, cents_a, psi_threshold=0.25, iters=iters,
+        codebooks_shape=shape, partition_by_cell=True,
+    )
+    assert res["fired"] and res["psi"] >= 0.25
+    assert res["reencode"]["rows"] == 80
+    assert res["reencode"]["missing_vectors"] == 0
+    new_cents, new_books = res["centroids"], res["codebooks"]
+
+    # migrated store == from-scratch encode against the new state,
+    # through the pruned stored-index read (partitioned by cell)
+    queries = spark.createDataFrame(
+        [(1, [v + 1e-4 for v in _ann_vec(117)]),
+         (2, [v + 1e-4 for v in _drift_vec(222)])],
+        "vec_id long, embedding array<double>",
+    )
+    stored = SIM.ivf_pq_topk(
+        queries, None, new_cents, k=3, nprobe=2, codebooks=new_books,
+        corpus_index=load_ann_index(spark, idx), prune_stored_cells=True,
+    )
+    scratch = SIM.ivf_pq_topk(
+        queries, corpus, new_cents, k=3, nprobe=2, codebooks=new_books,
+    )
+    as_set = lambda df: {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in df.collect()
+    }
+    assert as_set(stored) == as_set(scratch)
+    # recall recovered: each query's source vector is routed to at
+    # nprobe=1 on the migrated store (the old quantizer lumped all of
+    # pattern B into cells it carved for A; PQ keeps ranking fuzzy, so
+    # assert membership in the top-3, not the exact top-1)
+    got: dict = {}
+    for r in SIM.ivf_pq_topk(
+        queries, None, new_cents, k=3, nprobe=1, codebooks=new_books,
+        corpus_index=load_ann_index(spark, idx),
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert 222 in got[2] and 117 in got[1]
+
+    # reencode with an id whose vector is gone: dropped + surfaced
+    partial = corpus.filter(F.col("vec_id") != 100)
+    r2 = reencode_index(
+        spark, idx, partial, new_cents, new_books, label="reencoded-2"
+    )
+    assert r2["missing_vectors"] == 1 and r2["rows"] == 79
+    assert load_ann_index(spark, idx).filter(
+        F.col("vec_id") == 100
+    ).count() == 0
