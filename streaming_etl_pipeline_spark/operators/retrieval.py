@@ -480,6 +480,16 @@ def bm25_topk_from_store(
         .join(F.broadcast(vocab.select("term")), "term")
         .select(id_col, "term", "doc_len", "tf")
     )
+    # tombstoned docs (streaming.ingest.bm25_delete_ids) drop out of the
+    # pruned read — df then counts only live docs, and the stored stats
+    # already net out via the negative tombstone partition
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        _apply_tombstones,
+    )
+
+    postings = _apply_tombstones(
+        spark, os.path.join(path, "postings"), postings
+    )
     from pyspark import StorageLevel
 
     doc_term = postings.persist(StorageLevel.MEMORY_AND_DISK)

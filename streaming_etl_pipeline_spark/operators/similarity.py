@@ -227,6 +227,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    carry: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest centroid
     (max cosine, deterministic centroid-id tiebreak) → an inverted-file
@@ -236,12 +237,14 @@ def ivf_assign(
     :func:`_centroid_candidates`) and ``array_max`` picks the best per
     row — one projection over the corpus scan, the 100 TB shape. The
     DuckDB twin's window-rn=1 over the cross join picks the identical
-    cell because the (sim, −id) ordering matches.
-    """
+    cell because the (sim, −id) ordering matches. ``carry``: extra
+    columns passed through the projection (e.g. a metadata filter
+    attribute destined for the stored index)."""
     cands = _centroid_candidates(centroids, F.col(vec_col), id_col, vec_col)
     return vectors.select(
         id_col,
         vec_col,
+        *carry,
         F.array_max(cands)["cid"].alias(centroid_id),
     )
 
@@ -1514,6 +1517,8 @@ def ivf_pq_topk(
     codebooks: list[list[list[float]]] = PQ_CODEBOOKS,
     corpus_index: DataFrame | None = None,
     prune_stored_cells: bool = False,
+    filter_col: str | None = None,
+    attributes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (the FAISS-standard billion-scale layout): candidates are
     restricted to the query's ``nprobe`` nearest IVF cells AND the
@@ -1538,12 +1543,35 @@ def ivf_pq_topk(
     of corpus size. Semantically a no-op (candidates are cell-join-
     restricted anyway — pinned by the pruned-vs-unpruned equality
     test); opt-in because it runs one small eager job per call.
+
+    ``filter_col``: metadata-filtered search on the COMPRESSED index —
+    :func:`filtered_cosine_topk`'s pre-filter semantics (the attribute
+    equality rides the candidate join condition, so ranking happens
+    over the filtered set and a query with no matching corpus rows
+    returns no rows rather than wrong ones). The filter applies BEFORE
+    reconstruction: candidates failing it are discarded as code rows —
+    one column-equality test — and only survivors pay the m-subspace
+    decode. Corpus-side attributes come from ``filter_col`` already on
+    ``corpus_index``/``corpus``, else from ``attributes`` (an
+    ``(id_col, filter_col)`` frame joined onto the index — at 100 TB
+    store the attribute column IN the index instead and skip that
+    id-shuffle).
     """
     q = ivf_probe_cells(queries, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid_id",
     )
+    if filter_col is not None:
+        q = q.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(filter_col).alias("_qf"),
+                )
+            ),
+            "query_id",
+        )
     if corpus_index is not None and prune_stored_cells:
         probed = [
             r.centroid_id
@@ -1553,20 +1581,62 @@ def ivf_pq_topk(
             F.col("centroid_id").isin(probed)
         )
     if corpus_index is None:
-        corpus_index = ivf_assign(corpus, centroids, id_col, vec_col).select(
-            id_col, "centroid_id", pq_encode(vec_col, codebooks).alias("codes")
+        carry = (
+            (filter_col,)
+            if filter_col is not None and filter_col in corpus.columns
+            else ()
         )
-    c = corpus_index.select(
-        F.col(id_col).alias("neighbor_id"),
-        "centroid_id",
-        pq_reconstruct("codes", codebooks).alias("c_vec"),
-    )
-    sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
-    scored = (
-        c.join(F.broadcast(q), "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-    )
+        corpus_index = ivf_assign(
+            corpus, centroids, id_col, vec_col, carry=carry
+        ).select(
+            id_col, "centroid_id", *carry,
+            pq_encode(vec_col, codebooks).alias("codes"),
+        )
+    if filter_col is not None and filter_col not in corpus_index.columns:
+        if attributes is None:
+            raise ValueError(
+                f"filter_col={filter_col!r} is on neither the corpus "
+                "index nor provided via attributes="
+            )
+        corpus_index = corpus_index.join(
+            attributes.select(id_col, filter_col), id_col
+        )
+    if filter_col is not None:
+        # pre-filter BEFORE reconstruction: failing candidates cost one
+        # column equality, never the m-subspace decode
+        cand = corpus_index.select(
+            F.col(id_col).alias("neighbor_id"),
+            "centroid_id",
+            F.col(filter_col).alias("_cf"),
+            "codes",
+        ).join(
+            F.broadcast(q), ["centroid_id"]
+        ).filter(
+            (F.col("_qf") == F.col("_cf"))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(
+                    "q_vec", pq_reconstruct("codes", codebooks)
+                ),
+                9,
+            ).alias("cosine_sim"),
+        )
+    else:
+        c = corpus_index.select(
+            F.col(id_col).alias("neighbor_id"),
+            "centroid_id",
+            pq_reconstruct("codes", codebooks).alias("c_vec"),
+        )
+        sim = F.round(cosine_similarity("q_vec", "c_vec"), 9)
+        scored = (
+            c.join(F.broadcast(q), "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )

@@ -2201,6 +2201,57 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_topk_ivf_pq_filtered",
+    f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS c FROM v WHERE vec_id < 16),
+    ranked AS (
+      SELECT vec_id, label, e, centroid_id, rn FROM (
+        SELECT v.vec_id, v.label, v.e, cent.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_IVF_COS} DESC, cent.centroid_id) AS rn
+        FROM v CROSS JOIN cent
+      )
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qf, e AS qv, centroid_id
+          FROM ranked WHERE rn <= 2 AND vec_id < 20),
+    cidx AS (SELECT vec_id AS neighbor_id, label AS cf, centroid_id,
+                    {SIM.pq_encode_sql("e")} AS codes
+             FROM ranked WHERE rn = 1),
+    c AS (SELECT neighbor_id, cf, centroid_id,
+                 {SIM.pq_reconstruct_sql("codes")} AS cv
+          FROM cidx)
+    SELECT query_id, rank, neighbor_id, cosine_sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rank
+      FROM q JOIN c ON q.centroid_id = c.centroid_id AND qf = cf
+                   AND query_id <> neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search on the COMPRESSED stored index
+    (operators/similarity.py ``ivf_pq_topk(filter_col=)``): candidates
+    are cell-restricted, label-filtered BEFORE PQ reconstruction (the
+    pre-filter semantics of ``filtered_cosine_topk``, but paid in code
+    rows — failing candidates never decode), then ranked on
+    reconstructed cosine. The filtered-vector-search shape a 100 TB
+    deployment runs against its (id, cell, codes, attrs) index."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dbl = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    centroids = dbl.filter(F.col("vec_id") < 16)
+    return SIM.ivf_pq_topk(
+        dbl.filter(F.col("vec_id") < 20), dbl, centroids, k=5, nprobe=2,
+        filter_col="label",
+    )
+
+
 _IVF_ASSIGN_SQL = f"""
   SELECT vec_id, centroid_id FROM (
     SELECT v.vec_id, cent.centroid_id,

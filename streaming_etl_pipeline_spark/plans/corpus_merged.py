@@ -393,6 +393,10 @@ def q_metrics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ivf_pq' AS method, query_id, rank, neighbor_id,
            cosine_sim AS score
     FROM ({_sql("ann_topk_ivf_pq")})
+    UNION ALL
+    SELECT 'ivf_pq_f' AS method, query_id, rank, neighbor_id,
+           cosine_sim AS score
+    FROM ({_sql("ann_topk_ivf_pq_filtered")})
     """,
 )
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,9 +528,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rank", "neighbor_id",
         F.col("cosine_sim").alias("score"),
     )
+    # metadata-filtered compressed-index search: same quantizer and
+    # probe params, label equality applied BEFORE PQ reconstruction
+    ivf_pq_f = SIM.ivf_pq_topk(
+        q20, dbl, dbl.filter(F.col("vec_id") < 16), k=5, nprobe=2,
+        filter_col="label",
+    ).select(
+        F.lit("ivf_pq_f").alias("method"),
+        "query_id", "rank", "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+    )
     return (
         out.unionByName(hn).unionByName(bm).unionByName(rrf)
-        .unionByName(pq).unionByName(ivf_pq)
+        .unionByName(pq).unionByName(ivf_pq).unionByName(ivf_pq_f)
     )
 
 
@@ -2028,6 +2042,7 @@ COVERED_BY: dict[str, str] = {
     "rrf_ann_ensemble": "ann_topk",
     "pq_adc_topk": "ann_topk",
     "ann_topk_ivf_pq": "ann_topk",
+    "ann_topk_ivf_pq_filtered": "ann_topk",
     "embedding_projection": "embedding_profile",
     # r6: domain-grain URL rollup rides the scalar overview as pinned
     # counts + an order-independent md5 checksum of every domain row

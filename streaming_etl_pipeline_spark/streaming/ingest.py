@@ -23,6 +23,8 @@ windowed aggregation belongs in the batch Gold layer (T7 hybrid design,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -403,6 +405,9 @@ def dedup_ingest_batch(
             ).drop("ingest_batch_id")
         # else: store written by a pre-partitioning version — nothing
         # of ours can be in it, probe it whole.
+        # tombstoned (taken-down) docs stop suppressing near-dups of
+        # their content the moment they are deleted
+        store = _apply_tombstones(spark, store_path, store)
     except AnalysisException as exc:
         if (
             "PATH_NOT_FOUND" not in str(exc)
@@ -558,8 +563,127 @@ def ann_index_batch(
 def load_ann_index(spark: SparkSession, index_path: str) -> DataFrame:
     """Read the streaming-maintained IVF-PQ index back in the
     ``(vec_id, centroid_id, codes)`` shape ``ivf_pq_topk`` expects as
-    ``corpus_index=`` (the partition column is bookkeeping, dropped)."""
-    return spark.read.parquet(index_path).drop("ingest_batch_id")
+    ``corpus_index=`` (the partition column is bookkeeping, dropped).
+    Tombstoned ids (:func:`delete_ids`) are excluded — one broadcast
+    anti-join against the id-list-sized sidecar."""
+    idx = spark.read.parquet(index_path).drop("ingest_batch_id")
+    return _apply_tombstones(spark, index_path, idx)
+
+
+#: Sidecar directory for deletions. The underscore prefix makes it
+#: invisible to Spark's parquet file index (like ``_SUCCESS`` /
+#: ``_manifest.json``), so plain ``spark.read.parquet(store)`` — and
+#: every epoch-partition replay — never sees it; only the delete-aware
+#: readers join against it.
+TOMBSTONE_DIR = "_tombstones"
+
+
+def delete_ids(
+    spark: SparkSession,
+    store_path: str,
+    ids: "DataFrame | list",
+    id_col: str,
+) -> int:
+    """Tombstone ids in a token-namespaced ingest store (ANN index,
+    dedup signature store, BM25 postings — for BM25 use
+    :func:`bm25_delete_ids`, which also decrements the corpus stats).
+    The GDPR/takedown path: the store stays append-only (no partition
+    rewrite — a replay of any old epoch still rewrites its partition
+    byte-for-byte and does NOT resurrect deleted rows, because
+    exclusion lives outside the epoch partitions), deletes take effect
+    at read time via one broadcast anti-join against the
+    ``_tombstones/`` sidecar (bounded — id-list-sized), and
+    :func:`compact_ingest_store` / :func:`reencode_index` fold them
+    away physically. Appends are idempotent only in effect (the read
+    path distincts), so re-deleting an id is harmless. Returns the
+    number of ids appended."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string") \
+            if ids and isinstance(ids[0], str) \
+            else spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    frame = ids.select(id_col).distinct()
+    n = frame.count()
+    frame.coalesce(1).write.mode("append").parquet(
+        os.path.join(store_path, TOMBSTONE_DIR)
+    )
+    return int(n)
+
+
+def load_tombstones(
+    spark: SparkSession, store_path: str
+) -> "DataFrame | None":
+    """The distinct tombstoned ids of a store, or None when the store
+    has no ``_tombstones/`` sidecar."""
+    from pyspark.errors import AnalysisException
+
+    t = os.path.join(store_path, TOMBSTONE_DIR)
+    try:
+        return spark.read.parquet(t).distinct()
+    except AnalysisException as exc:
+        if (
+            "PATH_NOT_FOUND" not in str(exc)
+            and "Path does not exist" not in str(exc)
+        ):
+            raise
+        return None
+
+
+def _apply_tombstones(
+    spark: SparkSession, store_path: str, df: DataFrame
+) -> DataFrame:
+    """Anti-join a store read against its tombstone sidecar (no-op when
+    none exists). The tombstone side is broadcast: deletes are
+    id-list-sized, never corpus-sized."""
+    tomb = load_tombstones(spark, store_path)
+    if tomb is None:
+        return df
+    (join_col,) = tomb.columns
+    return df.join(F.broadcast(tomb), join_col, "left_anti")
+
+
+def bm25_delete_ids(
+    spark: SparkSession,
+    index_path: str,
+    ids: "DataFrame | list",
+    id_col: str = "doc_id",
+) -> dict:
+    """Delete documents from a stored BM25 index
+    (:func:`start_bm25_index_sink` / ``retrieval.write_bm25_postings``):
+    tombstones the posting rows AND appends a NEGATIVE stats partition
+    (−n_docs, −sum_len for the deleted docs), so the summed corpus
+    statistics — idf's N and avg_len — net out at query time without
+    rewriting any epoch. df needs no correction row: it is computed
+    from the pruned posting read, which the tombstone anti-join has
+    already filtered. Doc lengths come from the postings themselves
+    (one id-list-broadcast-joined scan, at delete time — deletion is
+    the rare path). Returns ``{"deleted", "len_sum"}``."""
+    post_dir = os.path.join(index_path, "postings")
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    id_list = ids.select(id_col).distinct()
+    # per-doc length: constant across a doc's posting rows
+    doc_lens = (
+        spark.read.parquet(post_dir)
+        .join(F.broadcast(id_list), id_col)
+        .select(id_col, "doc_len")
+        .distinct()
+    )
+    dec = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+    ).first()
+    n_del, len_sum = int(dec["n"] or 0), int(dec["s"] or 0)
+    if n_del:
+        (
+            spark.createDataFrame(
+                [(-n_del, -len_sum)], "n_docs long, sum_len long"
+            )
+            .withColumn("ingest_batch_id", F.lit("tombstone"))
+            .write.mode("append")
+            .partitionBy("ingest_batch_id")
+            .parquet(os.path.join(index_path, "stats"))
+        )
+        delete_ids(spark, post_dir, id_list, id_col)
+    return {"deleted": n_del, "len_sum": len_sum}
 
 
 def compact_ingest_store(
@@ -596,12 +720,22 @@ def compact_ingest_store(
 
     repair_store(spark, path)
     df = spark.read.parquet(path)
+    tomb = load_tombstones(spark, path)
+    if tomb is not None:
+        # fold deletions away physically: the rewrite drops tombstoned
+        # rows and the sidecar is swapped out with the old directory
+        (join_col,) = tomb.columns
+        df = df.join(F.broadcast(tomb), join_col, "left_anti")
     parts = sorted(
         str(r.ingest_batch_id)
         for r in df.select("ingest_batch_id").distinct().collect()
     )  # bounded: one value per trigger
     if label is None:
-        if len(parts) == 1 and parts[0].startswith("compacted-"):
+        if (
+            len(parts) == 1
+            and parts[0].startswith("compacted-")
+            and tomb is None  # pending deletions force a rewrite
+        ):
             # Already compacted: the digest of the CURRENT partition
             # value would differ from the digest that named it, so
             # without this short-circuit every invocation would fully
@@ -613,7 +747,7 @@ def compact_ingest_store(
             }
         digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
         label = f"compacted-{digest}"
-    if parts == [label]:
+    if parts == [label] and tomb is None:
         return {"partitions_before": 1, "rows": df.count(), "label": label}
     tmp = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
@@ -750,7 +884,9 @@ def reencode_index(
     from streaming_etl_pipeline_spark.operators import similarity as SIM
 
     repair_store(spark, index_path)
-    ids = spark.read.parquet(index_path).select(id_col).distinct()
+    ids = _apply_tombstones(
+        spark, index_path, spark.read.parquet(index_path).select(id_col)
+    ).distinct()  # deletions fold away physically with the rewrite
     n_ids = ids.count()
     live = vectors.join(ids, id_col).localCheckpoint(eager=True)
     n_live = live.count()

@@ -2399,3 +2399,82 @@ def test_sentence_dedup_keep_first(spark):
     assert (out[2].n_paras, out[2].n_kept) == (3, 1)
     assert out[2].para_dup_frac == round(1 - 1 / 3, 6)
     assert (out[3].n_paras, out[3].n_kept) == (1, 1)
+
+
+def test_ivf_pq_filtered_matches_per_label_runs(spark):
+    """Metadata-filtered IVF-PQ (filter_col=) equals running plain
+    IVF-PQ per label group over the label-restricted corpus — the
+    pre-filter contract on the compressed index — whether the label
+    rides the corpus frame, the stored corpus_index, or a separate
+    attributes= frame; queries whose label matches nothing return no
+    rows; a missing attribute source raises."""
+    import pytest as _pt
+
+    vecs = _blob_vectors(spark, n_clusters=4, per=20, dim=16)
+    labeled = vecs.withColumn(
+        "label", (F.col("vec_id") % 2).cast("string")
+    )
+    books = SIM.pq_fit(vecs, codebooks_shape=(4, 8), iters=2)
+    cents = vecs.filter(F.col("vec_id") % 20 == 0)
+    q = labeled.filter(F.col("vec_id") < 6)
+
+    got = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            q, labeled, cents, k=3, nprobe=4, codebooks=books,
+            filter_col="label",
+        ).collect()
+    )
+    # reference: per-label plain IVF-PQ over the restricted corpus
+    ref = []
+    for lab in ("0", "1"):
+        ref.extend(
+            tuple(r)
+            for r in SIM.ivf_pq_topk(
+                q.filter(F.col("label") == lab),
+                labeled.filter(F.col("label") == lab),
+                cents, k=3, nprobe=4, codebooks=books,
+            ).collect()
+        )
+    assert got == sorted(ref) and len(got) > 0
+
+    # stored-index path: label carried IN the index (the 100 TB shape)
+    idx = SIM.ivf_assign(
+        labeled, cents, carry=("label",)
+    ).select(
+        "vec_id", "centroid_id", "label",
+        SIM.pq_encode("embedding", books).alias("codes"),
+    )
+    via_index = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            q, None, cents, k=3, nprobe=4, codebooks=books,
+            corpus_index=idx, filter_col="label",
+        ).collect()
+    )
+    assert via_index == got
+
+    # attributes= path: bare (id, cell, codes) index + side metadata
+    bare = idx.drop("label")
+    via_attrs = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            q, None, cents, k=3, nprobe=4, codebooks=books,
+            corpus_index=bare, filter_col="label",
+            attributes=labeled.select("vec_id", "label"),
+        ).collect()
+    )
+    assert via_attrs == got
+    with _pt.raises(ValueError, match="filter_col"):
+        SIM.ivf_pq_topk(
+            q, None, cents, k=3, nprobe=4, codebooks=books,
+            corpus_index=bare, filter_col="label",
+        )
+
+    # empty-filter-result queries: a label present on no corpus row
+    # yields zero rows for those queries, not wrong neighbors
+    lonely = q.withColumn("label", F.lit("nope"))
+    assert SIM.ivf_pq_topk(
+        lonely, labeled, cents, k=3, nprobe=4, codebooks=books,
+        filter_col="label",
+    ).count() == 0

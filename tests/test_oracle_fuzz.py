@@ -877,3 +877,30 @@ def test_fuzz_bm25_degenerate_queries(spark, tmp_path):
 
     sf = _clone_sf(tmp_path, "documents", mutate)
     _gate(spark, sf, ["bm25_topk", "rrf_ann_ensemble"])
+
+
+def test_fuzz_filtered_ann_lonely_labels(spark, tmp_path):
+    """Empty-filter-result queries: query vectors whose label matches
+    NO corpus row must yield zero rows — not unfiltered neighbors —
+    through both filtered-search operators (exact pre-filter and the
+    compressed-index pre-filter), identically in both engines."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("label")
+        # vec_ids 3, 7, 11 (query range is vec_id < 20) get labels no
+        # other row carries; one non-query row gets another lonely one
+        ids = tbl["vec_id"].combine_chunks()
+        lab = tbl["label"].combine_chunks()
+        for vid, lonely in ((3, 901), (7, 902), (11, 903), (333, 904)):
+            lab = pc.if_else(pc.equal(ids, vid), pa.scalar(lonely), lab)
+        return tbl.set_column(i, "label", lab.cast(pa.int32())), {}
+
+    sf = _clone_sf(tmp_path, "embeddings", mutate)
+    _gate(
+        spark,
+        sf,
+        [
+            "ann_topk_filtered",
+            "ann_topk_ivf_pq_filtered",
+            "rrf_ann_ensemble",  # fuses the filtered arm with others
+        ],
+    )

@@ -1887,3 +1887,203 @@ def test_drift_loop_monitor_retrain_reencode(spark, tmp_path):
     assert load_ann_index(spark, idx).filter(
         F.col("vec_id") == 100
     ).count() == 0
+
+
+def test_delete_ids_ann_index(spark, tmp_path):
+    """ANN-index tombstones: delete → stored-index search excludes →
+    an epoch replay does NOT resurrect → compaction folds the delete
+    away physically — and the tombstoned read equals a rebuild without
+    the ids at every step."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        ann_index_batch,
+        compact_ingest_store,
+        delete_ids,
+        load_ann_index,
+    )
+
+    idx = str(tmp_path / "ann_index")
+    rebuilt = str(tmp_path / "ann_rebuilt")
+    centroids = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    b0 = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(100, 110)],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(200, 210)],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index_batch(b0, 0, idx, centroids, run_token="t")
+    ann_index_batch(b1, 1, idx, centroids, run_token="t")
+    assert delete_ids(spark, idx, [103, 205], "vec_id") == 2
+    live = load_ann_index(spark, idx)
+    assert live.count() == 18
+    assert live.filter(F.col("vec_id").isin(103, 205)).count() == 0
+
+    # equality vs rebuild-without-ids through ivf_pq_topk(corpus_index=)
+    ann_index_batch(
+        b0.unionByName(b1).filter(~F.col("vec_id").isin(103, 205)),
+        0, rebuilt, centroids, run_token="t",
+    )
+    queries = spark.createDataFrame(
+        [(1, [v + 1e-4 for v in _ann_vec(103)]),
+         (2, [v + 1e-4 for v in _ann_vec(205)])],
+        "vec_id long, embedding array<double>",
+    )
+
+    def topk(index_df):
+        return {
+            (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+            for r in SIM.ivf_pq_topk(
+                queries, None, centroids, k=3, nprobe=5,
+                corpus_index=index_df,
+            ).collect()
+        }
+
+    got = topk(load_ann_index(spark, idx))
+    assert got == topk(load_ann_index(spark, rebuilt))
+    assert not any(n in (103, 205) for _, _, n, _ in got)
+
+    # replay of epoch 1 rewrites its partition WITH 205 — tombstone
+    # still excludes it
+    ann_index_batch(b1, 1, idx, centroids, run_token="t")
+    assert load_ann_index(spark, idx).filter(
+        F.col("vec_id") == 205
+    ).count() == 0
+
+    # compaction folds the deletion physically: sidecar gone, raw read
+    # (which ignores _tombstones) no longer contains the ids
+    res = compact_ingest_store(spark, idx)
+    assert res["rows"] == 18
+    assert not os.path.exists(os.path.join(idx, "_tombstones"))
+    raw = spark.read.parquet(idx)
+    assert raw.filter(F.col("vec_id").isin(103, 205)).count() == 0
+    assert topk(load_ann_index(spark, idx)) == got
+
+
+def test_delete_ids_bm25_store(spark, tmp_path):
+    """BM25 tombstones: posting exclusion + negative stats partition →
+    scores equal a store rebuilt without the docs (idf N, avg_len, df
+    all net out); replay doesn't resurrect; compaction folds away."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        bm25_delete_ids,
+        bm25_postings_batch,
+        compact_ingest_store,
+    )
+
+    store = str(tmp_path / "bm25")
+    rebuilt = str(tmp_path / "bm25_rebuilt")
+    rows = [(i, f"shared common w{i % 5} unique{i}") for i in range(10)] + [
+        (i, f"shared rare{i % 3} w{i % 5} unique{i}") for i in range(10, 20)
+    ]
+    b0, b1 = rows[:10], rows[10:]
+    for epoch, batch in enumerate((b0, b1)):
+        bm25_postings_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            epoch, store, buckets=8, run_token="t",
+        )
+    dels = [3, 12, 17]
+    res = bm25_delete_ids(spark, store, dels)
+    assert res["deleted"] == 3 and res["len_sum"] > 0
+
+    # rebuild from scratch without the deleted docs
+    kept = [r for r in rows if r[0] not in dels]
+    for epoch, batch in enumerate((kept[:7], kept[7:])):
+        bm25_postings_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            epoch, rebuilt, buckets=8, run_token="t",
+        )
+    queries = spark.createDataFrame(
+        [(1, "shared"), (1, "w3"), (2, "rare1"), (3, "unique12")],
+        "query_id long, qterm string",
+    )
+
+    def scores(path):
+        return sorted(
+            tuple(r)
+            for r in RT.bm25_topk_from_store(
+                spark, path, queries, k=5, buckets=8
+            ).collect()
+        )
+
+    got = scores(store)
+    assert got == scores(rebuilt)
+    assert not any(r[2] in dels for r in got)
+
+    # replay epoch 1 (contains docs 12 and 17) — not resurrected
+    bm25_postings_batch(
+        spark.createDataFrame(b1, "doc_id long, text string"),
+        1, store, buckets=8, run_token="t",
+    )
+    assert scores(store) == got
+
+    # compact both subdirs: tombstones folded, scores unchanged
+    compact_ingest_store(
+        spark, os.path.join(store, "postings"),
+        secondary_partition_cols=("term_bucket",),
+    )
+    compact_ingest_store(spark, os.path.join(store, "stats"))
+    assert not os.path.exists(
+        os.path.join(store, "postings", "_tombstones")
+    )
+    raw = spark.read.parquet(os.path.join(store, "postings"))
+    assert raw.filter(F.col("doc_id").isin(dels)).count() == 0
+    assert scores(store) == got
+    # idempotent double-delete: harmless
+    bm25_delete_ids(spark, store, [12])
+    assert scores(store) == got
+
+
+def test_delete_ids_dedup_signature_store(spark, tmp_path):
+    """Signature-store tombstones: a taken-down doc stops suppressing
+    near-dups of its content at the next trigger; compaction folds the
+    deletion physically."""
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        compact_ingest_store,
+        dedup_ingest_batch,
+        delete_ids,
+    )
+
+    out = str(tmp_path / "clean")
+    sig = str(tmp_path / "sig_store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    dedup_ingest_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        0, out, sig, run_token="a",
+    )
+    # near-dup of doc 1 is suppressed while 1 is live
+    dedup_ingest_batch(
+        spark.createDataFrame([(2, base)], "doc_id long, text string"),
+        0, out, sig, run_token="b",
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1]
+    # takedown: delete the content's signatures → doc 3 (same content)
+    # passes. The store keeps signatures of DROPPED near-dups too (so
+    # replays stay suppressed), so the takedown must cover every id
+    # that carried the content — 1 (kept) and 2 (suppressed).
+    delete_ids(spark, sig, [1, 2], "doc_id")
+    dedup_ingest_batch(
+        spark.createDataFrame([(3, base)], "doc_id long, text string"),
+        0, out, sig, run_token="c",
+    )
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]
+    # compaction folds the tombstone away; the store stays probeable
+    res = compact_ingest_store(spark, sig)
+    assert not os.path.exists(os.path.join(sig, "_tombstones"))
+    raw = spark.read.parquet(sig)
+    assert raw.filter(F.col("doc_id").isin(1, 2)).count() == 0
+    dedup_ingest_batch(
+        spark.createDataFrame([(4, base)], "doc_id long, text string"),
+        0, out, sig, run_token="d",
+    )
+    # 4 is a near-dup of 3's (still-stored) signatures → suppressed
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [1, 3]
