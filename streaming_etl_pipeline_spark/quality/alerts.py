@@ -102,6 +102,43 @@ def reference_rules(
     ]
 
 
+def store_health_rules(
+    psi_retrain: float = 0.25,
+    max_partitions: int = 512,
+) -> list[AlertRule]:
+    """Alert pack for the ingest-store/index lifecycle (no reference
+    analog — the reference has no stored indexes):
+
+    - QuantizerDriftRetrain: ``ivf_occupancy_psi ≥ 0.25`` for 2
+      consecutive snapshots — the 0.25 band is the standard "retrain"
+      PSI reading (``similarity.ivf_occupancy_drift``); the action is
+      ``streaming.ingest.maybe_retrain_ann_index``.
+    - StoreFragmentation: a token-namespaced store has accumulated more
+      than ``max_partitions`` per-trigger partitions — the small-file
+      regime; the action is ``compact_ingest_store``.
+    """
+    return [
+        AlertRule(
+            "QuantizerDriftRetrain", "warning",
+            lambda m: m.get("ivf_occupancy_psi", 0.0) >= psi_retrain,
+            for_count=2,
+            summary=(
+                f"IVF occupancy PSI at or above {psi_retrain} — retrain "
+                "the quantizer and re-encode the index"
+            ),
+        ),
+        AlertRule(
+            "StoreFragmentation", "warning",
+            lambda m: m.get("store_partitions", 0) > max_partitions,
+            for_count=1,
+            summary=(
+                f"ingest store exceeds {max_partitions} trigger "
+                "partitions — run compact_ingest_store"
+            ),
+        ),
+    ]
+
+
 @dataclass
 class AlertEvaluator:
     """Prometheus-style pending→firing evaluation over metric snapshots.

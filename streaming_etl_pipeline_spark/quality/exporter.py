@@ -39,6 +39,7 @@ from streaming_etl_pipeline_spark.quality.alerts import (
     AlertEvaluator,
     reference_rules,
     snapshot_from_progress,
+    store_health_rules,
 )
 
 #: trigger-latency histogram bucket upper bounds (seconds) — matches the
@@ -161,7 +162,9 @@ class PrometheusExporter:
 
     def __init__(self, rules=None) -> None:
         self.registry = MetricsRegistry()
-        self.evaluator = AlertEvaluator(rules=rules or reference_rules())
+        self.evaluator = AlertEvaluator(
+            rules=rules or reference_rules() + store_health_rules()
+        )
         # per-listener drain offsets (ADVICE r5: a single shared offset
         # double-counts or skips events when two listeners — or the
         # push wiring of listen() plus a manual drain — feed one
@@ -197,6 +200,28 @@ class PrometheusExporter:
             "alert_state", "gauge",
             "Alert rule state: 0 inactive, 1 pending, 2 firing",
         )
+        r.declare(
+            "ivf_occupancy_psi", "gauge",
+            "IVF quantizer occupancy drift (PSI) vs the stored index; "
+            ">= 0.25 means retrain",
+        )
+        r.declare(
+            "store_partitions", "gauge",
+            "Trigger partitions accumulated in an ingest store",
+        )
+        r.declare(
+            "store_files", "gauge",
+            "Data files in an ingest store (small-file pressure)",
+        )
+        r.declare(
+            "store_rows", "gauge",
+            "Live rows in an ingest store (postings/signatures/codes "
+            "growth; tombstoned rows excluded)",
+        )
+        r.declare(
+            "store_tombstones", "gauge",
+            "Pending tombstoned ids awaiting compaction in a store",
+        )
         self._sync_alerts([])
 
     # ---- feeds -----------------------------------------------------------
@@ -216,6 +241,34 @@ class PrometheusExporter:
         self.registry.inc("quality_checks_total", passed, {"result": "pass"})
         self.registry.inc("quality_checks_total", failed, {"result": "fail"})
         fired = self.evaluator.observe({"quality_failures": failed})
+        self._sync_alerts(fired)
+
+    def record_ann_drift(self, psi: float, index: str = "ann") -> None:
+        """One quantizer-drift reading (``similarity.ivf_occupancy_drift``
+        total PSI for a stored index). Feeds the QuantizerDriftRetrain
+        rule — two consecutive readings ≥ 0.25 fire the retrain alert
+        (the action is ``streaming.ingest.maybe_retrain_ann_index``)."""
+        self.registry.set("ivf_occupancy_psi", psi, {"index": index})
+        fired = self.evaluator.observe({"ivf_occupancy_psi": psi})
+        self._sync_alerts(fired)
+
+    def record_store_health(self, store: str, health: dict) -> None:
+        """One ingest-store health snapshot
+        (``streaming.ingest.store_health``): partition/file/row/
+        tombstone gauges labelled by store, feeding the
+        StoreFragmentation rule."""
+        labels = {"store": store}
+        for key, metric in (
+            ("partitions", "store_partitions"),
+            ("files", "store_files"),
+            ("rows", "store_rows"),
+            ("tombstones", "store_tombstones"),
+        ):
+            if key in health:
+                self.registry.set(metric, health[key], labels)
+        fired = self.evaluator.observe(
+            {"store_partitions": health.get("partitions", 0)}
+        )
         self._sync_alerts(fired)
 
     def observe_progress(self, progress: dict) -> None:

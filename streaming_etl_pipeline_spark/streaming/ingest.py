@@ -844,6 +844,49 @@ def repair_store(spark: SparkSession, path: str) -> str:
     return "clean"
 
 
+def store_health(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "ingest_batch_id",
+) -> dict:
+    """Health snapshot of a token-namespaced ingest store for the
+    metrics exporter (``quality.exporter.record_store_health``):
+    trigger-partition count (the small-file/compaction signal), data
+    file count, live row count (parquet footer metadata — no data
+    scan), and pending tombstones. Costs one directory listing plus a
+    metadata-only count; safe to run per scrape interval."""
+    df = spark.read.parquet(path)
+    parts = (
+        df.select(partition_col).distinct().count()
+        if partition_col in df.columns
+        else 1
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+    n_files = 0
+    base = jpath.toUri().getPath()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        rel = f.getPath().toUri().getPath()[len(base):]
+        # skip hidden/metadata trees (_tombstones, _SUCCESS, .crc …)
+        if not any(
+            seg.startswith(("_", ".")) for seg in rel.split("/") if seg
+        ):
+            n_files += 1
+    tomb = load_tombstones(spark, path)
+    n_tomb = tomb.count() if tomb is not None else 0
+    rows = _apply_tombstones(spark, path, df).count() if n_tomb else df.count()
+    return {
+        "partitions": int(parts),
+        "files": int(n_files),
+        "rows": int(rows),
+        "tombstones": int(n_tomb),
+    }
+
+
 def reencode_index(
     spark: SparkSession,
     index_path: str,

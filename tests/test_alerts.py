@@ -272,3 +272,91 @@ def test_prometheus_exporter_live_stream_feed(spark, tmp_path):
     finally:
         server.shutdown()
         spark.streams.removeListener(listener)
+
+
+def test_exporter_store_and_drift_health():
+    """Index/store lifecycle metrics: a live scrape exposes the new
+    families, and the QuantizerDriftRetrain rule transitions
+    pending -> firing on two consecutive planted-drift readings, while
+    StoreFragmentation fires immediately past the partition cap."""
+    from streaming_etl_pipeline_spark.quality.exporter import (
+        PrometheusExporter,
+    )
+
+    ex = PrometheusExporter()
+    ex.record_ann_drift(0.04, index="ann")
+    ex.record_store_health(
+        "bm25_postings",
+        {"partitions": 3, "files": 24, "rows": 5000, "tombstones": 2},
+    )
+    body = ex.render()
+    assert 'ivf_occupancy_psi{index="ann"} 0.04' in body
+    assert 'store_partitions{store="bm25_postings"} 3' in body
+    assert 'store_files{store="bm25_postings"} 24' in body
+    assert 'store_rows{store="bm25_postings"} 5000' in body
+    assert 'store_tombstones{store="bm25_postings"} 2' in body
+    assert (
+        'alert_state{alert="QuantizerDriftRetrain",severity="warning"} 0'
+        in body
+    )
+
+    # planted drift: first reading >= 0.25 -> pending, second -> firing
+    ex.record_ann_drift(0.31, index="ann")
+    assert (
+        'alert_state{alert="QuantizerDriftRetrain",severity="warning"} 1'
+        in ex.render()
+    )
+    ex.record_ann_drift(0.33, index="ann")
+    assert (
+        'alert_state{alert="QuantizerDriftRetrain",severity="warning"} 2'
+        in ex.render()
+    )
+    ex.record_ann_drift(0.02, index="ann")  # retrained: resets
+    assert (
+        'alert_state{alert="QuantizerDriftRetrain",severity="warning"} 0'
+        in ex.render()
+    )
+
+    # fragmentation: past the cap -> firing on one snapshot
+    ex.record_store_health("sig_store", {"partitions": 1000, "files": 1})
+    assert (
+        'alert_state{alert="StoreFragmentation",severity="warning"} 2'
+        in ex.render()
+    )
+    ex.record_store_health("sig_store", {"partitions": 1, "files": 1})
+    assert (
+        'alert_state{alert="StoreFragmentation",severity="warning"} 0'
+        in ex.render()
+    )
+
+
+def test_store_health_snapshot(spark, tmp_path):
+    """streaming.ingest.store_health counts trigger partitions, data
+    files (hidden/_tombstones trees excluded), live rows (tombstoned
+    excluded) and pending tombstones."""
+    import os
+
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        bm25_postings_batch,
+        delete_ids,
+        store_health,
+    )
+
+    store = str(tmp_path / "bm25")
+    for epoch in range(2):
+        bm25_postings_batch(
+            spark.createDataFrame(
+                [(epoch * 5 + i, f"alpha beta w{i}") for i in range(5)],
+                "doc_id long, text string",
+            ),
+            epoch, store, buckets=4, run_token="t",
+        )
+    post = os.path.join(store, "postings")
+    h = store_health(spark, post)
+    assert h["partitions"] == 2 and h["tombstones"] == 0
+    assert h["files"] > 0 and h["rows"] > 0
+    delete_ids(spark, post, [3, 7], "doc_id")
+    h2 = store_health(spark, post)
+    assert h2["tombstones"] == 2
+    assert h2["rows"] < h["rows"]
+    assert h2["files"] == h["files"]  # sidecar not counted as data

@@ -20,7 +20,7 @@ DASH = Path(__file__).resolve().parents[1] / (
 _NON_METRIC = {
     "sum", "rate", "increase", "histogram_quantile", "by", "le",
     "sensor_type", "query", "result", "alert", "severity", "pass",
-    "fail", "topic", "partition",
+    "fail", "topic", "partition", "max", "index", "store",
 }
 
 
@@ -74,6 +74,11 @@ def test_dashboard_families_render_in_exposition():
         {"id": "q1", "numInputRows": 100,
          "durationMs": {"triggerExecution": 1500},
          "sources": [{"metrics": {"pendingRows": "7"}}]}
+    )
+    ex.record_ann_drift(0.03, index="ann")
+    ex.record_store_health(
+        "bm25_postings",
+        {"partitions": 4, "files": 12, "rows": 1000, "tombstones": 0},
     )
     body = ex.render()
     dash = json.loads(DASH.read_text())
