@@ -112,6 +112,70 @@ def synth_vectors(spark, n: int, clusters: int, noise: float,
     )
 
 
+def hard_twin_vectors(spark, n: int, id_offset: int = 0,
+                      twin_every: int = 1000, twin_jitter: float = 0.25):
+    """Quasi-uniform corpus where every ``twin_every``-th vector is a
+    ``twin_jitter``-amplitude jittered copy of its predecessor — planted
+    retrieval ground truth (query = the twin, true top-1 = vec_id − 1).
+    Close enough that exact cosine ranks the twin first, far enough
+    that each approximate arm structurally misses a few percent."""
+    from pyspark.sql import functions as F
+
+    hard = synth_vectors(spark, n, clusters=997, noise=1.7,
+                         id_offset=id_offset)
+    src = F.col("vec_id") - 1
+    src_id = src - id_offset  # the generator's internal row id
+    is_twin = (
+        (F.col("vec_id") % twin_every == 0)
+        & (F.col("vec_id") > id_offset)
+    )
+    return hard.select(
+        "vec_id",
+        F.when(
+            is_twin,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda j: (
+                    F.sin(((src_id % 997) + 1.0).cast("double")
+                          * j.cast("double") * 0.7)
+                    + 1.7 * F.sin((src_id + 17.0).cast("double")
+                                  * (j.cast("double") + 5.0) * 1.3)
+                    + twin_jitter * F.sin((F.col("vec_id") + 3.0)
+                                          * j.cast("double") * 2.9)
+                ),
+            ),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+
+
+def lex_text_expr(vec, buckets: int = 32):
+    """Quantized lexical view of a vector (one token per dim): twins
+    share most bucket tokens, unrelated vectors share ~2, so the
+    idf-weighted overlap IS a lexical retrieval signal — the corpus
+    trick the rrf/hybrid soak phases use to get a BM25 arm with known
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    bucket = lambda j: F.least(  # noqa: E731
+        F.lit(buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.element_at(vec, j) + 4.0) * (buckets / 8.0)
+            ).cast("int"),
+        ),
+    ).cast("string")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda j: F.concat(
+                F.lit("d"), j.cast("string"), F.lit("x"), bucket(j)
+            ),
+        ),
+        " ",
+    )
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -256,27 +320,10 @@ def main() -> int:
             # boundaries, bucket edges — different few percent each)
             t0 = time.time()
             hard_path = os.path.join(work, "hard_twins")
-            hard = synth_vectors(spark, n, clusters=997, noise=1.7)
-            h_src = F.col("vec_id") - 1
             is_twin = (F.col("vec_id") % 1000 == 0) & (F.col("vec_id") > 0)
-            hard = hard.select(
-                "vec_id",
-                F.when(
-                    is_twin,
-                    F.transform(
-                        F.sequence(F.lit(1), F.lit(DIM)),
-                        lambda j: (
-                            F.sin(((h_src % 997) + 1.0).cast("double")
-                                  * j.cast("double") * 0.7)
-                            + 1.7 * F.sin((h_src + 17.0).cast("double")
-                                          * (j.cast("double") + 5.0) * 1.3)
-                            + 0.25 * F.sin((F.col("vec_id") + 3.0)
-                                           * j.cast("double") * 2.9)
-                        ),
-                    ),
-                ).otherwise(F.col("embedding")).alias("embedding"),
+            hard_twin_vectors(spark, n).repartition(64).write.parquet(
+                hard_path
             )
-            hard.repartition(64).write.parquet(hard_path)
             hard = spark.read.parquet(hard_path)
             queries = hard.filter(is_twin).limit(q).localCheckpoint(
                 eager=True
@@ -300,39 +347,15 @@ def main() -> int:
                 ).localCheckpoint(eager=True),
             }
             # hybrid lexical arm: BM25 over a quantized lexical view
-            # (one token per dim, 32 buckets) — twins share most bucket
-            # tokens, unrelated vectors share ~2, so the idf-weighted
-            # overlap IS a lexical retrieval signal on this corpus
-            buckets = 32
-            def _lex_text(vec):
-                bucket = lambda j: F.least(
-                    F.lit(buckets - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
-                            (F.element_at(vec, j) + 4.0) * (buckets / 8.0)
-                        ).cast("int"),
-                    ),
-                ).cast("string")
-                return F.array_join(
-                    F.transform(
-                        F.sequence(F.lit(1), F.lit(DIM)),
-                        lambda j: F.concat(
-                            F.lit("d"), j.cast("string"), F.lit("x"),
-                            bucket(j),
-                        ),
-                    ),
-                    " ",
-                )
-
+            # (one token per dim, 32 buckets; see lex_text_expr)
             lex_docs = hard.select(
                 F.col("vec_id").alias("doc_id"),
-                _lex_text(F.col("embedding")).alias("text"),
+                lex_text_expr(F.col("embedding")).alias("text"),
             )
             lex_q = queries.select(
                 F.col("vec_id").alias("query_id"),
                 F.explode(
-                    F.split(_lex_text(F.col("embedding")), " ")
+                    F.split(lex_text_expr(F.col("embedding")), " ")
                 ).alias("qterm"),
             )
             arms["bm25_lex"] = bm25_topk(
@@ -470,6 +493,215 @@ def main() -> int:
             report["phases"]["ingest_probe"] = round(time.time() - t0, 1)
             report["ingest_index_rows"] = idx.count()
             report["ingest_probe_results"] = found
+
+        # ---- hybrid_store: the PRODUCTION hybrid shape — both stores
+        #      maintained by their streaming batch paths, one query
+        #      batch fused from the stored indexes (the r7 hybrid arm
+        #      built its BM25 index ad hoc; this proves the end-to-end
+        #      store-backed recipe) ----
+        if "hybrid_store" in phases:
+            from streaming_etl_pipeline_spark.operators.retrieval import (
+                bm25_topk_from_store,
+                rrf_fuse,
+            )
+            from streaming_etl_pipeline_spark.streaming.ingest import (
+                ann_index_batch,
+                bm25_postings_batch,
+                load_ann_index,
+            )
+
+            n_h = min(n, 1_000_000)
+            hpath = os.path.join(work, "hybrid_hard")
+            hard_twin_vectors(spark, n_h).repartition(64).write.parquet(
+                hpath
+            )
+            hard = spark.read.parquet(hpath)
+            h_twin = (F.col("vec_id") % 1000 == 0) & (F.col("vec_id") > 0)
+            h_queries = hard.filter(h_twin).limit(q).localCheckpoint(
+                eager=True
+            )
+            nq_h = h_queries.count()
+
+            def _h_recall(df) -> float:
+                got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+                return round(
+                    sum(1 for (a, b) in got if b == a - 1) / max(nq_h, 1),
+                    3,
+                )
+
+            # quantizer state for the dense store (the same call the
+            # drift loop's retrain makes)
+            t0 = time.time()
+            h_cents, h_books = SIM.retrain_quantizer(
+                hard, n_cells=64, codebooks_shape=(8, 16), iters=2,
+                sample_fraction=min(1.0, 200_000 / n_h),
+            )
+            report["phases"]["hybrid_quantizer_fit"] = round(
+                time.time() - t0, 1
+            )
+            # both stores maintained by their streaming batch paths,
+            # two epochs each
+            ann_store = os.path.join(work, "hybrid_ann_store")
+            bm_store = os.path.join(work, "hybrid_bm25_store")
+            half = n_h // 2
+            for epoch in (0, 1):
+                sl = hard.filter(
+                    (F.col("vec_id") >= epoch * half)
+                    & (F.col("vec_id") < (epoch + 1) * half)
+                )
+                t0 = time.time()
+                ann_index_batch(
+                    sl, epoch, ann_store, h_cents, codebooks=h_books,
+                    run_token="hyb",
+                )
+                report["phases"][f"hybrid_ann_trigger{epoch}"] = round(
+                    time.time() - t0, 1
+                )
+                t0 = time.time()
+                bm25_postings_batch(
+                    sl.select(
+                        F.col("vec_id").alias("doc_id"),
+                        lex_text_expr(F.col("embedding")).alias("text"),
+                    ),
+                    epoch, bm_store, run_token="hyb",
+                )
+                report["phases"][f"hybrid_bm25_trigger{epoch}"] = round(
+                    time.time() - t0, 1
+                )
+            # ONE query batch, both arms from their stores, fused
+            t0 = time.time()
+            idx = load_ann_index(spark, ann_store).localCheckpoint(
+                eager=True
+            )
+            dense = SIM.ivf_pq_topk(
+                h_queries, None, h_cents, k=10, nprobe=8,
+                codebooks=h_books, corpus_index=idx,
+            ).localCheckpoint(eager=True)
+            report["phases"]["hybrid_dense_probe"] = round(
+                time.time() - t0, 1
+            )
+            t0 = time.time()
+            lex_q = h_queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(
+                    F.split(lex_text_expr(F.col("embedding")), " ")
+                ).alias("qterm"),
+            )
+            lex = bm25_topk_from_store(
+                spark, bm_store, lex_q, k=10, exclude_self=True
+            ).localCheckpoint(eager=True)
+            report["phases"]["hybrid_bm25_query"] = round(
+                time.time() - t0, 1
+            )
+            t0 = time.time()
+            fused = rrf_fuse([dense, lex], k=10)
+            report["hybrid_recall_dense_ivfpq"] = _h_recall(dense)
+            report["hybrid_recall_bm25_store"] = _h_recall(lex)
+            report["hybrid_recall_fused"] = _h_recall(fused)
+            report["phases"]["hybrid_fuse"] = round(time.time() - t0, 1)
+
+        # ---- drift_loop: recall decay on a drifted stream and its
+        #      recovery through monitor → retrain → re-encode/swap ----
+        if "drift_loop" in phases:
+            from streaming_etl_pipeline_spark.streaming.ingest import (
+                ann_index_batch,
+                load_ann_index,
+                maybe_retrain_ann_index,
+            )
+
+            n_a = min(n, 1_000_000)
+            n_b = n_a // 4
+            # pattern A: the clustered corpus; quantizer trained on it
+            a_vecs = corpus.filter(F.col("vec_id") < n_a)
+            t0 = time.time()
+            d_cents, d_books = SIM.retrain_quantizer(
+                a_vecs, n_cells=64, codebooks_shape=(8, 64), iters=2,
+                sample_fraction=min(1.0, 200_000 / n_a),
+            )
+            report["phases"]["drift_quantizer_fit"] = round(
+                time.time() - t0, 1
+            )
+            # drifted pattern B: a DC-shifted region the A-quantizer
+            # never carved cells or codewords for, with planted twins
+            bpath = os.path.join(work, "drift_b")
+            b_raw = hard_twin_vectors(
+                spark, n_b, id_offset=n_a, twin_every=100
+            )
+            # +1.5 DC moves B onto a region the A-quantizer never saw
+            # WITHOUT drowning the within-B pattern variance (a larger
+            # shift makes every B vector cosine-similar to every other
+            # and no quantizer can resolve the planted twins)
+            b_raw.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x + F.lit(1.5)
+                ).alias("embedding"),
+            ).repartition(32).write.parquet(bpath)
+            b_vecs = spark.read.parquet(bpath)
+            b_twin = (F.col("vec_id") % 100 == 0) & (F.col("vec_id") > n_a)
+            b_queries = b_vecs.filter(b_twin).limit(q).localCheckpoint(
+                eager=True
+            )
+            nq_b = b_queries.count()
+
+            def _b_recall(df) -> float:
+                got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+                return round(
+                    sum(1 for (a, b) in got if b == a - 1) / max(nq_b, 1),
+                    3,
+                )
+
+            # the sink indexes A, then keeps encoding drifted B against
+            # the FROZEN pattern-A state
+            didx = os.path.join(work, "drift_index")
+            t0 = time.time()
+            ann_index_batch(
+                a_vecs, 0, didx, d_cents, codebooks=d_books,
+                run_token="drift",
+            )
+            ann_index_batch(
+                b_vecs, 1, didx, d_cents, codebooks=d_books,
+                run_token="drift",
+            )
+            report["phases"]["drift_index_build"] = round(
+                time.time() - t0, 1
+            )
+            t0 = time.time()
+            before = SIM.ivf_pq_topk(
+                b_queries, None, d_cents, k=10, nprobe=8,
+                codebooks=d_books,
+                corpus_index=load_ann_index(spark, didx),
+            )
+            report["drift_recall_before"] = _b_recall(before)
+            report["phases"]["drift_probe_before"] = round(
+                time.time() - t0, 1
+            )
+            # monitor → retrain → migrate, one call
+            all_vecs = a_vecs.unionByName(b_vecs)
+            t0 = time.time()
+            res = maybe_retrain_ann_index(
+                spark, didx, b_vecs, all_vecs, d_cents,
+                codebooks_shape=(8, 64), iters=2,
+                sample_fraction=min(1.0, 200_000 / (n_a + n_b)),
+            )
+            report["phases"]["drift_retrain_migrate"] = round(
+                time.time() - t0, 1
+            )
+            report["drift_psi"] = res["psi"]
+            report["drift_fired"] = bool(res["fired"])
+            report["drift_reencode_rows"] = (
+                res["reencode"]["rows"] if res["reencode"] else 0
+            )
+            t0 = time.time()
+            after = SIM.ivf_pq_topk(
+                b_queries, None, res["centroids"], k=10, nprobe=8,
+                codebooks=res["codebooks"] or d_books,
+                corpus_index=load_ann_index(spark, didx),
+            )
+            report["drift_recall_after"] = _b_recall(after)
+            report["phases"]["drift_probe_after"] = round(
+                time.time() - t0, 1
+            )
 
         # ---- prune: prototype-based keep-hard over the clustered
         #      corpus (Arrow GEMM assignment + one per-cell window) ----

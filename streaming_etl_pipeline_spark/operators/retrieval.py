@@ -111,7 +111,10 @@ def bm25_build_index(
             6,
         ).alias("idf"),
         "avg_len",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # idf_tbl persisted too (vocab-sized): the statistics are PART of
+    # the built index — without this every scoring run re-plans the df
+    # aggregation and the corpus-stats scan from scratch
     return Bm25Index(doc_term=doc_term, idf_tbl=idf_tbl)
 
 

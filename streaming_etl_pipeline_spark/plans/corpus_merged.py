@@ -479,9 +479,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_etl_pipeline_spark.operators import retrieval as RT
     from streaming_etl_pipeline_spark.operators import text as TX2
 
+    # persisted: consumed by the index build (postings + corpus stats)
+    # and both query-side explodes — one scan instead of four
     docs_bm = spread(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     toks_bm = tokenize(TX2.norm_text("text"))
     q_exp = F.explode(F.array_distinct(F.slice(toks_bm, 1, 8))).alias("qterm")
     q_method = docs_bm.filter(F.col("doc_id") % 50 == 3).select(
@@ -1262,14 +1264,39 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long("source_b").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
-    # link-authority arms: node id doubles as both pair columns
-    pr = _run("link_pagerank", spark, sf_dir).select(
+    # link-authority arms: node id doubles as both pair columns. Both
+    # graphs derive from the SAME doc_id scan (drop-mode: src=id%60;
+    # sink-heavy dangling mode: src=id%40) — one persisted read feeds
+    # both edge projections instead of two spread scans, with operators
+    # and parameters identical to the granular queries so the values
+    # hash-match the constituent SQL verbatim.
+    from pyspark import StorageLevel as _SL
+
+    from streaming_etl_pipeline_spark.operators import components as CC
+    from streaming_etl_pipeline_spark.sources import (
+        read_table as _rt,
+        spread as _spread,
+    )
+
+    doc_ids = _spread(
+        _rt(spark, sf_dir, "documents").select("doc_id")
+    ).persist(_SL.MEMORY_AND_DISK)
+
+    def _pr_edges(src_mod: int):
+        return doc_ids.select(
+            (F.col("doc_id") % src_mod).alias("src"),
+            (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
+    pr = CC.pagerank(_pr_edges(60), iters=3, hint_small=True).select(
         F.lit("pagerank").alias("method"),
         F.col("node").alias("id_a"),
         F.col("node").alias("id_b"),
         F.col("rank").alias("score"),
     )
-    prd = _run("link_pagerank_dangling", spark, sf_dir).select(
+    prd = CC.pagerank(
+        _pr_edges(40), iters=2, hint_small=True, redistribute_dangling=True
+    ).select(
         F.lit("pagerank_dangling").alias("method"),
         F.col("node").alias("id_a"),
         F.col("node").alias("id_b"),
