@@ -46,6 +46,23 @@ Phases (each timed; shuffle/spill/peak-mem from the event log at exit):
                 centroids/codebooks → per-trigger wall + rows/s, then a
                 200-query ivf_pq_topk over the maintained
                 ``corpus_index=`` → search wall;
+- ``hybrid_store`` — the PRODUCTION hybrid-retrieval shape: BOTH
+                stores maintained by their streaming batch paths (two
+                ANN-sink triggers + two BM25-sink triggers over a
+                planted-twin corpus and its quantized lexical view),
+                then ONE query batch fused from the stored indexes —
+                ``ivf_pq_topk(corpus_index=load_ann_index(...))`` +
+                ``bm25_topk_from_store`` → ``rrf_fuse``. Reports
+                per-arm and fused twin recall + per-side wall;
+- ``drift_loop`` — recall decay and recovery through the closed drift
+                loop: quantizer trained on pattern A, the sink indexes
+                A then keeps encoding a DC-shifted pattern-B stream
+                against the frozen state; planted-twin recall on B
+                queries BEFORE, then ``maybe_retrain_ann_index``
+                (monitor fires → retrain on current traffic →
+                re-encode/swap), recall AFTER — plus the probe walls,
+                which show drift ALSO degrades latency (B crowds a few
+                A-cells → giant candidate joins);
 - ``prune``   — prototype-based keep-hard pruning over the clustered
                 corpus: Arrow-GEMM centroid assignment + the one
                 per-cell ranking window → rows/s + realized keep
@@ -533,7 +550,7 @@ def main() -> int:
             # drift loop's retrain makes)
             t0 = time.time()
             h_cents, h_books = SIM.retrain_quantizer(
-                hard, n_cells=64, codebooks_shape=(8, 16), iters=2,
+                hard, n_cells=64, codebooks_shape=(8, 128), iters=2,
                 sample_fraction=min(1.0, 200_000 / n_h),
             )
             report["phases"]["hybrid_quantizer_fit"] = round(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -145,6 +146,69 @@ def make_parser() -> argparse.ArgumentParser:
         help="comma list of partition columns to preserve below "
         "ingest_batch_id (e.g. term_bucket for BM25 postings)",
     )
+
+    rs = sub.add_parser(
+        "repair-store",
+        help="recover an ingest store from a crash inside a "
+        "compaction/migration directory swap (stale .__compact__/"
+        ".__old__ directories rolled forward or back)",
+    )
+    rs.add_argument("--path", required=True, help="store directory")
+
+    di = sub.add_parser(
+        "delete-ids",
+        help="tombstone ids in an ingest store (GDPR/takedown): reads "
+        "exclude them immediately via the _tombstones sidecar; the "
+        "next compact-store folds them away physically. With --bm25 "
+        "the path is a BM25 index root and the corpus stats are "
+        "decremented too",
+    )
+    di.add_argument("--path", required=True, help="store directory")
+    di.add_argument(
+        "--ids", required=True,
+        help="comma list of ids, or @<path> to a parquet/CSV with the "
+        "id column",
+    )
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument(
+        "--bm25", action="store_true",
+        help="treat --path as a BM25 index root (postings + stats)",
+    )
+
+    ra = sub.add_parser(
+        "retrain-ann",
+        help="the ANN drift loop in one run: occupancy-PSI monitor over "
+        "recent traffic, and when it fires (>= --psi-threshold) "
+        "retrain the quantizer on the corpus and re-encode/swap the "
+        "stored index; prints the new centroids/codebooks as JSON for "
+        "the sink restart",
+    )
+    ra.add_argument("--index", required=True, help="ANN index store")
+    ra.add_argument(
+        "--recent", required=True,
+        help="parquet of recent traffic vectors (id, embedding)",
+    )
+    ra.add_argument(
+        "--corpus", required=True,
+        help="parquet of current corpus vectors (id, embedding) — must "
+        "cover every live indexed id",
+    )
+    ra.add_argument(
+        "--centroids", required=True,
+        help="parquet of the CURRENT centroids (id, embedding)",
+    )
+    ra.add_argument(
+        "--state-out", required=True,
+        help="directory for the new quantizer state (centroids parquet "
+        "+ codebooks JSON) when the retrain fires",
+    )
+    ra.add_argument("--psi-threshold", type=float, default=0.25)
+    ra.add_argument("--m", type=int, default=8)
+    ra.add_argument("--pq-k", type=int, default=256)
+    ra.add_argument("--iters", type=int, default=5)
+    ra.add_argument("--sample-fraction", type=float, default=None)
+    ra.add_argument("--id-col", default="vec_id")
+    ra.add_argument("--vec-col", default="embedding")
 
     tp = sub.add_parser(
         "train-pq",
@@ -412,6 +476,76 @@ def main(argv: list[str] | None = None) -> int:
             res["partitions_before"]
         )
         metrics["compact.rows"] = float(res["rows"])
+    if args.cmd == "repair-store":
+        from streaming_etl_pipeline_spark.streaming.ingest import (
+            repair_store,
+        )
+
+        action = repair_store(spark, args.path)
+        metrics["repair.action"] = action  # type: ignore[assignment]
+    if args.cmd == "delete-ids":
+        from streaming_etl_pipeline_spark.streaming.ingest import (
+            bm25_delete_ids,
+            delete_ids,
+        )
+
+        if args.ids.startswith("@"):
+            src = args.ids[1:]
+            ids_df = (
+                spark.read.parquet(src)
+                if src.endswith(".parquet") or os.path.isdir(src)
+                else spark.read.option("header", "true").csv(src)
+            ).select(args.id_col)
+        else:
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in args.ids.split(",") if i],
+                f"{args.id_col} long",
+            )
+        if args.bm25:
+            res = bm25_delete_ids(
+                spark, args.path, ids_df, id_col=args.id_col
+            )
+            metrics["delete.deleted"] = float(res["deleted"])
+            metrics["delete.len_sum"] = float(res["len_sum"])
+        else:
+            metrics["delete.deleted"] = float(
+                delete_ids(spark, args.path, ids_df, args.id_col)
+            )
+    if args.cmd == "retrain-ann":
+        import json as _json
+
+        from streaming_etl_pipeline_spark.streaming.ingest import (
+            maybe_retrain_ann_index,
+        )
+
+        recent = spark.read.parquet(args.recent)
+        corpus_v = spark.read.parquet(args.corpus)
+        cents = spark.read.parquet(args.centroids)
+        res = maybe_retrain_ann_index(
+            spark, args.index, recent, corpus_v, cents,
+            codebooks_shape=(args.m, args.pq_k),
+            psi_threshold=args.psi_threshold,
+            sample_fraction=args.sample_fraction,
+            iters=args.iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        metrics["retrain.psi"] = float(res["psi"])
+        metrics["retrain.fired"] = float(res["fired"])
+        if res["fired"]:
+            os.makedirs(args.state_out, exist_ok=True)
+            res["centroids"].write.mode("overwrite").parquet(
+                os.path.join(args.state_out, "centroids")
+            )
+            with open(
+                os.path.join(args.state_out, "codebooks.json"), "w"
+            ) as f:
+                _json.dump(res["codebooks"], f)
+            metrics["retrain.reencoded_rows"] = float(
+                res["reencode"]["rows"]
+            )
+            metrics["retrain.missing_vectors"] = float(
+                res["reencode"]["missing_vectors"]
+            )
     if args.cmd == "prune":
         from streaming_etl_pipeline_spark.operators.clustering import (
             prototype_prune,

@@ -452,6 +452,7 @@ def start_ann_index_sink(
     vec_col: str = "embedding",
     use_arrow: bool = True,
     partition_by_cell: bool = False,
+    carry: "tuple[str, ...]" = (),
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Incremental IVF-PQ index maintenance: every micro-batch of new
@@ -474,6 +475,11 @@ def start_ann_index_sink(
     deterministic) and a checkpoint reset appends beside prior runs
     instead of clobbering them. Read the index back with
     :func:`load_ann_index`.
+
+    ``carry``: metadata columns stored IN the index rows alongside the
+    codes — the shape ``similarity.ivf_pq_topk(filter_col=)`` consumes
+    for metadata-filtered search on the compressed index without a
+    query-time attribute join.
     """
     token = _ingest_run_token(vectors.sparkSession, checkpoint)
 
@@ -489,6 +495,7 @@ def start_ann_index_sink(
             run_token=token,
             use_arrow=use_arrow,
             partition_by_cell=partition_by_cell,
+            carry=carry,
         )
 
     writer = (
@@ -511,12 +518,15 @@ def ann_index_batch(
     run_token: str | None = None,
     use_arrow: bool = True,
     partition_by_cell: bool = False,
+    carry: "tuple[str, ...]" = (),
 ) -> None:
     """One idempotent micro-batch of :func:`start_ann_index_sink`
     (module-level so crash-replay and checkpoint-reset behavior can be
     exercised deterministically in tests). Assign + encode are pure
     functions of the batch and the frozen quantizer state, so a replay
-    rewrites identical rows into its own partition."""
+    rewrites identical rows into its own partition. ``carry`` columns
+    ride along into the stored rows (filter attributes — the Arrow
+    path joins them back by id, still batch-local)."""
     from streaming_etl_pipeline_spark.operators import similarity as SIM
 
     if batch_df.isEmpty():
@@ -531,12 +541,18 @@ def ann_index_batch(
             batch_df, books, id_col=id_col, vec_col=vec_col
         )
         index = assigned.join(codes, id_col)
+        if carry:
+            index = index.join(
+                batch_df.select(id_col, *carry), id_col
+            )
     else:
         index = SIM.ivf_assign(
-            batch_df, centroids, id_col=id_col, vec_col=vec_col
+            batch_df, centroids, id_col=id_col, vec_col=vec_col,
+            carry=carry,
         ).select(
             id_col,
             "centroid_id",
+            *carry,
             SIM.pq_encode(vec_col, books).alias("codes"),
         )
     # centroid_id as an OPT-IN second partition level: probe-heavy
@@ -897,6 +913,7 @@ def reencode_index(
     vec_col: str = "embedding",
     use_arrow: bool = True,
     partition_by_cell: bool = False,
+    carry: "tuple[str, ...]" = (),
     label: str = "reencoded",
 ) -> dict:
     """Migrate a streaming-maintained ANN index onto RETRAINED quantizer
@@ -941,12 +958,15 @@ def reencode_index(
             live, codebooks, id_col=id_col, vec_col=vec_col
         )
         index = assigned.join(codes, id_col)
+        if carry:  # stored filter attributes ride through the migration
+            index = index.join(live.select(id_col, *carry), id_col)
     else:
         index = SIM.ivf_assign(
-            live, centroids, id_col=id_col, vec_col=vec_col
+            live, centroids, id_col=id_col, vec_col=vec_col, carry=carry
         ).select(
             id_col,
             "centroid_id",
+            *carry,
             SIM.pq_encode(vec_col, codebooks).alias("codes"),
         )
     part_cols = (

@@ -5,6 +5,8 @@ repair, and gap-based sessionization (batch + streaming stateful)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -474,3 +476,92 @@ def test_dashboard_queries_headless(spark, tmp_path):
 
     hd = {r["bucket"]: r["bucket_count"] for r in panels["health_distribution"].collect()}
     assert sum(hd.values()) == spark.read.parquet(paths["sensor_5min"]).count()
+
+
+def test_cli_store_lifecycle_commands(spark, tmp_path, capsys):
+    """The ops surface of the ingest stores: delete-ids (plain + --bm25),
+    repair-store, retrain-ann — each drives the same code paths the
+    library tests pin, through the CLI contract."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_etl_pipeline_spark.pipelines.run import main
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        ann_index_batch,
+        bm25_postings_batch,
+        load_ann_index,
+    )
+
+    def last_metrics():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # BM25 store + delete-ids --bm25
+    store = str(tmp_path / "bm25")
+    bm25_postings_batch(
+        spark.createDataFrame(
+            [(i, f"alpha beta w{i}") for i in range(8)],
+            "doc_id long, text string",
+        ),
+        0, store, buckets=4, run_token="t",
+    )
+    rc = main(["delete-ids", "--path", store, "--ids", "2,5", "--bm25"])
+    assert rc == 0
+    m = last_metrics()
+    assert m["delete.deleted"] == 2.0
+
+    # ANN index + plain delete-ids + repair-store
+    idx = str(tmp_path / "ann")
+    import math
+
+    def vec(i):
+        return [math.sin((i % 5 + 1.0) * j * 0.7) for j in range(1, 65)]
+
+    cents = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    vecs_path = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(i, vec(i)) for i in range(100, 120)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(vecs_path)
+    cents_path = str(tmp_path / "cents")
+    cents.write.parquet(cents_path)
+    ann_index_batch(
+        spark.read.parquet(vecs_path), 0, idx, cents, run_token="t"
+    )
+    rc = main(["delete-ids", "--path", idx, "--ids", "105",
+               "--id-col", "vec_id"])
+    assert rc == 0
+    assert load_ann_index(spark, idx).filter(
+        F.col("vec_id") == 105
+    ).count() == 0
+    # plant a crash state, repair through the CLI
+    shutil.copytree(idx, idx + ".__compact__")
+    rc = main(["repair-store", "--path", idx])
+    assert rc == 0
+    assert last_metrics()["repair.action"] == "rolled_back"
+
+    # retrain-ann: drifted recent traffic fires and writes new state
+    recent_path = str(tmp_path / "recent")
+    spark.createDataFrame(
+        [(i, [4.0 + 0.5 * math.sin(i * j * 0.4) for j in range(1, 65)])
+         for i in range(200, 240)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(recent_path)
+    state_out = str(tmp_path / "state_out")
+    rc = main([
+        "retrain-ann", "--index", idx, "--recent", recent_path,
+        "--corpus", vecs_path, "--centroids", cents_path,
+        "--state-out", state_out, "--m", "8", "--pq-k", "4",
+        "--iters", "1",
+    ])
+    assert rc == 0
+    m = last_metrics()
+    assert m["retrain.psi"] >= 0.25 and m["retrain.fired"] == 1.0
+    assert os.path.exists(os.path.join(state_out, "codebooks.json"))
+    assert spark.read.parquet(
+        os.path.join(state_out, "centroids")
+    ).count() == 4

@@ -2087,3 +2087,79 @@ def test_delete_ids_dedup_signature_store(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(out).collect()
     ) == [1, 3]
+
+
+def test_ann_sink_carry_attributes_filtered_search(spark, tmp_path):
+    """carry= threads filter attributes into the STORED index rows, so
+    metadata-filtered IVF-PQ runs on the compressed store without a
+    query-time attribute join — and the attribute survives both the
+    migration (reencode carry=) and equals the side-attributes path."""
+    from streaming_etl_pipeline_spark.operators import similarity as SIM
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        ann_index_batch,
+        load_ann_index,
+        reencode_index,
+    )
+
+    idx = str(tmp_path / "ann_attrs")
+    centroids = spark.createDataFrame(
+        [(i, _ann_vec(i)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    vecs = spark.createDataFrame(
+        [(i, _ann_vec(i), str(i % 2)) for i in range(100, 120)],
+        "vec_id long, embedding array<double>, label string",
+    ).localCheckpoint(eager=True)
+    ann_index_batch(vecs, 0, idx, centroids, run_token="t", carry=("label",))
+    stored = load_ann_index(spark, idx)
+    assert "label" in stored.columns
+
+    queries = spark.createDataFrame(
+        [(1, [v + 1e-4 for v in _ann_vec(103)], "1"),
+         (2, [v + 1e-4 for v in _ann_vec(206)], "0")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    from_store = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            queries, None, centroids, k=3, nprobe=5,
+            corpus_index=stored, filter_col="label",
+        ).collect()
+    )
+    via_attrs = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            queries, None, centroids, k=3, nprobe=5,
+            corpus_index=stored.drop("label"), filter_col="label",
+            attributes=vecs.select("vec_id", "label"),
+        ).collect()
+    )
+    assert from_store == via_attrs and len(from_store) > 0
+    # expression path writes the same attributed rows
+    idx2 = str(tmp_path / "ann_attrs_expr")
+    ann_index_batch(
+        vecs, 0, idx2, centroids, run_token="t", carry=("label",),
+        use_arrow=False,
+    )
+    a = {
+        (r.vec_id, r.centroid_id, r.label, tuple(r.codes))
+        for r in load_ann_index(spark, idx2).collect()
+    }
+    b = {
+        (r.vec_id, r.centroid_id, r.label, tuple(r.codes))
+        for r in stored.collect()
+    }
+    assert a == b
+    # migration preserves the attribute column
+    reencode_index(
+        spark, idx, vecs, centroids, SIM.PQ_CODEBOOKS, carry=("label",)
+    )
+    migrated = load_ann_index(spark, idx)
+    assert "label" in migrated.columns
+    assert sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(
+            queries, None, centroids, k=3, nprobe=5,
+            corpus_index=migrated, filter_col="label",
+        ).collect()
+    ) == from_store
