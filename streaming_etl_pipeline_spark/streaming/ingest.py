@@ -611,8 +611,14 @@ def delete_ids(
     ``_tombstones/`` sidecar (bounded — id-list-sized), and
     :func:`compact_ingest_store` / :func:`reencode_index` fold them
     away physically. Appends are idempotent only in effect (the read
-    path distincts), so re-deleting an id is harmless. Returns the
-    number of ids appended."""
+    path distincts), so re-deleting an id is harmless.
+
+    Caveat — a tombstoned id cannot be RE-ADDED until a compaction
+    folds the tombstone away: the read-path anti-join is by id, so a
+    later epoch that re-ingests the id is excluded too. Updates are
+    therefore delete → compact → re-ingest (or re-ingest under a new
+    id); the common takedown path never re-adds. Returns the number of
+    ids appended."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string") \
             if ids and isinstance(ids[0], str) \
