@@ -32,6 +32,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -373,8 +375,51 @@ def cluster_representatives_sql(
 PAGERANK_SCALE = 1_000_000
 
 
+class PreparedGraph(NamedTuple):
+    """Persisted graph state shared across :func:`pagerank` runs over the
+    same edge list (e.g. drop-mode and redistribute-mode rankings of one
+    crawl graph): the deduplicated edges, the node set + its count, the
+    out-degree table and the degree-joined, src-partitioned iteration
+    frame. Build once with :func:`pagerank_prepare`; every field is
+    persisted so N mode/parameter variants pay the distinct/degree
+    shuffles once instead of N times."""
+
+    nodes: DataFrame
+    n: int
+    deg: DataFrame
+    ed: DataFrame
+
+
+def pagerank_prepare(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> PreparedGraph:
+    """Deduplicate + degree-join an edge list once for reuse by several
+    :func:`pagerank` invocations (``prepared=``). The edge distinct, the
+    node-set distinct and the degree aggregation are the only
+    corpus-sized exchanges in PageRank — sharing them across mode
+    variants (drop vs redistribute, different iteration counts) halves
+    the prep cost of multi-ranking jobs."""
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()  # bounded scalar (one long) — not a data collect
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ed = e.join(deg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    return PreparedGraph(nodes=nodes, n=n, deg=deg, ed=ed)
+
+
 def pagerank(
-    edges: DataFrame,
+    edges: DataFrame | None,
     iters: int = 3,
     damping: float = 0.85,
     src_col: str = "src",
@@ -383,6 +428,7 @@ def pagerank(
     teleport: DataFrame | None = None,
     redistribute_dangling: bool = False,
     scale: int = PAGERANK_SCALE,
+    prepared: PreparedGraph | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — link-graph
     authority for crawl curation (seed prioritization, per-domain
@@ -434,23 +480,14 @@ def pagerank(
 
     from pyspark import StorageLevel
 
-    # persist the deduplicated edge list: nodes, deg and the iteration
-    # frame all derive from it — unpersisted, the distinct would replan
-    # (and reshuffle) once per consumer
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = nodes.count()  # bounded scalar (one long) — not a data collect
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    ed = e.join(deg, "src").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    if prepared is None:
+        if edges is None:
+            raise ValueError("pagerank needs either edges or prepared=")
+        # persist the deduplicated edge list: nodes, deg and the
+        # iteration frame all derive from it — unpersisted, the distinct
+        # would replan (and reshuffle) once per consumer
+        prepared = pagerank_prepare(edges, src_col=src_col, dst_col=dst_col)
+    nodes, n, deg, ed = prepared
     if redistribute_dangling:
         if teleport is not None:
             raise ValueError(

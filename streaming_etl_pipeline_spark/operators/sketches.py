@@ -37,25 +37,45 @@ from streaming_etl_pipeline_spark.functions.core import md5_long, md5_long_sql
 HASH_SPACE = float(1 << 60)
 
 
-def kmv_distinct(
+def kmv_sketch(
     df: DataFrame,
     keys: Sequence[str],
     value_col: str,
     k: int = 64,
 ) -> DataFrame:
+    """Per-key KMV sketch state: the k smallest md5 hashes of the
+    distinct ``value_col`` values, as rows (keys + ``_h``). This is the
+    entire estimator state — :func:`kmv_distinct` aggregates it to a
+    cardinality estimate and :func:`kmv_overlap` set-operates two of
+    them — so a job needing both builds (and persists) the sketch once
+    and passes it via their ``sketch=`` hooks. The output is ≤ k rows
+    per key: persistable per day/source and mergeable by union +
+    re-top-k without rescanning the corpus."""
+    hashed = df.select(*keys, md5_long(value_col).alias("_h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 64,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
     """Per-key KMV distinct-count estimate of ``value_col``.
 
     Output: keys + ``n_kept`` (sketch fill), ``kth_min`` (sketch
     boundary), ``distinct_est``. ``distinct_est`` is exact when the key
-    has < k distinct values.
+    has < k distinct values. ``sketch=`` accepts a prebuilt
+    :func:`kmv_sketch` frame (same keys/value/k) so multi-consumer jobs
+    pay the corpus-sized distinct once.
     """
-    hashed = df.select(
-        *keys, md5_long(value_col).alias("_h")
-    ).distinct()
-    w = Window.partitionBy(*keys).orderBy("_h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
-    )
+    kept = sketch if sketch is not None else kmv_sketch(df, keys, value_col, k)
     agg = kept.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("kth_min"),
@@ -87,6 +107,153 @@ def kmv_distinct_sql(
              AS distinct_est
     FROM kept WHERE _rn <= {k}
     GROUP BY {keys_sql}
+    """
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups, from
+    their KMV sketches alone (Beyer et al., "On Synopses for Distinct-
+    Value Estimation Under Multiset Operations", SIGMOD 2007): for each
+    unordered group pair, merge the two bottom-k sketches, re-take the
+    bottom k of the union, and read off
+
+    - ``union_est``   — the KMV estimator over the merged sketch (the
+      union's k-th minimum is a deterministic function of the two
+      sketches);
+    - ``jaccard_est`` — the fraction of the merged bottom-k present in
+      BOTH sketches (each merged-bottom-k hash is a uniform sample of
+      the union, so membership-in-both is a Bernoulli draw of the
+      Jaccard coefficient);
+    - ``inter_est``   — ``round(jaccard_est × union_est)``.
+
+    Output: ``group_a < group_b`` pairs with ``n_kept`` (merged sketch
+    fill), ``n_both``, ``union_est``, ``jaccard_est`` (9 dp),
+    ``inter_est``. Exact when the pair's union has < k distinct values.
+
+    Scale shape: after :func:`kmv_sketch` (whose corpus-sized distinct
+    is the only big exchange — share it via ``sketch=`` when a job also
+    runs :func:`kmv_distinct`), everything here is sketch-sized: the
+    pair frame is |groups|² rows, each pair carries ≤ 2k hashes, and
+    the cross-source overlap matrix for a 100 TB corpus costs exactly
+    one corpus scan — versus one scan *per pair* for exact pairwise
+    distincts. Estimates are bit-reproducible across engines: md5
+    hashing, integer counts, one 9-dp-rounded IEEE division.
+    """
+    sk = sketch if sketch is not None else kmv_sketch(df, [group_col], value_col, k)
+    ga = sk.select(F.col(group_col).alias("group_a")).distinct()
+    pairs = ga.join(
+        ga.select(F.col("group_a").alias("group_b")),
+        F.col("group_a") < F.col("group_b"),
+    )
+    # tag each merged hash row with which side(s) it came from; the
+    # joins are pair-list × sketch — both bounded by groups²·k
+    am = pairs.join(
+        sk.select(F.col(group_col).alias("group_a"), "_h"), "group_a"
+    ).select("group_a", "group_b", "_h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    bm = pairs.join(
+        sk.select(F.col(group_col).alias("group_b"), "_h"), "group_b"
+    ).select("group_a", "group_b", "_h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    merged = (
+        am.unionByName(bm)
+        .groupBy("group_a", "group_b", "_h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    w = Window.partitionBy("group_a", "group_b").orderBy("_h")
+    bot = merged.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = bot.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_min"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+    )
+    union_est = (
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.floor((k - 1) * F.lit(HASH_SPACE) / F.col("kth_min")).cast(
+                "double"
+            )
+        )
+        .cast("long")
+    )
+    jac = F.round(
+        F.col("n_both").cast("double") / F.col("n_kept").cast("double"), 9
+    )
+    out = agg.select(
+        "group_a",
+        "group_b",
+        "n_kept",
+        "n_both",
+        union_est.alias("union_est"),
+        jac.alias("jaccard_est"),
+    )
+    return out.withColumn(
+        "inter_est",
+        F.floor(
+            F.col("jaccard_est") * F.col("union_est").cast("double") + 0.5
+        ).cast("long"),
+    )
+
+
+def kmv_overlap_sql(
+    table: str, group_col: str, value_col: str, k: int = 64
+) -> str:
+    """DuckDB oracle twin of :func:`kmv_overlap`."""
+    h = md5_long_sql(value_col)
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {group_col} AS g, {h} AS _h FROM {table}
+    ),
+    sk AS (
+      SELECT g, _h FROM (
+        SELECT g, _h, row_number() OVER (PARTITION BY g ORDER BY _h) AS _rn
+        FROM hashed
+      ) WHERE _rn <= {k}
+    ),
+    gs AS (SELECT DISTINCT g FROM sk),
+    pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b
+      FROM gs a JOIN gs b ON a.g < b.g
+    ),
+    merged AS (
+      SELECT group_a, group_b, _h, max(ia) AS ia, max(ib) AS ib FROM (
+        SELECT p.group_a, p.group_b, s._h, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN sk s ON s.g = p.group_a
+        UNION ALL
+        SELECT p.group_a, p.group_b, s._h, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN sk s ON s.g = p.group_b
+      ) GROUP BY group_a, group_b, _h
+    ),
+    bot AS (
+      SELECT * FROM (
+        SELECT merged.*, row_number() OVER (
+          PARTITION BY group_a, group_b ORDER BY _h) AS _rn
+        FROM merged
+      ) WHERE _rn <= {k}
+    ),
+    agg AS (
+      SELECT group_a, group_b, count(*) AS n_kept, max(_h) AS kth_min,
+             CAST(sum(ia * ib) AS BIGINT) AS n_both
+      FROM bot GROUP BY group_a, group_b
+    ),
+    est AS (
+      SELECT group_a, group_b, n_kept, n_both,
+             CAST(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE floor(({k} - 1) * {HASH_SPACE!r} / kth_min)
+                  END AS BIGINT) AS union_est,
+             round(n_both::DOUBLE / n_kept::DOUBLE, 9) AS jaccard_est
+      FROM agg
+    )
+    SELECT group_a, group_b, n_kept, n_both, union_est, jaccard_est,
+           CAST(floor(jaccard_est * union_est::DOUBLE + 0.5) AS BIGINT)
+             AS inter_est
+    FROM est
     """
 
 

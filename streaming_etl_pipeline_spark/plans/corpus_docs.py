@@ -751,6 +751,21 @@ def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_distinct(events, keys=("event_type",), value_col="user_id", k=64)
 
 
+@register(
+    "user_overlap_kmv",
+    SK.kmv_overlap_sql("events", group_col="event_type", value_col="user_id", k=64),
+)
+def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (Beyer et al. 2007): pairwise union /
+    intersection / Jaccard estimates between event types' user sets,
+    computed from the bottom-k sketches alone — the cross-source
+    audience-overlap matrix for one corpus scan, verified EXACTLY by
+    the oracle (every estimate is a deterministic function of the md5
+    hash sets)."""
+    events = read_table(spark, sf_dir, "events")
+    return SK.kmv_overlap(events, group_col="event_type", value_col="user_id", k=64)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (gap-based session windows — SURVEY.md §2.9 gap filler)
 # ---------------------------------------------------------------------------
@@ -2097,39 +2112,41 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from streaming_etl_pipeline_spark.operators import components as CC
 
-#: Deterministic synthetic link graph over 60 "domain" nodes (the
-#: corpus carries no link column): src = doc_id mod 60, dst = an
-#: md5-derived node — a reproducible scale-free-ish multigraph whose
-#: distinct-edge set both engines derive identically.
+#: Deterministic synthetic link graph (the corpus carries no link
+#: column): src = doc_id mod 40, dst = an md5-derived node out of 60 —
+#: a reproducible sink-heavy multigraph (the 20 nodes appearing purely
+#: as destinations are dangling, the crawl-graph regime) whose
+#: distinct-edge set both engines derive identically. BOTH pagerank
+#: rows rank this one graph — drop mode shows the dangling mass
+#: visibly deflating ranks, redistribute mode conserves it — so the
+#: carrier shares a single pagerank_prepare() edge prep between them.
 _PR_EDGES_SQL = (
-    f"SELECT doc_id % 60 AS src, {md5_long_sql('doc_id', 'pr')} % 60 AS dst "
-    f"FROM documents WHERE doc_id % 60 <> {md5_long_sql('doc_id', 'pr')} % 60"
+    f"SELECT doc_id % 40 AS src, {md5_long_sql('doc_id', 'pr')} % 60 AS dst "
+    f"FROM documents WHERE doc_id % 40 <> {md5_long_sql('doc_id', 'pr')} % 60"
 )
 
 
 @register("link_pagerank", CC.pagerank_sql(_PR_EDGES_SQL, iters=3))
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-step PageRank over the synthetic domain link graph — micro-unit
-    integer ranks make the unrolled DuckDB twin bit-exact (no round()
-    ties). hint_small: 60-node rank frame broadcasts; only the per-dst
-    contribution sums shuffle."""
+    """3-step drop-mode PageRank over the sink-heavy link graph —
+    micro-unit integer ranks make the unrolled DuckDB twin bit-exact
+    (no round() ties), and a third of the nodes being dangling makes
+    the dropped-mass deflation this mode is defined by visible in the
+    oracle values. hint_small: 60-node rank frame broadcasts; only the
+    per-dst contribution sums shuffle."""
     from streaming_etl_pipeline_spark.functions.core import md5_long
 
     docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
     edges = docs.select(
-        (F.col("doc_id") % 60).alias("src"),
+        (F.col("doc_id") % 40).alias("src"),
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return CC.pagerank(edges, iters=3, hint_small=True)
 
 
-# sink-heavy variant of the link graph: only residues < 40 emit edges,
-# so the 20 nodes appearing purely as destinations are dangling — the
-# crawl-graph regime where dropped dangling mass visibly deflates ranks
-_PR_DANGLING_EDGES_SQL = (
-    f"SELECT doc_id % 40 AS src, {md5_long_sql('doc_id', 'pr')} % 60 AS dst "
-    f"FROM documents WHERE doc_id % 40 <> {md5_long_sql('doc_id', 'pr')} % 60"
-)
+# redistribute-mode ranking of the SAME sink-heavy graph (shared
+# _PR_EDGES_SQL definition — see the note above)
+_PR_DANGLING_EDGES_SQL = _PR_EDGES_SQL
 
 
 @register(

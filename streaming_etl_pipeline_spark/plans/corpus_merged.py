@@ -1265,37 +1265,41 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("score"),
     )
     # link-authority arms: node id doubles as both pair columns. Both
-    # graphs derive from the SAME doc_id scan (drop-mode: src=id%60;
-    # sink-heavy dangling mode: src=id%40) — one persisted read feeds
-    # both edge projections instead of two spread scans, with operators
-    # and parameters identical to the granular queries so the values
-    # hash-match the constituent SQL verbatim.
-    from pyspark import StorageLevel as _SL
-
+    # rows rank the SAME sink-heavy graph (src=id%40, dst out of 60 —
+    # drop mode deflates, redistribute mode conserves), so ONE
+    # pagerank_prepare() pays the edge-distinct / node-set / degree
+    # shuffles for both mode arms, with operators and parameters
+    # identical to the granular queries so the values hash-match the
+    # constituent SQL verbatim (prepare factors the exact same frames
+    # the standalone runs build internally).
     from streaming_etl_pipeline_spark.operators import components as CC
     from streaming_etl_pipeline_spark.sources import (
         read_table as _rt,
         spread as _spread,
     )
 
-    doc_ids = _spread(
+    pr_edges = _spread(
         _rt(spark, sf_dir, "documents").select("doc_id")
-    ).persist(_SL.MEMORY_AND_DISK)
+    ).select(
+        (F.col("doc_id") % 40).alias("src"),
+        (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr_graph = CC.pagerank_prepare(pr_edges)
 
-    def _pr_edges(src_mod: int):
-        return doc_ids.select(
-            (F.col("doc_id") % src_mod).alias("src"),
-            (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
-        ).filter(F.col("src") != F.col("dst"))
-
-    pr = CC.pagerank(_pr_edges(60), iters=3, hint_small=True).select(
+    pr = CC.pagerank(
+        None, iters=3, hint_small=True, prepared=pr_graph
+    ).select(
         F.lit("pagerank").alias("method"),
         F.col("node").alias("id_a"),
         F.col("node").alias("id_b"),
         F.col("rank").alias("score"),
     )
     prd = CC.pagerank(
-        _pr_edges(40), iters=2, hint_small=True, redistribute_dangling=True
+        None,
+        iters=2,
+        hint_small=True,
+        redistribute_dangling=True,
+        prepared=pr_graph,
     ).select(
         F.lit("pagerank_dangling").alias("method"),
         F.col("node").alias("id_a"),
@@ -1474,6 +1478,17 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM kmv JOIN ex ON kmv.event_type = ex.event_type
     JOIN rs ON kmv.event_type = rs.event_type
     JOIN qk ON kmv.event_type = qk.event_type
+    UNION ALL
+    SELECT 'kmv_overlap:' || group_a || ':' || group_b AS event_type,
+           n_kept, n_both AS kth_min, union_est AS distinct_est,
+           inter_est AS exact_distinct,
+           TRUE AS hll_ok, TRUE AS hll_merge_ok,
+           jaccard_est AS trimmed_mean,
+           CAST(0 AS DOUBLE) AS winsorized_mean, CAST(0 AS DOUBLE) AS mad,
+           CAST(0 AS BIGINT) AS n_values, CAST(0 AS BIGINT) AS qsk_n,
+           CAST(0 AS DOUBLE) AS qsk_p50, CAST(0 AS DOUBLE) AS qsk_p95,
+           CAST(0 AS DOUBLE) AS qsk_p99
+    FROM ({_sql("user_overlap_kmv")})
     """,
 )
 def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,12 +1501,21 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% of exact — the 100 TB point: persist tiny per-partition sketches,
     answer any date range by merging, never rescan; after HLL promotion
     the union is bound-equivalent to one-shot, not bit-equal)."""
+    from pyspark import StorageLevel as _SL
+
     from streaming_etl_pipeline_spark.operators import sketches as SK
     from streaming_etl_pipeline_spark.sources import read_table
 
     events = read_table(spark, sf_dir, "events")
     keys = ("event_type",)
-    kmv = SK.kmv_distinct(events, keys, "user_id", k=64)
+    # ONE bottom-k sketch build feeds both the cardinality arm and the
+    # pairwise-overlap arm (sketch= hooks) — the corpus-sized distinct
+    # is paid once; values stay identical to the standalone runs
+    # because the sketch frame IS the standalone paths' internal state
+    sk = SK.kmv_sketch(events, keys, "user_id", k=64).persist(
+        _SL.MEMORY_AND_DISK
+    )
+    kmv = SK.kmv_distinct(events, keys, "user_id", k=64, sketch=sk)
     exact = events.groupBy(*keys).agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -1525,6 +1549,32 @@ def q_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p99_est").alias("qsk_p99"),
             ),
             "event_type",
+        )
+        .unionByName(
+            SK.kmv_overlap(
+                events, "event_type", "user_id", k=64, sketch=sk
+            ).select(
+                F.concat(
+                    F.lit("kmv_overlap:"),
+                    F.col("group_a"),
+                    F.lit(":"),
+                    F.col("group_b"),
+                ).alias("event_type"),
+                "n_kept",
+                F.col("n_both").alias("kth_min"),
+                F.col("union_est").alias("distinct_est"),
+                F.col("inter_est").alias("exact_distinct"),
+                F.lit(True).alias("hll_ok"),
+                F.lit(True).alias("hll_merge_ok"),
+                F.col("jaccard_est").alias("trimmed_mean"),
+                F.lit(0.0).alias("winsorized_mean"),
+                F.lit(0.0).alias("mad"),
+                F.lit(0).cast("long").alias("n_values"),
+                F.lit(0).cast("long").alias("qsk_n"),
+                F.lit(0.0).alias("qsk_p50"),
+                F.lit(0.0).alias("qsk_p95"),
+                F.lit(0.0).alias("qsk_p99"),
+            )
         )
     )
 
@@ -2041,6 +2091,9 @@ COVERED_BY: dict[str, str] = {
     "sequence_packing": "training_assembly",
     "packed_blocks": "training_assembly",
     "distinct_users_kmv": "sketch_suite",
+    # r8: KMV set operations — the pairwise union/intersect/Jaccard
+    # matrix rides the sketch suite as labelled 'kmv_overlap:a:b' rows
+    "user_overlap_kmv": "sketch_suite",
     "robust_value_stats": "sketch_suite",
     "quantile_sketch_values": "sketch_suite",
     "json_extract_stats": "parse_profile",

@@ -533,6 +533,59 @@ def test_kmv_distinct_accuracy(spark):
     }
 
 
+def test_kmv_overlap_exact_below_k_and_estimates(spark):
+    """KMV set operations: exact when the pair union fits the sketch,
+    within the 1/√k band when it doesn't, and the shared-sketch hook
+    matches the standalone path bit-for-bit."""
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # groups a={0..9}, b={5..14} (union 15, inter 5, J=1/3), c={0..399},
+    # d={200..599} (union 600, inter 200, J=1/3 — above k=64, estimated)
+    df = spark.range(4000).select(
+        F.when(F.col("id") < 10, "a")
+        .when(F.col("id") < 20, "b")
+        .when(F.col("id") < 2000, "c")
+        .otherwise("d")
+        .alias("grp"),
+        F.when(F.col("id") < 10, F.col("id"))
+        .when(F.col("id") < 20, F.col("id") - 5)
+        .when(F.col("id") < 2000, F.col("id") % 400)
+        .otherwise(F.col("id") % 400 + 200)
+        .alias("v"),
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in kmv_overlap(df, "grp", "v", k=64).collect()
+    }
+    assert len(out) == 6  # all unordered pairs of 4 groups
+    ab = out[("a", "b")]
+    assert (ab.union_est, ab.inter_est, ab.n_both) == (15, 5, 5)
+    assert abs(ab.jaccard_est - 5 / 15) < 1e-9
+    cd = out[("c", "d")]
+    assert abs(cd.union_est - 600) / 600 < 0.4  # 1/sqrt(64) rsd band
+    assert 0.1 < cd.jaccard_est < 0.6
+    # shared sketch == standalone, and it also feeds kmv_distinct
+    sk = kmv_sketch(df, ["grp"], "v", k=64).persist()
+    shared = {
+        (r.group_a, r.group_b): r
+        for r in kmv_overlap(df, "grp", "v", k=64, sketch=sk).collect()
+    }
+    assert {k2: tuple(v) for k2, v in out.items()} == {
+        k2: tuple(v) for k2, v in shared.items()
+    }
+    d1 = sorted(tuple(r) for r in kmv_distinct(df, ["grp"], "v", k=64).collect())
+    d2 = sorted(
+        tuple(r)
+        for r in kmv_distinct(df, ["grp"], "v", k=64, sketch=sk).collect()
+    )
+    assert d1 == d2
+    sk.unpersist()
+
+
 def test_multimodal_schema_and_determinism(spark):
     assets = MM.synthesize_assets(spark, n=20)
     # nullability flags differ between expression inference and the declared
@@ -2094,6 +2147,38 @@ def test_pagerank_hint_small_matches_unhinted(spark):
         for r in CC.pagerank(edges, iters=3, hint_small=True).collect()
     )
     assert a == b
+
+
+def test_pagerank_prepared_matches_standalone(spark):
+    """pagerank_prepare() shared across mode variants is bit-identical
+    to each standalone run — the prep frames are the exact same
+    distinct/degree/repartition chain the per-call path builds, so a
+    carrier sharing one PreparedGraph between drop-mode and
+    redistribute-mode rankings changes nothing but the shuffle count.
+    Also pins the edges-nor-prepared error."""
+    import pytest as _pytest
+
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    edges = spark.createDataFrame(
+        [
+            Row(src=i % 6, dst=(i * 5 + 2) % 9)
+            for i in range(40)
+            if i % 6 != (i * 5 + 2) % 9
+        ]
+    )
+    g = CC.pagerank_prepare(edges)
+    for kw in ({"iters": 3}, {"iters": 2, "redistribute_dangling": True}):
+        a = sorted(
+            (r.node, r.rank) for r in CC.pagerank(edges, **kw).collect()
+        )
+        b = sorted(
+            (r.node, r.rank)
+            for r in CC.pagerank(None, prepared=g, **kw).collect()
+        )
+        assert a == b, kw
+    with _pytest.raises(ValueError, match="edges or prepared"):
+        CC.pagerank(None)
 
 
 def test_ivf_pq_full_probe_degenerates_to_pq_adc(spark):
