@@ -644,3 +644,105 @@ def pagerank_sql(
         ",\n".join(parts)
         + f"\nSELECT node, CAST(rank_u AS DOUBLE) / {sc}.0 AS rank FROM r{iters}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hint_small: bool = False,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) — community detection for link/near-dup graphs, the
+    modularity-ish complement to :func:`connected_components`: CC says
+    "reachable", LPA says "densely attached", which is what domain
+    clustering and spam-farm detection on a crawl graph actually need
+    (a single stray hyperlink merges two CC components but not two LPA
+    communities).
+
+    Semantics (deterministic by construction, so the DuckDB twin
+    matches bit-for-bit):
+
+    - the graph is symmetrized and deduplicated (communities are an
+      undirected notion; self-loops dropped);
+    - labels start as each node's own id;
+    - each round, every node SIMULTANEOUSLY adopts the most frequent
+      label among its neighbors, ties broken by the smallest label —
+      no randomized visit order, no asynchronous updates (the usual
+      LPA tie-coin-flips would be irreproducible across engines);
+    - fixed ``iters`` rounds rather than convergence detection, so the
+      plan is bounded and :func:`label_propagation_sql` can unroll it.
+      Synchronous LPA can two-cycle on bipartite-ish structures; a
+      fixed horizon makes that a defined result instead of a hang.
+
+    Returns ``(node, label)``.
+
+    Scale shape: the symmetrized edge list is deduplicated and
+    repartitioned on the neighbor key ONCE (persisted — every round
+    re-joins against the same layout); each round is one join
+    edges⋈labels + one (node,label) count with map-side combine + one
+    per-node argmax window. Labels are node-sized, never edge-sized.
+    ``hint_small=True`` broadcasts the label frame (right when the
+    node table is domain-sized while edges are crawl-sized).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumnRenamed("a", "node")
+        .withColumnRenamed("b", "nbr")
+        .repartition("nbr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = sym.select(F.col("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(iters):
+        lb = F.broadcast(labels) if hint_small else labels
+        votes = (
+            sym.join(lb.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_sql: str, iters: int = 3, src: str = "src", dst: str = "dst"
+) -> str:
+    """DuckDB twin of :func:`label_propagation`: the synchronous rounds
+    unrolled into one (votes, argmax) CTE pair per step. Every vote is
+    an integer count and the argmax order (count DESC, label ASC) is
+    total, so both engines pick identical labels at every round."""
+    parts = [
+        f"WITH e0 AS (SELECT {src} AS a, {dst} AS b FROM ({edges_sql}))",
+        "sym AS (SELECT a AS node, b AS nbr FROM e0 WHERE a <> b "
+        "UNION SELECT b, a FROM e0 WHERE a <> b)",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM sym)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"v{i + 1} AS (SELECT sym.node, l.label, count(*) AS cnt "
+            f"FROM sym JOIN l{i} l ON sym.nbr = l.node "
+            f"GROUP BY sym.node, l.label)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM v{i + 1}) "
+            f"WHERE rn = 1)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, label FROM l{iters}"

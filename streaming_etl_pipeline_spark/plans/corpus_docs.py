@@ -847,6 +847,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_communities",
+    CC.label_propagation_sql(_minhash_lsh_sql(), iters=2, src="id_a", dst="id_b"),
+)
+def q_dedup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the same
+    MinHash/LSH pair graph as `dedup_clusters` — the density-aware
+    complement to connected components (one stray pair merges two CC
+    components but not two LPA communities; Raghavan et al. 2007).
+    Deterministic votes (count DESC, label ASC) make the unrolled
+    DuckDB twin bit-exact."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    return CC.label_propagation(
+        pairs, iters=2, src_col="id_a", dst_col="id_b", hint_small=True
+    )
+
+
+@register(
     "boilerplate_chunks",
     TX.remove_boilerplate_sql(
         "docs", min_doc_freq=2, extra_ctes=f"docs AS ({_DOCS_WITH_DUPS_SQL}), "
@@ -1126,6 +1143,26 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin hash-matches exactly."""
     docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.charlm_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney trigram LM scoring (operators/ngram_lm.py — CCNet's actual
+# word-level perplexity filter, self-trained here so the KN path is the
+# one the oracle exercises)
+# ---------------------------------------------------------------------------
+
+from streaming_etl_pipeline_spark.operators import ngram_lm as NL  # noqa: E402
+
+
+@register("kn_lm_quality", NL.kn_lm_scores_sql("documents"))
+def q_kn_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document log-probability under an interpolated Kneser-Ney
+    word-trigram model trained on the corpus itself — every count,
+    9 dp probability and 6 dp-rounded ln verified bit-for-bit by the
+    unreduced DuckDB twin (the whole LM estimation runs in both
+    engines)."""
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return NL.kn_lm_scores(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,8 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          rp AS ({_sql("repetition_stats")}),
          sm AS ({_sql("script_mix")}),
          he AS ({_sql("html_extract")}),
-         sp AS ({_sql("sentence_profile")})
+         sp AS ({_sql("sentence_profile")}),
+         kn AS ({_sql("kn_lm_quality")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
@@ -80,11 +81,14 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            sm.n_cjk, sm.n_other, sm.latin_frac, sm.digit_frac,
            sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script,
            he.extracted_md5, he.extracted_chars,
-           sp.n_sentences, sp.total_sent_chars, sp.sentences_md5
+           sp.n_sentences, sp.total_sent_chars, sp.sentences_md5,
+           kn.n_trigrams AS kn_trigrams, kn.avg_p AS kn_avg_p,
+           kn.avg_logp AS kn_avg_logp
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
             JOIN hf USING (doc_id) JOIN lm USING (doc_id)
             JOIN rp USING (doc_id) JOIN sm USING (doc_id)
             JOIN he USING (doc_id) JOIN sp USING (doc_id)
+            JOIN kn USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,6 +107,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_run("script_mix", spark, sf_dir), "doc_id")
         .join(_run("html_extract", spark, sf_dir), "doc_id")
         .join(_run("sentence_profile", spark, sf_dir), "doc_id")
+        .join(
+            _run("kn_lm_quality", spark, sf_dir).select(
+                "doc_id",
+                F.col("n_trigrams").alias("kn_trigrams"),
+                F.col("avg_p").alias("kn_avg_p"),
+                F.col("avg_logp").alias("kn_avg_logp"),
+            ),
+            "doc_id",
+        )
     )
 
 
@@ -906,10 +919,12 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          cn AS ({_sql("canonical_dedup")}),
          pd AS ({_sql("paragraph_dedup")}),
          ck AS ({_sql("cluster_keep_best")}),
-         sd AS ({_sql("sentence_dedup")})
+         sd AS ({_sql("sentence_dedup")}),
+         lp AS ({_sql("dedup_communities")})
     SELECT b.doc_id, b.n_chunks, b.n_kept, b.n_removed, b.clean_md5,
            g.n_words, g.mean_word_len, g.stop_hits, g.keep,
            c.canonical_id, c.cluster_size,
+           lp.label AS community_id,
            s.n_chunks AS sub_chunks, s.shared_chunks AS sub_shared,
            s.dup_frac AS sub_dup_frac,
            cn.canon_md5, cn.canon_group_size, cn.canon_keeper_id,
@@ -927,6 +942,7 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEFT JOIN pd ON b.doc_id = pd.doc_id
            LEFT JOIN ck ON b.doc_id = ck.doc_id
            LEFT JOIN sd ON b.doc_id = sd.doc_id
+           LEFT JOIN lp ON b.doc_id = lp.node
     """,
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,11 +985,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = TX.gopher_filter(plain).select(
         "doc_id", "n_words", "mean_word_len", "stop_hits", "keep"
     )
-    # Cluster map feeds both the join arm and the keep-best rep arm —
-    # persist so the MinHash/LSH + component chain runs once (it is
-    # pair-output-sized, tiny next to the corpus).
-    c = _run("dedup_clusters", spark, sf_dir).persist(
+    # ONE persisted MinHash/LSH pair frame feeds BOTH graph arms (CC
+    # cluster map + LPA communities) — the banding/verify chain is the
+    # expensive part, the graphs are pair-output-sized. The cluster map
+    # additionally persists because the keep-best rep arm re-joins it.
+    pairs = _run("dedup_minhash_lsh", spark, sf_dir).persist(
         StorageLevel.MEMORY_AND_DISK
+    )
+    c = CC.dedup_clusters(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    lp = CC.label_propagation(
+        pairs, iters=2, src_col="id_a", dst_col="id_b", hint_small=True
+    ).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community_id")
     )
     s = DD.substring_dup_stats(dd, width=_SUB_W, stride=_SUB_S).select(
         "doc_id",
@@ -1009,10 +1032,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pd, "doc_id", "left")
         .join(ck, "doc_id", "left")
         .join(sd, "doc_id", "left")
+        .join(lp, "doc_id", "left")
         .select(
             "doc_id", "n_chunks", "n_kept", "n_removed", "clean_md5",
             "n_words", "mean_word_len", "stop_hits", "keep",
-            "canonical_id", "cluster_size",
+            "canonical_id", "cluster_size", "community_id",
             "sub_chunks", "sub_shared", "sub_dup_frac",
             "canon_md5", "canon_group_size", "canon_keeper_id",
             "nfc_folds",
@@ -2085,8 +2109,13 @@ COVERED_BY: dict[str, str] = {
     "canonical_dedup": "corpus_curation",
     "paragraph_dedup": "corpus_curation",
     "cluster_keep_best": "corpus_curation",
+    # r8: LPA communities over the same minhash pair graph ride the
+    # curation surface as one more doc-key LEFT join (community_id)
+    "dedup_communities": "corpus_curation",
     "script_mix": "text_profile",
     "charlm_quality": "text_profile",
+    # r8: Kneser-Ney word-trigram LM scores ride the per-doc profile
+    "kn_lm_quality": "text_profile",
     "repetition_stats": "text_profile",
     "sequence_packing": "training_assembly",
     "packed_blocks": "training_assembly",

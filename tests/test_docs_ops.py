@@ -1072,6 +1072,59 @@ def test_charlm_scores_rank_typical_text_higher(spark):
     assert 0.0 < out[99] < 1.0 and 0.0 < typical <= 1.0
 
 
+def test_kn_lm_self_scored_properties(spark):
+    """Self-trained KN trigram LM: one trigram per token+1 (two BOS pad
+    one EOS), probabilities in (0,1], log-probs negative, empty docs
+    still score (the pure-padding trigram), and boilerplate the corpus
+    repeats scores higher than a one-off word salad."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    corpus = [
+        Row(doc_id=i, text="subscribe to our newsletter for weekly updates")
+        for i in range(10)
+    ] + [
+        Row(doc_id=50, text="quantum marmalade deregulates seventeen pianos"),
+        Row(doc_id=51, text=""),
+    ]
+    out = {r.doc_id: r for r in NL.kn_lm_scores(
+        spark.createDataFrame(corpus)).collect()}
+    assert len(out) == 12
+    assert out[0].n_trigrams == 8  # 7 words + 1 (EOS trigram)
+    assert out[51].n_trigrams == 1  # empty doc: (<s>, <s>, </s>)
+    for r in out.values():
+        assert 0.0 < r.avg_p <= 1.0 and r.avg_logp < 0.0
+    assert out[50].avg_logp < out[0].avg_logp  # salad < boilerplate
+
+
+def test_kn_lm_external_model_and_oov_backoff(spark):
+    """Cross-corpus CCNet shape: a model trained on corpus A scoring A
+    matches the self-trained path bit-for-bit (model= is the same
+    code), and scoring corpus B exercises the stupid-backoff cascade —
+    an all-OOV doc still gets a finite score, below any in-vocab doc."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    a = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the cat sat on the mat {i % 3}") for i in range(12)]
+    )
+    m = NL.kn_lm_fit(a)
+    self_scored = sorted(tuple(r) for r in NL.kn_lm_scores(a).collect())
+    model_scored = sorted(
+        tuple(r) for r in NL.kn_lm_scores(a, model=m).collect()
+    )
+    assert self_scored == model_scored
+    b = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat 1"),  # fully in-vocab
+            Row(doc_id=2, text="the cat sat on the rug 1"),  # one OOV word
+            Row(doc_id=3, text="zorp blix frangle wumpus quee vont blarp neep"),
+        ]
+    )
+    ob = {r.doc_id: r for r in NL.kn_lm_scores(b, model=m).collect()}
+    assert ob[1].avg_logp > ob[2].avg_logp > ob[3].avg_logp
+    for r in ob.values():
+        assert 0.0 < r.avg_p <= 1.0 and r.avg_logp < 0.0  # backoff floors, never NULL/-inf
+
+
 def test_quantile_sketch_merge_associative_and_bounded(spark):
     import datetime
 
@@ -2147,6 +2200,43 @@ def test_pagerank_hint_small_matches_unhinted(spark):
         for r in CC.pagerank(edges, iters=3, hint_small=True).collect()
     )
     assert a == b
+
+
+def test_label_propagation_communities_vs_components(spark):
+    """LPA separates densely-attached groups that connected components
+    merges: two 4-cliques bridged by ONE edge are a single CC component
+    but two LPA communities. Also pins the deterministic tie-break
+    (count DESC, label ASC) and repeat-run stability."""
+    from streaming_etl_pipeline_spark.operators import components as CC
+
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3, 10))  # the stray bridge
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    lab = {
+        r.node: r.label
+        for r in CC.label_propagation(df, iters=3).collect()
+    }
+    comp = {
+        r.node: r.comp
+        for r in CC.connected_components(df, src="src", dst="dst").collect()
+    }
+    assert len(set(comp.values())) == 1  # CC: one merged component
+    c0 = {lab[i] for i in range(4)}
+    c1 = {lab[i] for i in (10, 11, 12, 13)}
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1  # LPA: two
+    again = {
+        r.node: r.label
+        for r in CC.label_propagation(df, iters=3).collect()
+    }
+    assert lab == again
+    hinted = {
+        r.node: r.label
+        for r in CC.label_propagation(df, iters=3, hint_small=True).collect()
+    }
+    assert lab == hinted
 
 
 def test_pagerank_prepared_matches_standalone(spark):

@@ -705,6 +705,36 @@ def test_fuzz_markup_in_text(spark, tmp_path):
     _gate(spark, sf, ["html_extract", "sentence_profile", "sentence_dedup"])
 
 
+def test_fuzz_kn_lm_degenerate_texts(spark, tmp_path):
+    """KN trigram LM at tokenization edges: empty docs (pure-padding
+    trigram), whitespace-only docs (empty after normalization — Spark
+    split/filter and DuckDB string_split/list_filter must agree),
+    single-word docs (every trigram touches padding), and a corpus-
+    dominating repeated sentence (one (u,v) context holding most of
+    the mass — the discount/backoff terms at their extremes). Both
+    engines must produce the identical model AND identical 6 dp
+    log-probs through all of it."""
+    def mutate(tbl):
+        i = tbl.schema.get_field_index("text")
+        mod = pc.bit_wise_and(tbl["doc_id"], 7)
+        text = tbl["text"].combine_chunks()
+        repl = {
+            0: "",
+            1: " \t  \n ",
+            2: "solitary",
+            3: "the same exact sentence every single time",
+            4: "the same exact sentence every single time",
+        }
+        for j, s in repl.items():
+            text = pc.if_else(
+                pc.equal(mod, j), pa.scalar(s, pa.string()), text
+            )
+        return tbl.set_column(i, "text", text), {}
+
+    sf = _clone_sf(tmp_path, "documents", mutate)
+    _gate(spark, sf, ["kn_lm_quality"])
+
+
 def test_fuzz_mixed_script_text(spark, tmp_path):
     """Raw unsegmented CJK and mixed-script documents: whole-doc
     replacements (no whitespace tokens at all — the regime the stopword
