@@ -135,18 +135,27 @@ def kn_lm_fit(
     """Estimate the interpolated KN trigram model from a corpus.
     ``doc_tri=`` accepts a prebuilt (persisted) :func:`doc_trigrams`
     frame so self-scoring jobs explode the text exactly once."""
-    from pyspark import StorageLevel
-
     if doc_tri is None:
         doc_tri = doc_trigrams(
             df.select(F.lit(0).alias("_id"), text_col), "_id", text_col
         )
     # trigram TYPE counts — everything below re-aggregates this frame
-    t3 = (
-        doc_tri.groupBy("u", "v", "w")
-        .agg(F.sum("c").alias("c3"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    t3 = doc_tri.groupBy("u", "v", "w").agg(F.sum("c").alias("c3"))
+    return kn_model_from_counts(t3, discount=discount)
+
+
+def kn_model_from_counts(
+    t3: DataFrame, discount: float = KN_DISCOUNT
+) -> KNModel:
+    """Derive the full interpolated KN model from a trigram-type count
+    frame ``(u, v, w, c3)`` — the shared tail of :func:`kn_lm_fit` and
+    the streaming-count-store path (``streaming/ingest.py``
+    ``kn_lm_fit_from_store``): n-gram counts are ADDITIVE corpus state,
+    so any partitioning of the corpus that sums to the same type counts
+    yields the bit-identical model."""
+    from pyspark import StorageLevel
+
+    t3 = t3.persist(StorageLevel.MEMORY_AND_DISK)
     uv = t3.groupBy("u", "v").agg(
         F.sum("c3").alias("cuv"),  # c(uv·)
         F.count(F.lit(1)).alias("nuv"),  # N1+(uv·)

@@ -248,6 +248,11 @@ def make_parser() -> argparse.ArgumentParser:
         help="drop the least-LM-typical fraction of docs (CCNet-style)",
     )
     cr.add_argument(
+        "--lm-gate", choices=("charlm", "kn"), default="charlm",
+        help="LM scorer behind --charlm-drop-frac: char-trigram "
+        "typicality or word-level Kneser-Ney log-prob",
+    )
+    cr.add_argument(
         "--substring-dup-max", type=float, default=None,
         help="drop docs whose cross-doc duplicated-span fraction exceeds this",
     )
@@ -603,6 +608,7 @@ def main(argv: list[str] | None = None) -> int:
             lsh_threshold=args.lsh_threshold,
             contamination_threshold=args.contamination_threshold,
             charlm_drop_frac=args.charlm_drop_frac,
+            lm_gate=args.lm_gate,
             substring_dup_max=args.substring_dup_max,
             cc_algorithm=args.cc_algorithm,
             dsir_target=(

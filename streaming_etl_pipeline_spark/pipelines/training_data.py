@@ -52,6 +52,7 @@ def curate_corpus(
     contamination_threshold: float = 0.10,
     split_safety_threshold: float | None = None,
     charlm_drop_frac: float | None = None,
+    lm_gate: str = "charlm",
     substring_dup_max: float | None = None,
     cc_algorithm: str = "label_prop",
     dsir_target: DataFrame | None = None,
@@ -80,10 +81,16 @@ def curate_corpus(
     signatures already built for dedup — no extra shingle/minhash pass.
 
     ``charlm_drop_frac`` (optional) enables the CCNet-style LM gate:
-    a char-trigram model is trained on the post-exact-dedup survivors
-    and the least-typical fraction of documents (bottom quantile of
-    ``avg_tri_p`` — mojibake, binary spill, codes) is dropped. The
-    quantile cut is one ``approxQuantile`` sketch probe, not a collect.
+    a language model is trained on the post-exact-dedup survivors and
+    the least-typical fraction of documents (bottom score quantile —
+    mojibake, binary spill, codes) is dropped. The quantile cut is one
+    ``approxQuantile`` sketch probe, not a collect. ``lm_gate`` picks
+    the scorer: ``"charlm"`` (char-trigram typicality, ``avg_tri_p`` —
+    zero-vocabulary, catches encoding junk) or ``"kn"`` (word-level
+    interpolated Kneser-Ney trigram log-prob, ``avg_logp`` —
+    ``operators/ngram_lm.py``, CCNet's actual perplexity filter,
+    sharper on fluency/boilerplate). Both train on the survivors, so
+    the gate needs no external model.
 
     ``substring_dup_max`` (optional) caps cross-document duplicated
     spans: documents whose 64-char chunk-fingerprint ``dup_frac``
@@ -229,14 +236,25 @@ def curate_corpus(
     #     drop the bottom quantile. Trained AFTER exact dedup so mass
     #     duplication can't drag the model toward its own boilerplate.
     if charlm_drop_frac is not None and charlm_drop_frac > 0:
-        scores = TX.charlm_scores(kept, id_col, text_col)
-        q = scores.approxQuantile("avg_tri_p", [charlm_drop_frac], 0.001)
+        if lm_gate == "kn":
+            from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+            scores = NL.kn_lm_scores(kept, id_col, text_col)
+            score_col, metric_key = "avg_logp", "after_kn_lm"
+        elif lm_gate == "charlm":
+            scores = TX.charlm_scores(kept, id_col, text_col)
+            score_col, metric_key = "avg_tri_p", "after_charlm"
+        else:
+            raise ValueError(
+                f"lm_gate must be 'charlm' or 'kn', got {lm_gate!r}"
+            )
+        q = scores.approxQuantile(score_col, [charlm_drop_frac], 0.001)
         if q:  # no scored docs (empty survivors) → nothing to cut
-            low = scores.filter(F.col("avg_tri_p") < q[0]).select(id_col)
+            low = scores.filter(F.col(score_col) < q[0]).select(id_col)
             gated = kept.join(low, id_col, "left_anti").persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            metrics["after_charlm"] = float(gated.count())
+            metrics[metric_key] = float(gated.count())
             kept.unpersist()
             kept = gated
 

@@ -1184,6 +1184,157 @@ def bm25_postings_batch(
     )
 
 
+def start_ngram_count_sink(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Incremental trigram-count maintenance for the Kneser-Ney LM
+    (``operators/ngram_lm.py``): every micro-batch aggregates its own
+    padded-trigram TYPE counts and appends them under the
+    ``<checkpoint-token>-<epoch>`` idempotence key — the same
+    token-namespaced layout as the dedup/ANN/BM25 ingest stores, so
+    ``compact_ingest_store`` and ``repair_store`` apply unchanged.
+
+    N-gram counts are ADDITIVE corpus state (like BM25's idf/avg_len,
+    unlike the ANN sink's frozen quantizer): summing the stored
+    partitions reproduces the exact type counts of the union corpus,
+    so ``kn_lm_fit_from_store`` yields the bit-identical model a batch
+    refit over all documents would — the LM stays fresh under a 100 TB
+    ingest without ever rescanning old text. Per-trigger cost ∝ batch
+    tokens; replays rewrite their own partition byte-for-byte.
+    Precondition (as for the BM25 sink): doc ids unique across batches
+    — route replayed sources through the dedup ingest first."""
+    token = _ingest_run_token(docs.sparkSession, checkpoint)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ngram_counts_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            id_col=id_col,
+            text_col=text_col,
+            run_token=token,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def ngram_counts_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    run_token: str | None = None,
+) -> None:
+    """One idempotent micro-batch of :func:`start_ngram_count_sink`
+    (module-level for deterministic replay tests): batch-local trigram
+    type counts, dynamic-overwritten under the epoch's partition."""
+    import os as _os
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    if batch_df.isEmpty():
+        return
+    part_val = f"{run_token}-{batch_id}" if run_token else str(batch_id)
+    batch_df = batch_df.localCheckpoint(eager=True)
+    counts = (
+        NL.doc_trigrams(batch_df, id_col, text_col)
+        .groupBy("u", "v", "w")
+        .agg(F.sum("c").alias("c3"))
+        .withColumn("ingest_batch_id", F.lit(part_val))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id")
+        .parquet(_os.path.join(store_path, "counts"))
+    )
+
+
+def ngram_delete_docs(
+    store_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Takedown for the n-gram count store: append the documents'
+    trigram counts NEGATED under a content-addressed ``delete-``
+    partition, so the sums net out exactly — the same negative-stats
+    netting as the BM25 delete path. Requires the documents' original
+    text (counts are aggregate state; there is no per-doc row to
+    tombstone). Idempotence: the partition label is the md5 of the
+    sorted id set, so re-running the same takedown overwrites its own
+    partition instead of double-subtracting. ``kn_lm_fit_from_store``
+    drops netted-to-zero types; a type pushed negative (deleting text
+    that was never ingested) raises there rather than silently
+    corrupting the model."""
+    import hashlib
+    import os as _os
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    ids = sorted(
+        str(r[0]) for r in docs.select(id_col).distinct().collect()
+    )  # takedown lists are bounded (id-list-sized), not corpus-sized
+    if not ids:
+        return
+    digest = hashlib.md5(",".join(ids).encode()).hexdigest()[:16]
+    neg = (
+        NL.doc_trigrams(docs, id_col, text_col)
+        .groupBy("u", "v", "w")
+        .agg((-F.sum("c")).alias("c3"))
+        .withColumn("ingest_batch_id", F.lit(f"delete-{digest}"))
+    )
+    (
+        neg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch_id")
+        .parquet(_os.path.join(store_path, "counts"))
+    )
+
+
+def kn_lm_fit_from_store(
+    spark: SparkSession, store_path: str, discount: float | None = None
+):
+    """Rebuild the KN model from a :func:`start_ngram_count_sink`
+    store: sum the per-epoch (and negative ``delete-``) partitions to
+    exact type counts, then derive probabilities with the same code as
+    the batch fit — bit-identical to refitting over the union corpus
+    because counts are additive. One store scan, everything after at
+    trigram-type grain."""
+    import os as _os
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    t3 = (
+        spark.read.parquet(_os.path.join(store_path, "counts"))
+        .groupBy("u", "v", "w")
+        .agg(F.sum("c3").alias("c3"))
+    )
+    neg = t3.filter(F.col("c3") < 0)
+    if neg.limit(1).count() > 0:
+        bad = neg.limit(3).collect()
+        raise ValueError(
+            "n-gram store has types with negative net counts (a delete "
+            f"was applied for text never ingested), e.g. {bad}"
+        )
+    t3 = t3.filter(F.col("c3") > 0)
+    if discount is None:
+        return NL.kn_model_from_counts(t3)
+    return NL.kn_model_from_counts(t3, discount=discount)
+
+
 def start_gold_upsert_sink(
     bronze: DataFrame,
     path: str,

@@ -1418,6 +1418,109 @@ def test_streaming_bm25_index_sink_two_triggers(spark, tmp_path):
     assert again == direct
 
 
+def test_streaming_ngram_count_sink_two_triggers(spark, tmp_path):
+    """Incremental KN-LM count maintenance: two triggers append trigram
+    type counts; kn_lm_fit_from_store equals a batch refit over the
+    union corpus bit-for-bit (counts are additive); a replayed epoch
+    rewrites its partition instead of double-counting; a takedown
+    appends negative counts that net the model to exactly the
+    corpus-without-the-doc refit, and deleting never-ingested text
+    raises instead of silently corrupting."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        kn_lm_fit_from_store,
+        ngram_counts_batch,
+        ngram_delete_docs,
+        read_jsonl_stream,
+        start_ngram_count_sink,
+    )
+
+    def model_sig(m):
+        return (
+            sorted(tuple(r) for r in m.tri.collect()),
+            sorted(tuple(r) for r in m.big.collect()),
+            sorted(tuple(r) for r in m.uni.collect()),
+            m.n_bigram_types,
+        )
+
+    in_dir = str(tmp_path / "docs_in")
+    store = str(tmp_path / "ngram_store")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = [(i, f"the shared phrase w{i % 3} tail unique{i}") for i in range(8)]
+    b2 = [
+        (i, f"the shared phrase w{i % 3} other end{i}") for i in range(8, 16)
+    ]
+
+    def run_once():
+        stream = read_jsonl_stream(spark, in_dir, schema)
+        q = start_ngram_count_sink(
+            stream, store, ck, trigger={"availableNow": True}
+        )
+        q.awaitTermination(300)
+
+    for name, batch in (("b1", b1), ("b2", b2)):
+        with open(os.path.join(in_dir, f"{name}.jsonl"), "w") as f:
+            for i, t in batch:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+        run_once()
+
+    union = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    direct = model_sig(NL.kn_lm_fit(union))
+    stored = model_sig(kn_lm_fit_from_store(spark, store))
+    assert stored == direct
+
+    # crash-replay of the last epoch: partition rewritten, counts stable
+    parts = {
+        r.ingest_batch_id
+        for r in spark.read.parquet(os.path.join(store, "counts"))
+        .select("ingest_batch_id").distinct().collect()
+    }
+    assert len(parts) == 2
+    token, epoch = sorted(parts)[-1].rsplit("-", 1)
+    ngram_counts_batch(
+        spark.createDataFrame(b2, "doc_id long, text string"),
+        int(epoch), store, run_token=token,
+    )
+    assert model_sig(kn_lm_fit_from_store(spark, store)) == direct
+
+    # takedown: negative counts net to the refit-without-the-docs model
+    victim = spark.createDataFrame(b1[:2], "doc_id long, text string")
+    ngram_delete_docs(store, victim)
+    remaining = spark.createDataFrame(
+        b1[2:] + b2, "doc_id long, text string"
+    )
+    assert model_sig(kn_lm_fit_from_store(spark, store)) == model_sig(
+        NL.kn_lm_fit(remaining)
+    )
+    # idempotent: re-running the same takedown overwrites its partition
+    ngram_delete_docs(store, victim)
+    assert model_sig(kn_lm_fit_from_store(spark, store)) == model_sig(
+        NL.kn_lm_fit(remaining)
+    )
+    # deleting text never ingested → negative net counts → loud failure
+    ngram_delete_docs(
+        store,
+        spark.createDataFrame(
+            [(99, "totally novel sentence never seen")],
+            "doc_id long, text string",
+        ),
+    )
+    with _pytest.raises(ValueError, match="negative net counts"):
+        kn_lm_fit_from_store(spark, store)
+
+
 def test_compact_ingest_store_preserves_results(spark, tmp_path):
     """Offline compaction folds per-trigger partitions into one while
     preserving rows, secondary partition layout, and downstream

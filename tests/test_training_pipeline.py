@@ -245,6 +245,43 @@ def test_curate_corpus_charlm_and_substring_gates(spark, tmp_path):
     assert 0 in kept_ids
 
 
+def test_curate_corpus_kn_lm_gate(spark, tmp_path):
+    """lm_gate='kn' swaps the char-trigram scorer for the word-level
+    Kneser-Ney log-prob: the word-salad doc (every trigram unique while
+    the rest of the corpus repeats its phrasing) lands in the score
+    tail and is cut; the audit records the kn-specific stage key."""
+    import pytest as _pytest
+
+    rows = [(d, " ".join(_base_tokens(d))) for d in range(8)]
+    # word salad with the SAME token multiset as doc 3 but reversed
+    # order: identical Gopher stats (length/stopwords/mean word len),
+    # near-zero shingle Jaccard (survives dedup), yet every trigram
+    # sequence is corpus-unique — exactly what a word-LM tail cut
+    # catches and a char-LM largely cannot
+    rows.append((50, " ".join(reversed(_base_tokens(3)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "kn_gated")
+    res = curate_corpus(
+        spark, df, out,
+        charlm_drop_frac=0.25,
+        lm_gate="kn",
+        lsh_threshold=0.9,
+    )
+    m = res.metrics
+    assert "after_kn_lm" in m and "after_charlm" not in m
+    assert m["after_kn_lm"] < m["after_exact_dedup"]
+    kept_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").distinct().collect()
+    }
+    assert 50 not in kept_ids and 0 in kept_ids
+    with _pytest.raises(ValueError, match="lm_gate"):
+        curate_corpus(
+            spark, df, str(tmp_path / "bad"),
+            charlm_drop_frac=0.1, lm_gate="kenlm",
+        )
+
+
 def test_curate_corpus_dsir_gate(spark, tmp_path):
     """With a DSIR target resembling doc 5's vocabulary and keep_frac
     0.5, the gate drops the least-target-like survivor and the audit
