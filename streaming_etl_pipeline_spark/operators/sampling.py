@@ -748,3 +748,80 @@ def materialize_epochs_sql(
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
     FROM j WHERE n_copies >= 1
     """
+
+
+def global_order_index(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "shuffle",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global training-order permutation WITHOUT a global
+    sort: every row gets ``ord`` — its dense 0-based position in the
+    corpus-wide order of ``(md5(key, seed), key)`` — computed with
+    bounded parallelism-safe pieces. Training runs shuffle their data
+    once per epoch; doing it with ``ORDER BY rand()`` is neither
+    reproducible nor restartable, and a naive ``row_number() OVER
+    (ORDER BY hash)`` collapses the whole corpus into ONE sort
+    partition. The engine shape (the classic zipWithIndex recurrence,
+    expressed declaratively):
+
+    - bucket = the hash's HIGH bits (``floor(h / (space/buckets))``) —
+      contiguous hash RANGES, so bucket order == global hash order
+      (a mod-bucket would interleave ranges and break the equivalence);
+    - per-bucket ``row_number`` windows run in parallel (buckets are
+      uniform — the hash is uniform);
+    - each bucket's starting offset is a running sum over the
+      bucket-COUNT table (``buckets`` rows, broadcast back).
+
+    Same (corpus, seed) → same permutation under any partitioning or
+    cluster size; different seeds → independent epoch orders. Output:
+    input columns + ``ord``.
+    """
+    from pyspark import StorageLevel
+
+    space = float(1 << 60)
+    h = md5_long(key_col, seed)
+    bucket = F.floor(h.cast("double") / F.lit(space / buckets)).cast("long")
+    keyed = df.withColumn("_h", h).withColumn("_b", bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    offsets = (
+        keyed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_off")
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("ord", (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_h", "_b", "_rn", "_off")
+    )
+
+
+def global_order_index_sql(
+    table: str, key_col: str, seed: str = "shuffle"
+) -> str:
+    """DuckDB twin of :func:`global_order_index` — the single-node
+    engine can afford the direct global window, and its result is by
+    construction identical to the bucket-offset decomposition."""
+    h = md5_long_sql(key_col, seed)
+    return f"""
+    SELECT *, CAST(row_number() OVER (ORDER BY {h}, {key_col}) - 1
+           AS BIGINT) AS ord
+    FROM {table}
+    """

@@ -1765,6 +1765,35 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _training_order_sql() -> str:
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        global_order_index_sql,
+    )
+
+    inner = global_order_index_sql(
+        "(SELECT doc_id FROM documents)", "doc_id", seed="epoch0"
+    )
+    return f"SELECT doc_id, ord FROM ({inner})"
+
+
+@register("training_order", _training_order_sql())
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order permutation
+    (operators/sampling.py ``global_order_index``): dense 0-based
+    position in the corpus-wide (md5(doc_id, seed), doc_id) order,
+    computed via range-bucketed parallel windows + bucket offsets —
+    never a single global sort partition. Every position value-hashed
+    against the twin's direct global window."""
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        global_order_index,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
+    return global_order_index(docs, "doc_id", seed="epoch0").select(
+        "doc_id", "ord"
+    )
+
+
 def _epoch_alloc_sql() -> str:
     from streaming_etl_pipeline_spark.operators.sampling import (
         epoch_allocation_sql,

@@ -1104,7 +1104,8 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          pii AS ({_sql("pii_redaction")}),
          dc AS ({_sql("decontamination")}),
          pk AS ({_sql("sequence_packing")}),
-         blk AS ({_sql("packed_blocks")})
+         blk AS ({_sql("packed_blocks")}),
+         tord AS ({_sql("training_order")})
     SELECT d.doc_id,
            {assign_splits_sql("d.doc_id")} AS split,
            ch.n_chunks, ch.chunk_tokens, ch.chunks_md5,
@@ -1117,13 +1118,15 @@ def q_reshape_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(dc.flagged, FALSE) AS flagged,
            pk.n_tok AS pack_tokens, pk.start_offset AS pack_offset,
            pk.block_first AS pack_block, pk.crosses AS pack_crosses,
-           blk.block_md5 AS pack_block_md5
+           blk.block_md5 AS pack_block_md5,
+           tord.ord AS epoch0_ord
     FROM documents d
          JOIN ch USING (doc_id)
          JOIN pii USING (doc_id)
          LEFT JOIN dc USING (doc_id)
          JOIN pk USING (doc_id)
          JOIN blk ON blk.source = pk.source AND blk.block = pk.block_first
+         JOIN tord USING (doc_id)
     """,
 )
 def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,6 +1184,12 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dc, "doc_id", "left")
         .join(pk, "doc_id")
         .join(F.broadcast(blk), ["source", "pack_block"])
+        .join(
+            _run("training_order", spark, sf_dir).withColumnRenamed(
+                "ord", "epoch0_ord"
+            ),
+            "doc_id",
+        )
         .select(
             "doc_id", "split", "n_chunks", "chunk_tokens", "chunks_md5",
             "n_email", "n_ssn", "n_phone", "n_ipv4", "pii_md5",
@@ -1194,7 +1203,7 @@ def q_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("flagged", F.lit(False)).alias("flagged"),
             "pack_tokens", "pack_offset", "pack_block", "pack_crosses",
-            "pack_block_md5",
+            "pack_block_md5", "epoch0_ord",
         )
     )
 
@@ -2118,6 +2127,9 @@ COVERED_BY: dict[str, str] = {
     "kn_lm_quality": "text_profile",
     "repetition_stats": "text_profile",
     "sequence_packing": "training_assembly",
+    # r8: deterministic global training-order permutation rides the
+    # assembly surface as the epoch0_ord column
+    "training_order": "training_assembly",
     "packed_blocks": "training_assembly",
     "distinct_users_kmv": "sketch_suite",
     # r8: KMV set operations — the pairwise union/intersect/Jaccard

@@ -2202,6 +2202,41 @@ def test_pagerank_hint_small_matches_unhinted(spark):
     assert a == b
 
 
+def test_global_order_index_dense_and_partition_invariant(spark):
+    """global_order_index assigns exactly 0..n-1, equals the direct
+    hash-sorted order (the bucket-offset decomposition changes the
+    plan, not the permutation), is invariant to input partitioning,
+    and different seeds give different permutations."""
+    from streaming_etl_pipeline_spark.functions.core import md5_long
+    from streaming_etl_pipeline_spark.operators.sampling import (
+        global_order_index,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = global_order_index(df, "doc_id", seed="e0", buckets=16)
+    rows = {r.doc_id: r.ord for r in out.collect()}
+    assert sorted(rows.values()) == list(range(500))
+    direct = [
+        r.doc_id
+        for r in df.select(
+            "doc_id", md5_long("doc_id", "e0").alias("_h")
+        ).orderBy("_h", "doc_id").collect()
+    ]
+    assert [rows[d] for d in direct] == list(range(500))
+    rep = {
+        r.doc_id: r.ord
+        for r in global_order_index(
+            df.repartition(13), "doc_id", seed="e0", buckets=16
+        ).collect()
+    }
+    assert rep == rows
+    other = {
+        r.doc_id: r.ord
+        for r in global_order_index(df, "doc_id", seed="e1", buckets=16).collect()
+    }
+    assert other != rows and sorted(other.values()) == list(range(500))
+
+
 def test_label_propagation_communities_vs_components(spark):
     """LPA separates densely-attached groups that connected components
     merges: two 4-cliques bridged by ONE edge are a single CC component
