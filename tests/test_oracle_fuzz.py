@@ -551,6 +551,39 @@ def test_fuzz_source_overlap_degenerate(spark, tmp_path):
     _gate(spark, sf, ["source_overlap_matrix", "dedup_ngram_jaccard"])
 
 
+def test_fuzz_kmv_overlap_degenerate_groups(spark, tmp_path):
+    """KMV set operations at the group-structure edges: one single
+    event type (the pair frame is EMPTY — both engines must emit zero
+    rows, not diverge on empty-join semantics), and two types with
+    IDENTICAL user sets (merged sketch == each sketch, jaccard exactly
+    1, inter == union). Also re-gates the per-type cardinality row on
+    the same mutated tables."""
+    def single_type(tbl):
+        i = tbl.schema.get_field_index("event_type")
+        one = pa.array(["click"] * len(tbl), pa.string())
+        return tbl.set_column(i, "event_type", one), {}
+
+    def two_identical(tbl):
+        i = tbl.schema.get_field_index("event_type")
+        et = pa.array(
+            ["a" if r % 2 == 0 else "b" for r in range(len(tbl))],
+            pa.string(),
+        )
+        j = tbl.schema.get_field_index("user_id")
+        # same user set on both sides: user = row % 50
+        uid = pa.array([r % 50 for r in range(len(tbl))], pa.int64())
+        return tbl.set_column(i, "event_type", et).set_column(
+            j, "user_id", uid
+        ), {}
+
+    (tmp_path / "one").mkdir()
+    (tmp_path / "same").mkdir()
+    sf = _clone_sf(tmp_path / "one", "events", single_type)
+    _gate(spark, sf, ["user_overlap_kmv", "distinct_users_kmv"])
+    sf = _clone_sf(tmp_path / "same", "events", two_identical)
+    _gate(spark, sf, ["user_overlap_kmv", "sketch_suite"])
+
+
 def test_fuzz_nb_label_skew(spark, tmp_path):
     """NB quality classifier under degenerate weak labels: every
     training doc passes Gopher (all-positive) or every one fails
