@@ -696,9 +696,12 @@ def label_propagation(
         .distinct()
         .withColumnRenamed("a", "node")
         .withColumnRenamed("b", "nbr")
-        .repartition("nbr")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if not hint_small:
+        # co-locate the per-round edges⋈labels shuffle join; pointless
+        # (one extra corpus-sized exchange) when labels broadcast
+        sym = sym.repartition("nbr")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     labels = sym.select(F.col("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

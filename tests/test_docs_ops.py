@@ -586,6 +586,50 @@ def test_kmv_overlap_exact_below_k_and_estimates(spark):
     sk.unpersist()
 
 
+def test_kmv_merge_equals_whole_corpus_sketch(spark):
+    """Merging per-day KMV sketches is EXACT: bottom-k of the union of
+    bottom-ks == bottom-k of the union value set, so estimates off the
+    merged sketch are bit-identical to sketching the whole corpus —
+    the persist-tiny-sketches / answer-any-range property."""
+    from streaming_etl_pipeline_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    df = spark.range(6000).select(
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("grp"),
+        (F.col("id") % 700).alias("v"),
+        (F.col("id") % 5).alias("day"),
+    )
+    daily = kmv_merge(
+        kmv_sketch(df, ["grp", "day"], "v", k=64).select("grp", "_h"),
+        ["grp"],
+        k=64,
+    )
+    whole = kmv_sketch(df, ["grp"], "v", k=64)
+    assert sorted(tuple(r) for r in daily.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+    d1 = sorted(
+        tuple(r)
+        for r in kmv_distinct(df, ["grp"], "v", k=64, sketch=daily).collect()
+    )
+    d2 = sorted(
+        tuple(r) for r in kmv_distinct(df, ["grp"], "v", k=64).collect()
+    )
+    assert d1 == d2
+    o1 = sorted(
+        tuple(r)
+        for r in kmv_overlap(df, "grp", "v", k=64, sketch=daily).collect()
+    )
+    o2 = sorted(
+        tuple(r) for r in kmv_overlap(df, "grp", "v", k=64).collect()
+    )
+    assert o1 == o2
+
+
 def test_multimodal_schema_and_determinism(spark):
     assets = MM.synthesize_assets(spark, n=20)
     # nullability flags differ between expression inference and the declared
