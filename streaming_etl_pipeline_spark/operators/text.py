@@ -1283,3 +1283,92 @@ def perplexity_buckets_sql(
            {label} AS ppl_bucket
     FROM tiled
     """
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy over the codepoint distribution —
+    the classic cheap junk detector (RefinedWeb-style heuristics): very
+    LOW entropy flags repetition/padding junk ("aaaa…", banner art),
+    abnormally HIGH entropy flags binary spill / encrypted blobs that
+    slipped past charset sniffing. Complements the repetition stats
+    (n-gram level) and charlm (sequence level) with a distribution-
+    level signal.
+
+    Exact per-codepoint entropy (no fixed alphabet): chars explode to a
+    (doc, char) count frame — the same map-side-combined shape as
+    charlm's trigram grain — then H = −Σ p·ln(p). Engine parity: p is
+    one IEEE division, ln is pre-rounded to 6 dp (the DSIR trick),
+    each term is rounded to 12 dp and accumulated in DECIMAL so
+    partial-aggregation order cannot diverge, and the final entropy is
+    rounded to 6 dp. Empty/NULL docs score 0.0 (no distribution).
+
+    Output: ``(id_col, n_chars, entropy)`` — nats, not bits.
+
+    Scale: two shuffles, both keyed by doc (uniform); per-doc state is
+    its distinct-codepoint histogram, bounded by the doc's alphabet.
+    """
+    base = df.select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    chars = base.select(
+        id_col, F.explode(F.split("_t", "")).alias("_c")
+    ).filter(F.col("_c") != "")
+    from pyspark.sql import Window
+
+    counts = chars.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
+    # per-doc total as an analytic over the count frame: reuses the
+    # (doc)-compatible partitioning instead of a self-join (which would
+    # also trip Spark's ambiguous-lineage resolution)
+    counts = counts.withColumn(
+        # NOT "_N": Spark resolves column names case-insensitively by
+        # default, so "_N" would silently REPLACE "_n"
+        "_tot", F.sum("_n").over(Window.partitionBy(id_col))
+    )
+    p = F.col("_n").cast("double") / F.col("_tot").cast("double")
+    term = F.round(p * F.round(F.log(p), 6), 12).cast("decimal(20,12)")
+    ent = counts.groupBy(id_col).agg(
+        F.max("_tot").alias("n_chars"),
+        F.round(-F.sum(term), 6).cast("double").alias("entropy"),
+    )
+    return (
+        base.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB oracle twin of :func:`char_entropy`."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, coalesce(text, '') AS t FROM {table}
+    ),
+    chars AS (
+      SELECT {id_col}, unnest(string_split(t, '')) AS c
+      FROM base WHERE length(t) > 0
+    ),
+    counts AS (
+      SELECT {id_col}, c, count(*) AS n FROM chars GROUP BY {id_col}, c
+    ),
+    totals AS (
+      SELECT {id_col}, CAST(sum(n) AS BIGINT) AS tot
+      FROM counts GROUP BY {id_col}
+    ),
+    ent AS (
+      SELECT counts.{id_col}, max(tot) AS n_chars,
+             CAST(round(-sum(CAST(round(
+                 (n::DOUBLE / tot::DOUBLE)
+                 * round(ln(n::DOUBLE / tot::DOUBLE), 6), 12)
+               AS DECIMAL(20,12))), 6) AS DOUBLE) AS entropy
+      FROM counts JOIN totals USING ({id_col})
+      GROUP BY counts.{id_col}
+    )
+    SELECT base.{id_col},
+           CAST(coalesce(ent.n_chars, 0) AS BIGINT) AS n_chars,
+           coalesce(ent.entropy, 0.0) AS entropy
+    FROM base LEFT JOIN ent USING ({id_col})
+    """

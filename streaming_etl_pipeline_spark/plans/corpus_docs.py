@@ -1145,6 +1145,17 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.charlm_scores(docs)
 
 
+@register("char_entropy", TX.char_entropy_sql("documents"))
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document codepoint Shannon entropy (operators/text.py
+    ``char_entropy``): the distribution-level junk signal — repetition
+    padding scores low, binary spill scores high. DECIMAL-accumulated
+    6dp-rounded-ln terms make the score order-independent, so the twin
+    hash-matches exactly."""
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TX.char_entropy(docs)
+
+
 # ---------------------------------------------------------------------------
 # Kneser-Ney trigram LM scoring (operators/ngram_lm.py — CCNet's actual
 # word-level perplexity filter, self-trained here so the KN path is the

@@ -1933,6 +1933,10 @@ _NB_ITEM_SQL = (
 _PPL_ITEM_SQL = (
     "CAST(doc_id AS VARCHAR) || ':' || CAST(ppl_tile AS VARCHAR)"
 )
+_ENT_ITEM_SQL = (
+    "CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(CAST(round(entropy * 1000000) AS BIGINT) AS VARCHAR)"
+)
 
 
 @register(
@@ -1949,6 +1953,14 @@ _PPL_ITEM_SQL = (
                   % {_CHECKSUM_MOD} AS BIGINT) AS nb_checksum
       FROM nb JOIN documents d USING (doc_id) GROUP BY d.lang
     ),
+    el AS ({_sql("char_entropy")}),
+    ell AS (
+      SELECT d.lang,
+             CAST(sum(el.n_chars) AS BIGINT) AS ent_chars,
+             CAST(sum(CAST({_md5_long_sql(_ENT_ITEM_SQL)} AS DECIMAL(38,0)))
+                  % {_CHECKSUM_MOD} AS BIGINT) AS ent_checksum
+      FROM el JOIN documents d USING (doc_id) GROUP BY d.lang
+    ),
     ppl AS ({_sql("ppl_buckets")}),
     ppll AS (
       SELECT lang,
@@ -1963,8 +1975,10 @@ _PPL_ITEM_SQL = (
       FROM ppl GROUP BY lang
     )
     SELECT base.*, nbl.nb_docs, nbl.nb_kept, nbl.nb_checksum,
-           ppll.ppl_head, ppll.ppl_middle, ppll.ppl_tail, ppll.ppl_checksum
+           ppll.ppl_head, ppll.ppl_middle, ppll.ppl_tail, ppll.ppl_checksum,
+           ell.ent_chars, ell.ent_checksum
     FROM base JOIN nbl USING (lang) JOIN ppll USING (lang)
+         JOIN ell USING (lang)
     """,
 )
 def q_corpus_quality_by_lang_merged(
@@ -2033,10 +2047,25 @@ def q_corpus_quality_by_lang_merged(
             _checksum_col(ppl_item).alias("ppl_checksum"),
         )
     )
-    return base.join(nbl, "lang").join(ppll, "lang").select(
+    ent_item = F.concat_ws(
+        ":",
+        F.col("doc_id").cast("string"),
+        F.round(F.col("entropy") * 1000000, 0).cast("long").cast("string"),
+    )
+    ell = (
+        TX.char_entropy(docs.select("doc_id", "text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("long").alias("ent_chars"),
+            _checksum_col(ent_item).alias("ent_checksum"),
+        )
+    )
+    return base.join(nbl, "lang").join(ppll, "lang").join(ell, "lang").select(
         "lang", "source", "n_docs", "total_tokens", "avg_tokens",
         "nb_docs", "nb_kept", "nb_checksum",
         "ppl_head", "ppl_middle", "ppl_tail", "ppl_checksum",
+        "ent_chars", "ent_checksum",
     )
 
 
@@ -2125,6 +2154,9 @@ COVERED_BY: dict[str, str] = {
     "charlm_quality": "text_profile",
     # r8: Kneser-Ney word-trigram LM scores ride the per-doc profile
     "kn_lm_quality": "text_profile",
+    # r8: codepoint-entropy junk signal rides the per-lang quality
+    # rollup as (total chars, per-doc checksum)
+    "char_entropy": "corpus_quality_by_lang",
     "repetition_stats": "text_profile",
     "sequence_packing": "training_assembly",
     # r8: deterministic global training-order permutation rides the

@@ -586,6 +586,33 @@ def test_kmv_overlap_exact_below_k_and_estimates(spark):
     sk.unpersist()
 
 
+def test_char_entropy_orders_junk_correctly(spark):
+    """Codepoint entropy as a junk signal: repetition padding scores
+    near 0, natural text in the middle, high-alphabet noise highest;
+    empty and NULL docs score exactly 0.0 with n_chars 0."""
+    import math
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "k9#xQ!7v@Zp2&mW*4cR%8dT^1bN)5gY(", ),
+        (4, ""),
+        (5, None),
+    ]
+    out = {
+        r.doc_id: r
+        for r in TX.char_entropy(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1].entropy == 0.0 and out[1].n_chars == 32
+    assert out[4].entropy == 0.0 and out[4].n_chars == 0
+    assert out[5].entropy == 0.0 and out[5].n_chars == 0
+    assert 0.0 < out[2].entropy < out[3].entropy
+    # all-distinct 32-char doc: H = ln(32) exactly (up to the 6dp round)
+    assert abs(out[3].entropy - math.log(32)) < 1e-4
+
+
 def test_kmv_merge_equals_whole_corpus_sketch(spark):
     """Merging per-day KMV sketches is EXACT: bottom-k of the union of
     bottom-ks == bottom-k of the union value set, so estimates off the

@@ -89,7 +89,19 @@ Perturbation classes (≥5):
                         through the micro-unit power iteration in BOTH
                         dangling modes (direct Spark-vs-DuckDB parity
                         on handcrafted edges — the graph shape cannot
-                        be reached by perturbing testdata columns).
+                        be reached by perturbing testdata columns);
+24. ``filtered_ann_lonely_labels`` — metadata filters whose label
+                        matches one vector or none through the
+                        filtered IVF-PQ arm (empty-result queries must
+                        vanish identically);
+25. ``kn_lm_degenerate_texts`` — empty / whitespace-only /
+                        single-word / corpus-dominating-repeat docs
+                        through the Kneser-Ney model estimation twins
+                        (tokenizer and discount math at their edges);
+26. ``kmv_overlap_degenerate_groups`` — a single group (empty pair
+                        frame) and identical-value-set groups
+                        (jaccard exactly 1) through the KMV
+                        set-operation twin.
 """
 
 from __future__ import annotations
@@ -242,6 +254,8 @@ def test_fuzz_unicode_text(spark, tmp_path):
             "paragraph_dedup",
             "nb_quality_classifier",
             "bm25_topk",
+            "char_entropy",  # emoji/combining marks: per-codepoint split
+            "kn_lm_quality",  # unicode word tokens through the KN chain
         ],
     )
 
@@ -276,6 +290,7 @@ def test_fuzz_null_text(spark, tmp_path):
             "nb_quality_classifier",
             "ppl_buckets",
             "bm25_topk",  # NULLed query docs -> termless queries
+            "char_entropy",  # NULL text scores 0.0 identically
         ],
     )
 
