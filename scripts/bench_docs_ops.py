@@ -27,6 +27,8 @@ from bench_curation import synth_docs  # noqa: E402
 from streaming_etl_pipeline_spark.operators import classifier as CL  # noqa: E402
 from streaming_etl_pipeline_spark.operators import components as CC  # noqa: E402
 from streaming_etl_pipeline_spark.operators import dedup as DD  # noqa: E402
+from streaming_etl_pipeline_spark.operators import ngram_lm as NL  # noqa: E402
+from streaming_etl_pipeline_spark.operators import sketches as SK  # noqa: E402
 from streaming_etl_pipeline_spark.operators import retrieval as RT  # noqa: E402
 from streaming_etl_pipeline_spark.operators import sampling as SP  # noqa: E402
 from streaming_etl_pipeline_spark.operators import text as TX  # noqa: E402
@@ -115,6 +117,21 @@ def main() -> int:
             ),
             "pagerank (100k nodes, 3 iters)": CC.pagerank(
                 pr_edges, iters=3, hint_small=True
+            ),
+            "label_propagation (100k nodes, 2 iters)": CC.label_propagation(
+                pr_edges, iters=2, hint_small=True
+            ),
+            "char_entropy": TX.char_entropy(docs),
+            "kn_lm_scores (self-trained)": NL.kn_lm_scores(docs),
+            "global_order_index": SP.global_order_index(docs, "doc_id"),
+            "kmv_overlap (6 groups, k=256)": SK.kmv_overlap(
+                docs.select(
+                    (F.col("doc_id") % 6).cast("string").alias("grp"),
+                    F.col("text"),
+                ),
+                "grp",
+                "text",
+                k=256,
             ),
             "bm25_topk (100 queries, full index)": RT.bm25_topk(
                 docs, bm_queries, k=10

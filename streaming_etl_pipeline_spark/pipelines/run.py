@@ -175,6 +175,23 @@ def make_parser() -> argparse.ArgumentParser:
         help="treat --path as a BM25 index root (postings + stats)",
     )
 
+    sl = sub.add_parser(
+        "score-lm",
+        help="per-document Kneser-Ney trigram log-prob: self-trained "
+        "on the input by default, or scored against the model "
+        "rebuilt from a streaming n-gram count store (--model-store) "
+        "with stupid-backoff for OOV n-grams",
+    )
+    sl.add_argument("--input", required=True, help="parquet with doc_id,text")
+    sl.add_argument("--output", required=True, help="score parquet out")
+    sl.add_argument(
+        "--model-store", default=None,
+        help="n-gram count store dir (start_ngram_count_sink output); "
+        "omit to self-train on --input",
+    )
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--text-col", default="text")
+
     ra = sub.add_parser(
         "retrain-ann",
         help="the ANN drift loop in one run: occupancy-PSI monitor over "
@@ -466,6 +483,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         metrics["bm25_index.docs"] = docs.count()
         metrics["bm25_index.buckets"] = float(args.buckets)
+    if args.cmd == "score-lm":
+        from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+        docs = spark.read.parquet(args.input)
+        model = None
+        if args.model_store:
+            from streaming_etl_pipeline_spark.streaming.ingest import (
+                kn_lm_fit_from_store,
+            )
+
+            model = kn_lm_fit_from_store(spark, args.model_store)
+        scored = NL.kn_lm_scores(
+            docs, id_col=args.id_col, text_col=args.text_col, model=model
+        )
+        scored.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        metrics["score_lm.docs"] = out.count()
+        metrics["score_lm.self_trained"] = float(args.model_store is None)
     if args.cmd == "compact-store":
         from streaming_etl_pipeline_spark.streaming.ingest import (
             compact_ingest_store,

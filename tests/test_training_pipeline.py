@@ -497,6 +497,46 @@ def test_cli_bm25_index_and_compact_store(spark, tmp_path, capsys):
     assert metrics["compact.partitions_before"] == 2.0
 
 
+def test_cli_score_lm_self_and_store(spark, tmp_path, capsys):
+    """score-lm end-to-end: self-trained scores match the library call
+    bit-for-bit, and --model-store scores against the model rebuilt
+    from a streaming n-gram count store (held-out docs get backoff
+    scores, not errors)."""
+    import json
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+    from streaming_etl_pipeline_spark.pipelines.run import main
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        ngram_counts_batch,
+    )
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "scores_self")
+    rc = main(["score-lm", "--input", docs_path, "--output", out1])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["score_lm.docs"] == 500
+    assert metrics["score_lm.self_trained"] == 1.0
+    cli = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    lib = sorted(tuple(r) for r in NL.kn_lm_scores(docs).collect())
+    assert cli == lib
+
+    store = str(tmp_path / "ngram_store")
+    ngram_counts_batch(docs.limit(200), 0, store, run_token="run-z")
+    out2 = str(tmp_path / "scores_store")
+    rc = main(
+        ["score-lm", "--input", docs_path, "--output", out2,
+         "--model-store", store]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["score_lm.self_trained"] == 0.0
+    got = spark.read.parquet(out2)
+    assert got.count() == 500
+    assert got.filter("avg_logp >= 0 OR avg_p <= 0").count() == 0
+
+
 def test_curate_corpus_extract_html(spark, tmp_path):
     """extract_html=True: markup is stripped BEFORE quality/dedup, so an
     HTML-wrapped twin of a plain doc exact-dedups against it, and tag
