@@ -1521,6 +1521,49 @@ def test_streaming_ngram_count_sink_two_triggers(spark, tmp_path):
         kn_lm_fit_from_store(spark, store)
 
 
+def test_ngram_count_store_compaction_preserves_model(spark, tmp_path):
+    """The n-gram count store is a token-namespaced ingest store like
+    the BM25/ANN/dedup ones, so compact_ingest_store applies: folding
+    the per-epoch AND negative delete- partitions into one preserves
+    the summed counts, hence the fitted model, bit-for-bit."""
+    import os as _os
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        compact_ingest_store,
+        kn_lm_fit_from_store,
+        ngram_counts_batch,
+        ngram_delete_docs,
+    )
+
+    def model_sig(m):
+        return (
+            sorted(tuple(r) for r in m.tri.collect()),
+            m.n_bigram_types,
+        )
+
+    store = str(tmp_path / "ngram_store")
+    b1 = [(i, f"the common phrase w{i % 2} end{i}") for i in range(6)]
+    b2 = [(i, f"the common phrase w{i % 2} more{i}") for i in range(6, 12)]
+    for epoch, batch in enumerate((b1, b2)):
+        ngram_counts_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            epoch, store, run_token="run-z",
+        )
+    victim = spark.createDataFrame(b1[:2], "doc_id long, text string")
+    ngram_delete_docs(store, victim)
+    before = model_sig(kn_lm_fit_from_store(spark, store))
+    stats = compact_ingest_store(
+        spark, _os.path.join(store, "counts")
+    )
+    assert stats["partitions_before"] == 3  # two epochs + one delete
+    assert model_sig(kn_lm_fit_from_store(spark, store)) == before
+    remaining = spark.createDataFrame(
+        b1[2:] + b2, "doc_id long, text string"
+    )
+    assert before == model_sig(NL.kn_lm_fit(remaining))
+
+
 def test_compact_ingest_store_preserves_results(spark, tmp_path):
     """Offline compaction folds per-trigger partitions into one while
     preserving rows, secondary partition layout, and downstream
