@@ -175,6 +175,18 @@ def make_parser() -> argparse.ArgumentParser:
         help="treat --path as a BM25 index root (postings + stats)",
     )
 
+    bn = sub.add_parser(
+        "build-ngram-store",
+        help="materialize the trigram count store from a batch corpus "
+        "(one epoch partition) — the offline seed a "
+        "start_ngram_count_sink stream then appends to, and the "
+        "--model-store score-lm consumes",
+    )
+    bn.add_argument("--input", required=True, help="parquet with doc_id,text")
+    bn.add_argument("--output", required=True, help="count store dir out")
+    bn.add_argument("--id-col", default="doc_id")
+    bn.add_argument("--text-col", default="text")
+
     sl = sub.add_parser(
         "score-lm",
         help="per-document Kneser-Ney trigram log-prob: self-trained "
@@ -483,6 +495,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         metrics["bm25_index.docs"] = docs.count()
         metrics["bm25_index.buckets"] = float(args.buckets)
+    if args.cmd == "build-ngram-store":
+        from streaming_etl_pipeline_spark.streaming.ingest import (
+            ngram_counts_batch,
+        )
+
+        docs = spark.read.parquet(args.input)
+        ngram_counts_batch(
+            docs, 0, args.output,
+            id_col=args.id_col, text_col=args.text_col,
+            run_token="batch",
+        )
+        metrics["ngram_store.docs"] = docs.count()
     if args.cmd == "score-lm":
         from streaming_etl_pipeline_spark.operators import ngram_lm as NL
 

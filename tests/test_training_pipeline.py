@@ -506,10 +506,6 @@ def test_cli_score_lm_self_and_store(spark, tmp_path, capsys):
 
     from streaming_etl_pipeline_spark.operators import ngram_lm as NL
     from streaming_etl_pipeline_spark.pipelines.run import main
-    from streaming_etl_pipeline_spark.streaming.ingest import (
-        ngram_counts_batch,
-    )
-
     docs_path = "/root/testdata/sf0.001/documents.parquet"
     out1 = str(tmp_path / "scores_self")
     rc = main(["score-lm", "--input", docs_path, "--output", out1])
@@ -522,8 +518,14 @@ def test_cli_score_lm_self_and_store(spark, tmp_path, capsys):
     lib = sorted(tuple(r) for r in NL.kn_lm_scores(docs).collect())
     assert cli == lib
 
+    # build the store through the CLI too (the offline seed path)
+    half = str(tmp_path / "docs_half")
+    docs.limit(200).write.parquet(half)
     store = str(tmp_path / "ngram_store")
-    ngram_counts_batch(docs.limit(200), 0, store, run_token="run-z")
+    rc = main(["build-ngram-store", "--input", half, "--output", store])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["ngram_store.docs"] == 200
     out2 = str(tmp_path / "scores_store")
     rc = main(
         ["score-lm", "--input", docs_path, "--output", out2,
