@@ -22,11 +22,16 @@ Model (fixed absolute discount D, interpolated form):
 Every count is an exact BIGINT group-by; every probability is one IEEE
 double expression rounded to 9 dp with the SAME parenthesization in
 Spark and the DuckDB twin, so the model tables are bit-identical and
-the differential oracle verifies the whole LM exactly. Log-probs round
-``ln`` to 6 dp BEFORE the per-document decimal accumulation (``ln`` is
-not guaranteed correctly rounded across libm implementations — the same
-engine-parity trick as DSIR's log-ratio buckets, measured there at ~3%
-last-ulp divergence).
+the differential oracle verifies the whole LM exactly through the
+decimal-accumulated ``avg_p``. ``avg_logp`` is engine-NATIVE output:
+``ln`` of an arbitrary double is libm-dependent in the last ulp, and
+with millions of distinct trigram probabilities the per-evaluation
+~1e-6 rounding-boundary risk integrates to near-certainty (the sf0.1
+differential sweep caught exactly one flipped 6 dp rounding across
+~19M evaluations) — so log-probs round ``ln`` to 6 dp before the
+decimal accumulation for cross-run stability WITHIN an engine, but the
+oracle gates ``avg_p`` only. (DSIR gets away with in-gate ``ln``
+because its arguments are ≤4096 bucket ratios, not per-type values.)
 
 Out-of-vocabulary scoring (model trained on corpus A, scoring corpus
 B — the actual CCNet deployment: train on Wikipedia, score the crawl)
@@ -244,7 +249,10 @@ def kn_lm_scores(
     mean log-prob (6 dp; ``exp(-avg_logp)`` is the perplexity — kept in
     log space because ``exp`` is not bit-portable). Both accumulate in
     DECIMAL over pre-rounded per-trigram values, so partial-aggregation
-    order cannot diverge from the single-node oracle."""
+    order cannot diverge within an engine; ``avg_p`` is additionally
+    bit-portable ACROSS engines (pure IEEE arithmetic) and is what the
+    differential oracle gates, while ``avg_logp`` inherits libm's
+    last-ulp ``ln`` variation (see the module docstring)."""
     from pyspark import StorageLevel
 
     dt = doc_trigrams(df, id_col, text_col).persist(

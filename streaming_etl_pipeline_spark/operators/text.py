@@ -1298,11 +1298,19 @@ def char_entropy(
 
     Exact per-codepoint entropy (no fixed alphabet): chars explode to a
     (doc, char) count frame — the same map-side-combined shape as
-    charlm's trigram grain — then H = −Σ p·ln(p). Engine parity: p is
-    one IEEE division, ln is pre-rounded to 6 dp (the DSIR trick),
-    each term is rounded to 12 dp and accumulated in DECIMAL so
-    partial-aggregation order cannot diverge, and the final entropy is
-    rounded to 6 dp. Empty/NULL docs score 0.0 (no distribution).
+    charlm's trigram grain — then the INTEGER-ARGUMENT form
+    ``H = ln(N) − (Σ n_c·ln(n_c)) / N``. The form matters for engine
+    parity: ``ln`` is libm-dependent in the last ulp, so a gate must
+    bound how many DISTINCT arguments it evaluates — here every
+    argument is a small integer count (≤ the longest doc), giving a
+    few hundred distinct evaluations per corpus instead of one per
+    (doc, char) ratio, and the companion unit test proves every
+    ``ln(k)`` up to 1M sits ≥100 ulps from a 6 dp rounding boundary
+    (worst case k=132979 at ~204 ulps), so libms that agree within a
+    few ulps can never flip one. Each
+    ``ln(n)`` is pre-rounded to 6 dp, the Σ accumulates n·ln(n) in
+    DECIMAL (order-independent), and the final entropy is rounded to
+    6 dp. Empty/NULL docs score 0.0 (no distribution).
 
     Output: ``(id_col, n_chars, entropy)`` — nats, not bits.
 
@@ -1313,22 +1321,27 @@ def char_entropy(
     chars = base.select(
         id_col, F.explode(F.split("_t", "")).alias("_c")
     ).filter(F.col("_c") != "")
-    from pyspark.sql import Window
-
     counts = chars.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
     # per-doc total as an analytic over the count frame: reuses the
     # (doc)-compatible partitioning instead of a self-join (which would
     # also trip Spark's ambiguous-lineage resolution)
-    counts = counts.withColumn(
-        # NOT "_N": Spark resolves column names case-insensitively by
-        # default, so "_N" would silently REPLACE "_n"
-        "_tot", F.sum("_n").over(Window.partitionBy(id_col))
+    # n·round(ln(n), 6) with n INTEGER: the 6dp-rounded ln is exactly
+    # representable in DECIMAL(16,6), the integer product stays exact,
+    # and the sum is order-independent
+    term = F.col("_n") * F.round(F.log(F.col("_n").cast("double")), 6).cast(
+        "decimal(16,6)"
     )
-    p = F.col("_n").cast("double") / F.col("_tot").cast("double")
-    term = F.round(p * F.round(F.log(p), 6), 12).cast("decimal(20,12)")
     ent = counts.groupBy(id_col).agg(
-        F.max("_tot").alias("n_chars"),
-        F.round(-F.sum(term), 6).cast("double").alias("entropy"),
+        F.sum("_n").alias("n_chars"),
+        F.sum(term).alias("_snln"),
+    ).select(
+        id_col,
+        "n_chars",
+        F.round(
+            F.round(F.log(F.col("n_chars").cast("double")), 6)
+            - F.col("_snln").cast("double") / F.col("n_chars").cast("double"),
+            6,
+        ).alias("entropy"),
     )
     return (
         base.select(id_col)
@@ -1354,21 +1367,20 @@ def char_entropy_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     counts AS (
       SELECT {id_col}, c, count(*) AS n FROM chars GROUP BY {id_col}, c
     ),
-    totals AS (
-      SELECT {id_col}, CAST(sum(n) AS BIGINT) AS tot
+    ent AS (
+      SELECT {id_col}, CAST(sum(n) AS BIGINT) AS n_chars,
+             sum(n * CAST(round(ln(n::DOUBLE), 6) AS DECIMAL(16,6)))
+               AS snln
       FROM counts GROUP BY {id_col}
     ),
-    ent AS (
-      SELECT counts.{id_col}, max(tot) AS n_chars,
-             CAST(round(-sum(CAST(round(
-                 (n::DOUBLE / tot::DOUBLE)
-                 * round(ln(n::DOUBLE / tot::DOUBLE), 6), 12)
-               AS DECIMAL(20,12))), 6) AS DOUBLE) AS entropy
-      FROM counts JOIN totals USING ({id_col})
-      GROUP BY counts.{id_col}
+    ent2 AS (
+      SELECT {id_col}, n_chars,
+             round(round(ln(n_chars::DOUBLE), 6)
+                   - CAST(snln AS DOUBLE) / n_chars::DOUBLE, 6) AS entropy
+      FROM ent
     )
     SELECT base.{id_col},
-           CAST(coalesce(ent.n_chars, 0) AS BIGINT) AS n_chars,
-           coalesce(ent.entropy, 0.0) AS entropy
-    FROM base LEFT JOIN ent USING ({id_col})
+           CAST(coalesce(ent2.n_chars, 0) AS BIGINT) AS n_chars,
+           coalesce(ent2.entropy, 0.0) AS entropy
+    FROM base LEFT JOIN ent2 USING ({id_col})
     """

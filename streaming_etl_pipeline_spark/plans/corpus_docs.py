@@ -1165,15 +1165,24 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 from streaming_etl_pipeline_spark.operators import ngram_lm as NL  # noqa: E402
 
 
-@register("kn_lm_quality", NL.kn_lm_scores_sql("documents"))
+@register(
+    "kn_lm_quality",
+    f"SELECT doc_id, n_trigrams, avg_p FROM ({NL.kn_lm_scores_sql('documents')})",
+)
 def q_kn_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document log-probability under an interpolated Kneser-Ney
-    word-trigram model trained on the corpus itself — every count,
-    9 dp probability and 6 dp-rounded ln verified bit-for-bit by the
-    unreduced DuckDB twin (the whole LM estimation runs in both
-    engines)."""
+    """Per-document probability under an interpolated Kneser-Ney
+    word-trigram model trained on the corpus itself — every count and
+    9 dp probability verified bit-for-bit by the unreduced DuckDB twin
+    (the whole LM estimation runs in both engines; a single flipped
+    model probability anywhere would shift some doc's decimal-exact
+    avg_p). The op's ``avg_logp`` output is deliberately NOT gated:
+    ``ln`` of an arbitrary double is libm-implementation-dependent in
+    the last ulp, and at sf0.1 the per-evaluation ~1e-6 boundary-flip
+    risk across millions of trigram types became a certainty — the
+    sweep caught exactly one flipped 6 dp rounding. avg_p carries the
+    full verification without any transcendental."""
     docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return NL.kn_lm_scores(docs)
+    return NL.kn_lm_scores(docs).select("doc_id", "n_trigrams", "avg_p")
 
 
 # ---------------------------------------------------------------------------

@@ -82,8 +82,7 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script,
            he.extracted_md5, he.extracted_chars,
            sp.n_sentences, sp.total_sent_chars, sp.sentences_md5,
-           kn.n_trigrams AS kn_trigrams, kn.avg_p AS kn_avg_p,
-           kn.avg_logp AS kn_avg_logp
+           kn.n_trigrams AS kn_trigrams, kn.avg_p AS kn_avg_p
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
             JOIN hf USING (doc_id) JOIN lm USING (doc_id)
             JOIN rp USING (doc_id) JOIN sm USING (doc_id)
@@ -112,7 +111,6 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.col("n_trigrams").alias("kn_trigrams"),
                 F.col("avg_p").alias("kn_avg_p"),
-                F.col("avg_logp").alias("kn_avg_logp"),
             ),
             "doc_id",
         )

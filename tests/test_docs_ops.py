@@ -611,6 +611,16 @@ def test_char_entropy_orders_junk_correctly(spark):
     assert 0.0 < out[2].entropy < out[3].entropy
     # all-distinct 32-char doc: H = ln(32) exactly (up to the 6dp round)
     assert abs(out[3].entropy - math.log(32)) < 1e-4
+    # engine-parity guarantee behind the integer-argument formulation:
+    # every ln(k) the gate can evaluate (k ≤ 1M chars/doc) sits ≥100
+    # ulps from a 6dp rounding boundary (worst: k=132979 at ~204 ulps),
+    # so libms that are correctly rounded within a few ulps can never
+    # disagree on the rounded value
+    worst = min(
+        abs((math.log(k) * 1e6) % 1 - 0.5) * 1e-6
+        for k in range(2, 1_000_001)
+    )
+    assert worst > 100 * math.ulp(math.log(1_000_000)), worst
 
 
 def test_kmv_merge_equals_whole_corpus_sketch(spark):
