@@ -393,3 +393,46 @@ def kn_lm_scores_sql(
            round(CAST(slp AS DOUBLE) / n_trigrams::DOUBLE, 6) AS avg_logp
     FROM scored
     """
+
+
+def save_kn_model(model: KNModel, path: str) -> None:
+    """Persist a fitted model as three parquet tables + a meta file —
+    the serve-side artifact for fit-once/score-many deployments (the
+    count store in ``streaming/ingest.py`` is the MAINTAIN-side
+    artifact: keep that when the corpus ingests continuously, keep
+    this when a frozen reference model scores many crawl slices).
+    Probabilities are 9 dp doubles, so the round-trip is bit-exact."""
+    import json
+    import os
+
+    model.tri.write.mode("overwrite").parquet(os.path.join(path, "tri"))
+    model.big.write.mode("overwrite").parquet(os.path.join(path, "big"))
+    model.uni.write.mode("overwrite").parquet(os.path.join(path, "uni"))
+    meta = {"n_bigram_types": model.n_bigram_types, "format": 1}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_kn_model(spark, path: str) -> KNModel:
+    """Load a :func:`save_kn_model` artifact. The tables come back
+    persisted (a loaded model exists to be scored against repeatedly)."""
+    import json
+    import os
+
+    from pyspark import StorageLevel
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != 1:
+        raise ValueError(f"unsupported kn model format: {meta.get('format')!r}")
+    ld = lambda name: (  # noqa: E731
+        spark.read.parquet(os.path.join(path, name)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    return KNModel(
+        tri=ld("tri"),
+        big=ld("big"),
+        uni=ld("uni"),
+        n_bigram_types=int(meta["n_bigram_types"]),
+    )

@@ -187,6 +187,16 @@ def make_parser() -> argparse.ArgumentParser:
     bn.add_argument("--id-col", default="doc_id")
     bn.add_argument("--text-col", default="text")
 
+    fl = sub.add_parser(
+        "fit-lm",
+        help="fit the Kneser-Ney trigram model on a corpus and save "
+        "the probability tables (fit-once/score-many artifact; "
+        "score-lm --model consumes it)",
+    )
+    fl.add_argument("--input", required=True, help="parquet with doc_id,text")
+    fl.add_argument("--output", required=True, help="model dir out")
+    fl.add_argument("--text-col", default="text")
+
     sl = sub.add_parser(
         "score-lm",
         help="per-document Kneser-Ney trigram log-prob: self-trained "
@@ -200,6 +210,11 @@ def make_parser() -> argparse.ArgumentParser:
         "--model-store", default=None,
         help="n-gram count store dir (start_ngram_count_sink output); "
         "omit to self-train on --input",
+    )
+    sl.add_argument(
+        "--model", default=None,
+        help="saved model dir (fit-lm output) — mutually exclusive "
+        "with --model-store",
     )
     sl.add_argument("--id-col", default="doc_id")
     sl.add_argument("--text-col", default="text")
@@ -507,12 +522,24 @@ def main(argv: list[str] | None = None) -> int:
             run_token="batch",
         )
         metrics["ngram_store.docs"] = docs.count()
+    if args.cmd == "fit-lm":
+        from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+        docs = spark.read.parquet(args.input)
+        model = NL.kn_lm_fit(docs, text_col=args.text_col)
+        NL.save_kn_model(model, args.output)
+        metrics["fit_lm.tri_types"] = model.tri.count()
+        metrics["fit_lm.n_bigram_types"] = float(model.n_bigram_types)
     if args.cmd == "score-lm":
         from streaming_etl_pipeline_spark.operators import ngram_lm as NL
 
         docs = spark.read.parquet(args.input)
         model = None
-        if args.model_store:
+        if args.model and args.model_store:
+            raise SystemExit("--model and --model-store are exclusive")
+        if args.model:
+            model = NL.load_kn_model(spark, args.model)
+        elif args.model_store:
             from streaming_etl_pipeline_spark.streaming.ingest import (
                 kn_lm_fit_from_store,
             )
@@ -524,7 +551,9 @@ def main(argv: list[str] | None = None) -> int:
         scored.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         metrics["score_lm.docs"] = out.count()
-        metrics["score_lm.self_trained"] = float(args.model_store is None)
+        metrics["score_lm.self_trained"] = float(
+            args.model_store is None and args.model is None
+        )
     if args.cmd == "compact-store":
         from streaming_etl_pipeline_spark.streaming.ingest import (
             compact_ingest_store,

@@ -538,6 +538,27 @@ def test_cli_score_lm_self_and_store(spark, tmp_path, capsys):
     assert got.count() == 500
     assert got.filter("avg_logp >= 0 OR avg_p <= 0").count() == 0
 
+    # fit-lm saves the probability tables; score-lm --model over the
+    # SAME corpus reproduces the self-trained scores bit-for-bit (no
+    # OOV exists, so the cascade resolves every trigram at p3)
+    mdir = str(tmp_path / "kn_model")
+    rc = main(["fit-lm", "--input", docs_path, "--output", mdir])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["fit_lm.tri_types"] > 0
+    out3 = str(tmp_path / "scores_model")
+    rc = main(
+        ["score-lm", "--input", docs_path, "--output", out3,
+         "--model", mdir]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["score_lm.self_trained"] == 0.0
+    from_model = sorted(
+        tuple(r) for r in spark.read.parquet(out3).collect()
+    )
+    assert from_model == cli
+
 
 def test_curate_corpus_extract_html(spark, tmp_path):
     """extract_html=True: markup is stripped BEFORE quality/dedup, so an
