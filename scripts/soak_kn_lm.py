@@ -100,6 +100,45 @@ def main() -> int:
         f"avg_logp in [{agg2['min_lp']:.3f}, {agg2['max_lp']:.3f}]"
     )
 
+    # --- phase 3 (r9): pruned order-5 — size vs quality ----------------
+    # The deployment question pruning answers: how much model do you
+    # keep, and what does scoring lose? Fit order-5 unpruned AND with
+    # the KenLM-style min_count=2 top-order prune on the train half,
+    # score the held-out half with both, report type-table sizes and
+    # the held-out avg_logp shift.
+    t0 = time.time()
+    m5_full = NL.kn_lm_fit_n(train, order=5)
+    full_sizes = [t.count() for t in m5_full.tables]
+    wall_fit5 = time.time() - t0
+    t0 = time.time()
+    m5_pruned = NL.kn_lm_fit_n(train, order=5, min_count=2)
+    pruned_sizes = [t.count() for t in m5_pruned.tables]
+    wall_fit5p = time.time() - t0
+
+    def _score5(model):
+        t = time.time()
+        a = NL.kn_lm_scores_n(score, order=5, model=model).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("avg_logp").alias("mean_lp"),
+        ).first()
+        return time.time() - t, a
+
+    wall_s5, a5 = _score5(m5_full)
+    wall_s5p, a5p = _score5(m5_pruned)
+    top_drop = 1 - pruned_sizes[-1] / max(full_sizes[-1], 1)
+    print(
+        f"[kn5  ] fit order-5 unpruned {wall_fit5:.1f}s "
+        f"types/order {full_sizes}; pruned(min_count=2) "
+        f"{wall_fit5p:.1f}s types/order {pruned_sizes} "
+        f"(top-order table -{top_drop:.1%})"
+    )
+    print(
+        f"[kn5  ] held-out score: unpruned {wall_s5:.1f}s "
+        f"mean avg_logp {a5['mean_lp']:.4f}; pruned {wall_s5p:.1f}s "
+        f"mean avg_logp {a5p['mean_lp']:.4f} "
+        f"(delta {a5p['mean_lp'] - a5['mean_lp']:+.4f})"
+    )
+
     spark.stop()
     time.sleep(2)
     m = _eventlog_metrics(log_dir)

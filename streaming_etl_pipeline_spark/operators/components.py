@@ -37,6 +37,50 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Default hub-degree threshold for ``skew=True`` on the graph family:
+#: a node whose (in/out) degree exceeds this gets its per-round join
+#: rows salted across SKEW_SALTS sub-keys. Crawl graphs are power-law —
+#: 10⁷-in-link celebrity hosts are routine — and a plain key-partitioned
+#: join puts a hub's entire edge list in one task.
+SKEW_HUB_DEGREE = 100_000
+
+#: Salt fan-out for hub keys. Hub rows spread across this many sub-keys;
+#: the small (labels/ranks) side is replicated ×SKEW_SALTS for hub keys
+#: only, so the replication cost is hubs × salts, never nodes × salts.
+SKEW_SALTS = 32
+
+
+def _salted_edges(
+    edges: DataFrame, key: str, other: str, hubs: DataFrame, n_salts: int
+) -> DataFrame:
+    """Add a ``_salt`` column: hub-keyed rows spread by a hash of the
+    OTHER endpoint (deterministic — no rand(), so replays and twin
+    comparisons see the same placement), non-hub rows all salt 0."""
+    return edges.join(
+        F.broadcast(hubs.withColumn("_is_hub", F.lit(True))), key, "left"
+    ).withColumn(
+        "_salt",
+        F.when(
+            F.col("_is_hub").isNotNull(),
+            F.pmod(F.xxhash64(F.col(other)), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_is_hub")
+
+
+def _replicated_small_side(
+    small: DataFrame, key: str, hubs: DataFrame, n_salts: int
+) -> DataFrame:
+    """Replicate the small side's hub-keyed rows across all salts (the
+    non-hub rows keep salt 0), so ``join on (key, _salt)`` reproduces
+    the unsalted join's row multiset exactly."""
+    hub_rows = small.join(F.broadcast(hubs), key).withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    norm_rows = small.join(F.broadcast(hubs), key, "left_anti").withColumn(
+        "_salt", F.lit(0).cast("int")
+    )
+    return norm_rows.unionByName(hub_rows)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -429,6 +473,7 @@ def pagerank(
     redistribute_dangling: bool = False,
     scale: int = PAGERANK_SCALE,
     prepared: PreparedGraph | None = None,
+    skew: bool | int = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list — link-graph
     authority for crawl curation (seed prioritization, per-domain
@@ -475,6 +520,18 @@ def pagerank(
     contribution sum. ``hint_small=True`` additionally broadcast-hints
     the rank frame (right for graphs whose node table fits an executor —
     e.g. registrable domains — while edges are crawl-sized).
+
+    ``skew=`` hardens the per-iteration rank join against power-law
+    OUT-hubs (a link-farm host with 10⁷ out-edges would put its whole
+    edge list in one task): sources with out-degree ≥ the threshold
+    (``True`` → :data:`SKEW_HUB_DEGREE`, int overrides) get their edge
+    rows salted by a hash of ``dst`` across :data:`SKEW_SALTS`
+    sub-keys, and only the hub rows of the node-sized rank frame are
+    replicated per salt — identical join multiset, hence bit-identical
+    micro-unit ranks (pinned in ``tests/test_skew.py``). The per-dst
+    contribution sum needs no salt: partial aggregation already
+    combines a 10⁷-in-link hub's contributions map-side. Moot under
+    ``hint_small`` (broadcast joins have no partitions to skew).
     """
     import math
 
@@ -488,6 +545,25 @@ def pagerank(
         # would replan (and reshuffle) once per consumer
         prepared = pagerank_prepare(edges, src_col=src_col, dst_col=dst_col)
     nodes, n, deg, ed = prepared
+    salted = bool(skew) and not hint_small
+    if salted:
+        threshold = SKEW_HUB_DEGREE if skew is True else int(skew)
+        hubs = (
+            deg.filter(F.col("out_deg") >= F.lit(threshold))
+            .select(F.col("src").alias("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)  # reused every step
+        )
+        ed = (
+            _salted_edges(
+                ed,
+                "src",
+                "dst",
+                hubs.select(F.col("node").alias("src")),
+                SKEW_SALTS,
+            )
+            .repartition("src", "_salt")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     if redistribute_dangling:
         if teleport is not None:
             raise ValueError(
@@ -555,11 +631,21 @@ def pagerank(
             # localCheckpoint truncates lineage to O(1) per step —
             # values unchanged (exact BIGINT micro-units throughout).
             ranks = ranks.localCheckpoint(eager=True)
-        r = F.broadcast(ranks) if hint_small else ranks
-        contribs = ed.join(r, ed["src"] == r["node"]).select(
-            "dst",
-            F.floor(F.col("rank_u") / F.col("out_deg") + 0.5).alias("c"),
-        )
+        if salted:
+            r_rep = _replicated_small_side(ranks, "node", hubs, SKEW_SALTS)
+            contribs = ed.join(
+                r_rep,
+                (ed["src"] == r_rep["node"]) & (ed["_salt"] == r_rep["_salt"]),
+            ).select(
+                "dst",
+                F.floor(F.col("rank_u") / F.col("out_deg") + 0.5).alias("c"),
+            )
+        else:
+            r = F.broadcast(ranks) if hint_small else ranks
+            contribs = ed.join(r, ed["src"] == r["node"]).select(
+                "dst",
+                F.floor(F.col("rank_u") / F.col("out_deg") + 0.5).alias("c"),
+            )
         summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         s = F.broadcast(summed) if hint_small else summed
         step = nodes.join(s, nodes["node"] == s["dst"], "left").join(
@@ -652,6 +738,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     hint_small: bool = False,
+    skew: bool | int = False,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (Raghavan et al.
     2007) — community detection for link/near-dup graphs, the
@@ -685,6 +772,18 @@ def label_propagation(
     per-node argmax window. Labels are node-sized, never edge-sized.
     ``hint_small=True`` broadcasts the label frame (right when the
     node table is domain-sized while edges are crawl-sized).
+
+    ``skew=`` hardens the per-round shuffle join against power-law
+    hubs: a 10⁷-in-link celebrity node would otherwise land its entire
+    edge list in ONE task every round. Hub neighbors (degree ≥ the
+    threshold; ``True`` uses :data:`SKEW_HUB_DEGREE`, an int overrides)
+    get their edge rows salted across :data:`SKEW_SALTS` sub-keys by a
+    hash of the other endpoint, and only the hub rows of the
+    node-sized label frame are replicated per salt — so the join's
+    output multiset (hence every vote count, hence every label) is
+    BIT-IDENTICAL to the unsalted path, pinned in
+    ``tests/test_skew.py``. Moot under ``hint_small`` (a broadcast
+    join has no partition to skew).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -697,7 +796,21 @@ def label_propagation(
         .withColumnRenamed("a", "node")
         .withColumnRenamed("b", "nbr")
     )
-    if not hint_small:
+    salted = bool(skew) and not hint_small
+    if salted:
+        threshold = SKEW_HUB_DEGREE if skew is True else int(skew)
+        # in-degree == out-degree on the symmetrized graph; one
+        # map-side-combined count, then a (tiny) hub list broadcast
+        hubs = (
+            sym.groupBy("nbr")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= F.lit(threshold))
+            .select("nbr")
+            .persist(StorageLevel.MEMORY_AND_DISK)  # reused every round
+        )
+        sym = _salted_edges(sym, "nbr", "node", hubs, SKEW_SALTS)
+        sym = sym.repartition("nbr", "_salt")
+    elif not hint_small:
         # co-locate the per-round edges⋈labels shuffle join; pointless
         # (one extra corpus-sized exchange) when labels broadcast
         sym = sym.repartition("nbr")
@@ -709,11 +822,19 @@ def label_propagation(
         F.desc("cnt"), F.asc("label")
     )
     for _ in range(iters):
-        lb = F.broadcast(labels) if hint_small else labels
-        votes = (
-            sym.join(lb.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        if salted:
+            lb_rep = _replicated_small_side(
+                labels.withColumnRenamed("node", "nbr"),
+                "nbr",
+                hubs,
+                SKEW_SALTS,
+            )
+            joined = sym.join(lb_rep, ["nbr", "_salt"])
+        else:
+            lb = F.broadcast(labels) if hint_small else labels
+            joined = sym.join(lb.withColumnRenamed("node", "nbr"), "nbr")
+        votes = joined.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
         labels = (
             votes.withColumn("_rn", F.row_number().over(w))

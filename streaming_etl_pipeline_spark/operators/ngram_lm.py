@@ -290,7 +290,15 @@ def kn_lm_scores(
             id_col,
             "c",
             p.cast("decimal(12,9)").alias("_p"),
-            F.round(F.log(p), 6).cast("decimal(16,6)").alias("_lp"),
+            # clamp before ln: 9 dp rounding can floor a probability to
+            # exactly 0.0 once denominators pass ~1.3e9 (deep-backoff
+            # products, or (c-D)/c(uv·) under a crawl-scale context
+            # count); F.log(0.0) is NULL, which the decimal SUM would
+            # silently skip while n_trigrams still counts the trigram.
+            # avg_p is unaffected (sums the unclamped decimal).
+            F.round(F.log(F.greatest(p, F.lit(1e-9))), 6)
+            .cast("decimal(16,6)")
+            .alias("_lp"),
         )
         .groupBy(id_col)
         .agg(
@@ -384,7 +392,7 @@ def kn_lm_scores_sql(
     scored AS (
       SELECT {id_sql}, CAST(sum(c) AS BIGINT) AS n_trigrams,
              sum(c * CAST(p3 AS DECIMAL(12,9))) AS sp,
-             sum(c * CAST(round(ln(p3), 6) AS DECIMAL(16,6))) AS slp
+             sum(c * CAST(round(ln(greatest(p3, 1e-9)), 6) AS DECIMAL(16,6))) AS slp
       FROM doc_tri JOIN tri USING (u, v, w)
       GROUP BY {id_sql}
     )
@@ -395,13 +403,49 @@ def kn_lm_scores_sql(
     """
 
 
+def _hadoop_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so the
+    model artifact works on any FS the parquet side supports (local,
+    HDFS, S3A) — a plain ``open()`` would silently break for non-POSIX
+    paths while the tables still wrote fine."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 def save_kn_model(model: KNModel, path: str) -> None:
     """Persist a fitted model as three parquet tables + a meta file —
     the serve-side artifact for fit-once/score-many deployments (the
     count store in ``streaming/ingest.py`` is the MAINTAIN-side
     artifact: keep that when the corpus ingests continuously, keep
     this when a frozen reference model scores many crawl slices).
-    Probabilities are 9 dp doubles, so the round-trip is bit-exact."""
+    Probabilities are 9 dp doubles, so the round-trip is bit-exact.
+    ``meta.json`` goes through the Hadoop FileSystem API, so the whole
+    artifact lives on whatever FS the parquet writers target."""
     import json
     import os
 
@@ -409,8 +453,9 @@ def save_kn_model(model: KNModel, path: str) -> None:
     model.big.write.mode("overwrite").parquet(os.path.join(path, "big"))
     model.uni.write.mode("overwrite").parquet(os.path.join(path, "uni"))
     meta = {"n_bigram_types": model.n_bigram_types, "format": 1}
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _hadoop_write_text(
+        model.tri.sparkSession, os.path.join(path, "meta.json"), json.dumps(meta)
+    )
 
 
 def load_kn_model(spark, path: str) -> KNModel:
@@ -421,8 +466,7 @@ def load_kn_model(spark, path: str) -> KNModel:
 
     from pyspark import StorageLevel
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(_hadoop_read_text(spark, os.path.join(path, "meta.json")))
     if meta.get("format") != 1:
         raise ValueError(f"unsupported kn model format: {meta.get('format')!r}")
     ld = lambda name: (  # noqa: E731
@@ -435,4 +479,500 @@ def load_kn_model(spark, path: str) -> KNModel:
         big=ld("big"),
         uni=ld("uni"),
         n_bigram_types=int(meta["n_bigram_types"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-n generalization with count pruning (KenLM-style)
+# ---------------------------------------------------------------------------
+#
+# The trigram API above is the streaming-count-store-integrated path and
+# stays bit-frozen; this section is the deployment-shaped generalization:
+# CCNet's production filter is a PRUNED 5-GRAM KenLM, and at crawl scale
+# an unpruned type table is itself a top-3 cost (the sf-soak hit 19.5M
+# trigram types at 550k docs — a 5-gram table tracks token count).
+#
+# Estimation (interpolated KN, fixed discount D, per-order type counts):
+#   c_n        = raw n-gram type counts;
+#   c_k (k<n)  = continuation counts |{w0 : c_{k+1}(w0·g) > 0}| — each
+#                level one count(*) re-aggregation of the level above;
+#   P_1(w)     = c_1(w) / N1+(··)      (bigram-type total);
+#   P_k(g)     = max(c_k(g)−D,0)/tot_k(ctx)
+#                + (D·ntypes_k(ctx)/tot_k(ctx))·P_{k-1}(suffix).
+#
+# Pruning (KenLM ``--prune`` semantics): a per-order threshold m_k drops
+# type rows with c_k < m_k from the STORED table; estimation (the
+# P_{k-1} chain feeding higher orders) always uses the full counts, and
+# the pruned rows' mass moves to the context's backoff weight
+#
+#   γ_k(ctx) = (D·n_kept(ctx) + Σ_pruned c_k(ctx,·)) / tot_k(ctx)
+#
+# which is exactly mass-conserving over the discount decomposition:
+# Σ_kept max(c−D,0)/tot + γ·1 = Σ_all c/tot = 1 (the D·n_kept term is
+# the kept rows' discount, the pruned sum keeps its full count). With
+# m_k = 1 nothing is pruned and γ reduces to the plain interpolation
+# weight D·N1+(ctx·)/tot.
+#
+# Scoring walks the backoff cascade
+#   q_1 = coalesce(P_1, floor);  q_k = coalesce(P_k, γ_k·q_{k-1})
+# (γ missing ⇒ context unseen ⇒ multiplier 1). Self-scoring with m=1
+# never leaves q_n, which is what lets the differential oracle gate the
+# UNPRUNED path through a single model join; the pruned oracle row
+# exercises the cascade itself, since pruned types in seen contexts take
+# γ_k·q_{k-1} in BOTH engines with the identical 9 dp expression tree.
+#
+# Every γ input is an exact BIGINT (Σ_pruned(c−D) is algebraically
+# refactored to pruned_csum + D-terms over integer counts), so no
+# order-dependent double summation exists anywhere — the same
+# bit-portability discipline as the trigram tables.
+
+
+def _wcols(k: int, offset: int = 0) -> list[str]:
+    return [f"w{i + offset}" for i in range(1, k + 1)]
+
+
+def _norm_prune(order: int, min_count) -> dict[int, int]:
+    """Normalize ``min_count`` to per-order thresholds {2..order}: an
+    int prunes the TOP order only (the standard KenLM deployment); a
+    dict gives explicit per-order control. Unigrams are never pruned
+    (the vocabulary floor must stay total)."""
+    if isinstance(min_count, dict):
+        th = {k: 1 for k in range(2, order + 1)}
+        for k, m in min_count.items():
+            if not 2 <= int(k) <= order:
+                raise ValueError(f"prune order {k} outside 2..{order}")
+            th[int(k)] = int(m)
+        return th
+    th = {k: 1 for k in range(2, order + 1)}
+    th[order] = int(min_count)
+    return th
+
+
+class KNModelN(NamedTuple):
+    """Order-n pruned KN model: ``tables[k-1]`` is the kept order-k
+    probability table ``(w1..wk, p)``; ``gammas[k-2]`` the context
+    backoff-weight table ``(w1..w_{k-1}, g)`` for k = 2..order."""
+
+    order: int
+    tables: tuple
+    gammas: tuple
+    n_bigram_types: int
+    min_counts: tuple  # thresholds for orders 2..order
+
+
+def doc_ngrams(
+    df: DataFrame, order: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, n-gram) counts over padded word tokens — the
+    order-n generalization of :func:`doc_trigrams` ((order−1) BOS + one
+    EOS, so a doc of m tokens emits m+1 n-grams and an empty doc still
+    scores). Output: ``(id_col, w1..wN, c)``."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    bos = ", ".join([f"'{_BOS}'"] * (order - 1))
+    toks = df.select(
+        id_col,
+        norm_text(F.coalesce(F.col(text_col), F.lit(""))).alias("_n"),
+    ).select(
+        id_col,
+        F.expr(
+            f"concat(array({bos}), "
+            f"filter(split(_n, ' '), x -> x <> ''), array('{_EOS}'))"
+        ).alias("_p"),
+    )
+    fields = ", ".join(
+        f"element_at(_p, i + {j}) AS w{j + 1}" for j in range(order)
+    )
+    ng = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_p) - {order - 1}), "
+                f"i -> struct({fields}))"
+            )
+        ).alias("_g"),
+    ).select(id_col, *[f"_g.w{i}" for i in range(1, order + 1)])
+    return ng.groupBy(id_col, *_wcols(order)).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def kn_model_from_counts_n(
+    tn: DataFrame,
+    order: int,
+    discount: float = KN_DISCOUNT,
+    min_count=1,
+) -> KNModelN:
+    """Derive the pruned order-n interpolated KN model from a raw
+    n-gram type-count frame ``(w1..wN, c)`` — shared tail of
+    :func:`kn_lm_fit_n` and the order-n count store
+    (``streaming/ingest.py``). Counts are additive corpus state, so any
+    partitioning summing to the same type counts yields the
+    bit-identical model. Everything below the one input frame is
+    type-grain: each level is a count(*)/sum re-aggregation of the
+    level above, never a text rescan."""
+    from pyspark import StorageLevel
+
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    d = float(discount)
+    th = _norm_prune(order, min_count)
+    ck: dict[int, DataFrame] = {
+        order: tn.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    for k in range(order - 1, 0, -1):
+        ck[k] = (
+            ck[k + 1]
+            .groupBy(
+                *[
+                    F.col(f"w{i + 1}").alias(f"w{i}")
+                    for i in range(1, k + 1)
+                ]
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    # N1+(··): the bigram-type total behind the continuation unigram —
+    # the one bounded scalar, embedded as a literal (same as trigram).
+    n_types = ck[2].count()
+    nt = float(n_types)
+    uni = (
+        ck[1]
+        .select(
+            "w1",
+            F.round(F.col("c").cast("double") / F.lit(nt), 9).alias("p"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tables: dict[int, DataFrame] = {1: uni}
+    gammas: dict[int, DataFrame] = {}
+    prev = uni  # full (unpruned) distribution chain feeding level k+1
+    for k in range(2, order + 1):
+        m = th[k]
+        ctxcols = _wcols(k - 1)
+        ctx = ck[k].groupBy(*ctxcols).agg(
+            F.sum("c").alias("tot"),
+            F.count(F.lit(1)).alias("ntypes"),
+            F.sum(
+                F.when(F.col("c") >= F.lit(m), F.lit(1)).otherwise(F.lit(0))
+            ).alias("nkept"),
+            F.sum(
+                F.when(F.col("c") < F.lit(m), F.col("c")).otherwise(F.lit(0))
+            ).alias("prunedc"),
+        )
+        prev_r = prev.select(
+            *[F.col(f"w{i}").alias(f"w{i + 1}") for i in range(1, k)],
+            F.col("p").alias("_plo"),
+        )
+        pk = (
+            ck[k]
+            .join(ctx, ctxcols)
+            .join(prev_r, _wcols(k - 1, offset=1))
+            .select(
+                *_wcols(k),
+                "c",
+                F.round(
+                    (
+                        F.greatest(
+                            F.col("c").cast("double") - F.lit(d), F.lit(0.0)
+                        )
+                        / F.col("tot").cast("double")
+                    )
+                    + (
+                        (F.lit(d) * F.col("ntypes").cast("double"))
+                        / F.col("tot").cast("double")
+                    )
+                    * F.col("_plo"),
+                    9,
+                ).alias("p"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # kept/prev project the persisted pk — no second cache entry
+        kept = pk.filter(F.col("c") >= F.lit(m)).drop("c") if m > 1 else (
+            pk.drop("c")
+        )
+        gam = ctx.select(
+            *ctxcols,
+            F.round(
+                (
+                    F.lit(d) * F.col("nkept").cast("double")
+                    + F.col("prunedc").cast("double")
+                )
+                / F.col("tot").cast("double"),
+                9,
+            ).alias("g"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        tables[k] = kept
+        gammas[k] = gam
+        prev = pk.drop("c")
+    return KNModelN(
+        order=order,
+        tables=tuple(tables[k] for k in range(1, order + 1)),
+        gammas=tuple(gammas[k] for k in range(2, order + 1)),
+        n_bigram_types=n_types,
+        min_counts=tuple(th[k] for k in range(2, order + 1)),
+    )
+
+
+def kn_lm_fit_n(
+    df: DataFrame,
+    order: int = 5,
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+    min_count=1,
+    doc_ng: DataFrame | None = None,
+) -> KNModelN:
+    """Estimate a pruned order-n interpolated KN model from a corpus.
+    ``doc_ng=`` accepts a prebuilt (persisted) :func:`doc_ngrams` frame
+    so self-scoring jobs explode the text exactly once."""
+    if doc_ng is None:
+        doc_ng = doc_ngrams(
+            df.select(F.lit(0).alias("_id"), text_col), order, "_id", text_col
+        )
+    tn = doc_ng.groupBy(*_wcols(order)).agg(F.sum("c").alias("c"))
+    return kn_model_from_counts_n(
+        tn, order, discount=discount, min_count=min_count
+    )
+
+
+def kn_lm_scores_n(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 5,
+    model: KNModelN | None = None,
+    discount: float = KN_DISCOUNT,
+    min_count=1,
+) -> DataFrame:
+    """Per-document order-n KN log-probability with the γ-weighted
+    backoff cascade (pruned types in seen contexts take γ_k·q_{k-1};
+    unseen contexts fall straight through; OOV words floor). With
+    ``model=None`` the model is trained on ``df`` itself — the
+    differential-gated path: even with pruning, every context of a
+    scored n-gram is in the model, so the cascade's branch points are
+    deterministic and both engines walk them identically.
+
+    Output: ``(id_col, n_ngrams, avg_p, avg_logp)`` with the same
+    decimal-accumulation discipline as :func:`kn_lm_scores` (``avg_p``
+    is the bit-portable oracle surface; ``avg_logp`` engine-native)."""
+    from pyspark import StorageLevel
+
+    dng = doc_ngrams(df, order, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    self_trained = model is None
+    if self_trained:
+        model = kn_lm_fit_n(
+            df, order, text_col, discount, min_count, doc_ng=dng
+        )
+    if model.order != order:
+        raise ValueError(
+            f"model order {model.order} != requested order {order}"
+        )
+    n = order
+    unpruned = all(m <= 1 for m in model.min_counts)
+    b = float(KN_BACKOFF)
+    floor_p = F.round(
+        F.lit(b**n) / F.lit(float(model.n_bigram_types)), 9
+    )
+    if self_trained and unpruned:
+        # every scored n-gram is a kept model row — single top join,
+        # exactly the trigram fast path (and the unpruned twin's shape)
+        joined = dng.join(model.tables[n - 1], _wcols(n))
+        p = F.col("p")
+    else:
+        joined = dng
+        for k in range(n, 1, -1):
+            off = n - k
+            kept_r = model.tables[k - 1].select(
+                *[F.col(f"w{i}").alias(f"w{i + off}") for i in range(1, k + 1)],
+                F.col("p").alias(f"p{k}"),
+            )
+            gam_r = model.gammas[k - 2].select(
+                *[F.col(f"w{i}").alias(f"w{i + off}") for i in range(1, k)],
+                F.col("g").alias(f"g{k}"),
+            )
+            joined = joined.join(kept_r, _wcols(k, offset=off), "left").join(
+                gam_r, _wcols(k - 1, offset=off), "left"
+            )
+        uni_r = model.tables[0].select(
+            F.col("w1").alias(f"w{n}"), F.col("p").alias("p1")
+        )
+        joined = joined.join(uni_r, [f"w{n}"], "left")
+        q = F.coalesce(F.col("p1"), floor_p)
+        for k in range(2, n + 1):
+            q = F.coalesce(
+                F.col(f"p{k}"),
+                F.round(
+                    F.coalesce(F.col(f"g{k}"), F.lit(1.0)) * q, 9
+                ),
+            )
+        p = q
+    scored = (
+        joined.select(
+            id_col,
+            "c",
+            p.cast("decimal(12,9)").alias("_p"),
+            F.round(F.log(F.greatest(p, F.lit(1e-9))), 6)
+            .cast("decimal(16,6)")
+            .alias("_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(F.col("c") * F.col("_p")).alias("_sp"),
+            F.sum(F.col("c") * F.col("_lp")).alias("_slp"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_ngrams",
+        F.round(
+            F.col("_sp").cast("double") / F.col("n_ngrams").cast("double"), 6
+        ).alias("avg_p"),
+        F.round(
+            F.col("_slp").cast("double") / F.col("n_ngrams").cast("double"), 6
+        ).alias("avg_logp"),
+    )
+
+
+def kn_lm_scores_n_sql(
+    docs_sql: str,
+    order: int = 5,
+    id_sql: str = "doc_id",
+    discount: float = KN_DISCOUNT,
+    min_count=1,
+) -> str:
+    """DuckDB twin of the self-trained :func:`kn_lm_scores_n` path —
+    the full pruned order-n estimation AND the γ-weighted backoff
+    cascade re-expressed as one generated CTE chain with the identical
+    9 dp expression trees (matching parenthesization ⇒ matching bits
+    for the decimal-accumulated ``avg_p``)."""
+    if order < 2:
+        raise ValueError("order must be >= 2")
+    d = float(discount)
+    b = float(KN_BACKOFF)
+    th = _norm_prune(order, min_count)
+    norm_c = norm_text_sql("coalesce(text, '')")
+    bos = ", ".join([f"'{_BOS}'"] * (order - 1))
+    n = order
+    w = lambda k: ", ".join(_wcols(k))  # noqa: E731
+    parts = [
+        f"""
+    toks AS (
+      SELECT {id_sql},
+             list_concat(list_concat([{bos}],
+               list_filter(string_split({norm_c}, ' '), x -> x <> '')),
+               ['{_EOS}']) AS p
+      FROM {docs_sql}
+    ),
+    pos AS (
+      SELECT {id_sql}, p, unnest(range(1, len(p) - {n - 2})) AS i FROM toks
+    ),
+    dng AS (
+      SELECT {id_sql},
+             {', '.join(f'p[i + {j}] AS w{j + 1}' for j in range(n))},
+             count(*) AS c
+      FROM pos GROUP BY {id_sql}, {w(n)}
+    ),
+    c{n} AS (
+      SELECT {w(n)}, CAST(sum(c) AS BIGINT) AS c
+      FROM dng GROUP BY {w(n)}
+    )"""
+    ]
+    for k in range(n - 1, 0, -1):
+        shifted = ", ".join(f"w{i + 1} AS w{i}" for i in range(1, k + 1))
+        parts.append(
+            f"""
+    c{k} AS (
+      SELECT {shifted}, count(*) AS c
+      FROM (SELECT DISTINCT {w(k + 1)} FROM c{k + 1})
+      GROUP BY {', '.join(f'w{i + 1}' for i in range(1, k + 1))}
+    )"""
+        )
+    parts.append(
+        f"""
+    nt AS (SELECT count(*)::DOUBLE AS ntypes FROM c2),
+    p1 AS (
+      SELECT w1, round(c::DOUBLE / ntypes, 9) AS p
+      FROM c1 CROSS JOIN nt
+    )"""
+    )
+    for k in range(2, n + 1):
+        m = th[k]
+        ctxw = w(k - 1)
+        on_ctx = " AND ".join(f"t.w{i} = x.w{i}" for i in range(1, k))
+        on_lo = " AND ".join(f"t.w{i + 1} = lo.w{i}" for i in range(1, k))
+        parts.append(
+            f"""
+    ctx{k} AS (
+      SELECT {ctxw},
+             CAST(sum(c) AS BIGINT) AS tot,
+             count(*) AS ntypes,
+             CAST(sum(CASE WHEN c >= {m} THEN 1 ELSE 0 END) AS BIGINT)
+               AS nkept,
+             CAST(sum(CASE WHEN c < {m} THEN c ELSE 0 END) AS BIGINT)
+               AS prunedc
+      FROM c{k} GROUP BY {ctxw}
+    ),
+    p{k} AS (
+      SELECT {', '.join(f't.w{i}' for i in range(1, k + 1))}, t.c,
+             round(
+               (greatest(t.c::DOUBLE - {d!r}, 0.0) / x.tot::DOUBLE)
+               + (({d!r} * x.ntypes::DOUBLE) / x.tot::DOUBLE) * lo.p,
+               9) AS p
+      FROM c{k} t JOIN ctx{k} x ON {on_ctx}
+                  JOIN p{k - 1} lo ON {on_lo}
+    ),
+    g{k} AS (
+      SELECT {ctxw},
+             round(({d!r} * nkept::DOUBLE + prunedc::DOUBLE)
+                   / tot::DOUBLE, 9) AS g
+      FROM ctx{k}
+    )"""
+        )
+    # scored: left-join the kept tables + gammas, walk the cascade
+    joins = []
+    for k in range(n, 1, -1):
+        off = n - k
+        on_kept = " AND ".join(
+            f"dng.w{i + off} = t{k}.w{i}" for i in range(1, k + 1)
+        )
+        on_gam = " AND ".join(
+            f"dng.w{i + off} = gg{k}.w{i}" for i in range(1, k)
+        )
+        if th[k] > 1:
+            kept_rel = f"(SELECT * FROM p{k} WHERE c >= {th[k]})"
+        else:
+            kept_rel = f"p{k}"
+        joins.append(f"LEFT JOIN {kept_rel} t{k} ON {on_kept}")
+        joins.append(f"LEFT JOIN g{k} gg{k} ON {on_gam}")
+    joins.append(f"LEFT JOIN p1 t1 ON dng.w{n} = t1.w1")
+    floor_sql = f"round({b**n!r} / ntypes, 9)"
+    q = f"coalesce(t1.p, {floor_sql})"
+    for k in range(2, n + 1):
+        q = f"coalesce(t{k}.p, round(coalesce(gg{k}.g, 1.0) * {q}, 9))"
+    parts.append(
+        f"""
+    scored AS (
+      SELECT dng.{id_sql}, CAST(sum(dng.c) AS BIGINT) AS n_ngrams,
+             sum(dng.c * CAST({q} AS DECIMAL(12,9))) AS sp,
+             sum(dng.c * CAST(round(ln(greatest({q}, 1e-9)), 6)
+                 AS DECIMAL(16,6))) AS slp
+      FROM dng
+      {' '.join(joins)}
+      CROSS JOIN nt
+      GROUP BY dng.{id_sql}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT {id_sql}, n_ngrams,
+           round(CAST(sp AS DOUBLE) / n_ngrams::DOUBLE, 6) AS avg_p,
+           round(CAST(slp AS DOUBLE) / n_ngrams::DOUBLE, 6) AS avg_logp
+    FROM scored
+    """
     )

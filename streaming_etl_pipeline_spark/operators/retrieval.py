@@ -225,6 +225,168 @@ def _bm25_score(
     )
 
 
+#: Estimated scoring-join row count (Σ over query-term pairs of df)
+#: above which ``algo="auto"`` switches the stored-index scorer to the
+#: dense-regime GEMM path. Below it, the plain broadcast-join scorer is
+#: both simpler and faster (its per-(query,doc) hash-agg stays small).
+BM25_GEMM_AUTO_ROWS = 20_000_000
+
+
+def _bm25_score_gemm(
+    doc_term: DataFrame,
+    idf_tbl: DataFrame,
+    q_terms: DataFrame,
+    k: int,
+    id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Dense-vocabulary exact scorer — same results as
+    :func:`_bm25_score`, different shape. The join scorer's cost in the
+    dense regime (small vocabulary, every doc sharing terms with most
+    queries) is not the arithmetic but the blow-up of the per-
+    (query, doc) hash aggregation: with Q queries and near-total
+    doc-query overlap its group count approaches |docs| × Q (measured:
+    157 s/200 queries at 1M 64-token docs over a 2k-term vocab, vs
+    45 s on 5M Zipf docs — SCALE.md hybrid_store). This path instead:
+
+    1. computes the per-(doc, term) 6 dp score component ONCE with the
+       IDENTICAL Spark expression as the join scorer, converts it to
+       exact int64 micro-units (decimal ×10⁶ — no float rounding), so
+       nothing downstream can diverge bit-wise;
+    2. repartitions postings by doc (the one shuffle) and accumulates
+       doc × query score matrices per partition in NumPy — integer
+       bincount sums are exact (components ≤ 64-term sums < 2⁵³) and
+       order-independent, matching the DECIMAL(38,6) accumulation of
+       the join path exactly;
+    3. emits only each partition's per-query top-k (score desc, doc
+       asc — the global tie order), so the final global window ranks
+       partitions × Q × k rows instead of |docs| × Q.
+
+    The query table is collected to the driver (it is query-batch-
+    sized — the same boundedness assumption the broadcast join scorer
+    already makes). Per-task memory is (docs per partition) × Q × 8 B;
+    size partitions accordingly for very large query batches.
+    """
+    import numpy as np
+
+    comp = F.round(
+        F.col("idf")
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * (F.col("doc_len") / F.col("avg_len")))
+        ),
+        6,
+    )
+    dt = doc_term.join(F.broadcast(idf_tbl), "term").select(
+        F.col(id_col),
+        "term",
+        (comp.cast("decimal(38,6)") * 1000000).cast("long").alias("micro"),
+    )
+    qrows = q_terms.collect()  # query-batch-sized (see docstring)
+    qvals = sorted({r.query_id for r in qrows})
+    qpos = {q: i for i, q in enumerate(qvals)}
+    n_q = len(qvals)
+    terms = sorted({r.term for r in qrows})
+    tcode = {t: i for i, t in enumerate(terms)}
+    per_term: list[list[int]] = [[] for _ in terms]
+    for r in qrows:
+        per_term[tcode[r.term]].append(qpos[r.query_id])
+    q_cnt = np.array([len(x) for x in per_term], dtype=np.int64)
+    q_off = np.concatenate(([0], np.cumsum(q_cnt)[:-1]))
+    flat_q = np.array(
+        [q for qs in per_term for q in qs], dtype=np.int64
+    )
+    qvals_arr = np.array(qvals)
+    q_dtype = dict(q_terms.dtypes)["query_id"]
+    d_dtype = dict(doc_term.dtypes)[id_col]
+    out_schema = f"query_id {q_dtype}, neighbor_id {d_dtype}, micro long"
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def score_partition(batches):
+        import pandas as pd
+
+        docs_l, terms_l, micro_l = [], [], []
+        for pdf in batches:
+            docs_l.append(pdf.iloc[:, 0].to_numpy())
+            terms_l.append(pdf["term"].map(tcode).to_numpy())
+            micro_l.append(pdf["micro"].to_numpy(dtype=np.int64))
+        if not docs_l:
+            return
+        doc_vals_all = np.concatenate(docs_l)
+        tc = np.concatenate(terms_l).astype(np.int64)
+        micro = np.concatenate(micro_l)
+        dvals, dcode = np.unique(doc_vals_all, return_inverse=True)
+        n_d = len(dvals)
+        # CSR expansion: each posting row fans out to its term's queries
+        cnts = q_cnt[tc]
+        total = int(cnts.sum())
+        if total == 0:
+            return
+        row_start = np.repeat(q_off[tc], cnts)
+        within = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnts)[:-1])), cnts
+        )
+        rep_q = flat_q[row_start + within]
+        rep_doc = np.repeat(dcode, cnts)
+        rep_micro = np.repeat(micro, cnts)
+        flat_idx = rep_doc * n_q + rep_q
+        # float64 bincount is EXACT here: every partial sum is an
+        # integer < 2^53 (≤ query-length × max micro-component)
+        scores = np.bincount(
+            flat_idx, weights=rep_micro, minlength=n_d * n_q
+        ).astype(np.int64)
+        hits = np.bincount(flat_idx, minlength=n_d * n_q)
+        scores = scores.reshape(n_d, n_q)
+        hits = hits.reshape(n_d, n_q)
+        if excl:
+            hits = hits * (dvals[:, None] != qvals_arr[None, :])
+        out_q, out_d, out_m = [], [], []
+        for qi in range(n_q):
+            live = np.nonzero(hits[:, qi])[0]
+            if len(live) == 0:
+                continue
+            s = scores[live, qi]
+            # partition-local top-k under the GLOBAL tie order
+            # (score desc, doc asc) — merging per-partition top-k
+            # preserves the exact global top-k
+            order = np.lexsort((dvals[live], -s))[:kk]
+            sel = live[order]
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
+            out_d.append(sel)
+            out_m.append(scores[sel, qi])
+        if not out_q:
+            return
+        qi_all = np.concatenate(out_q)
+        di_all = np.concatenate(out_d)
+        yield pd.DataFrame(
+            {
+                "query_id": qvals_arr[qi_all],
+                "neighbor_id": dvals[di_all],
+                "micro": np.concatenate(out_m),
+            }
+        )
+
+    cand = dt.repartition(id_col).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            (F.col("micro").cast("double") / F.lit(1000000.0)).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def bm25_topk_sql(
     docs_sql: str,
     queries_sql: str,
@@ -454,6 +616,7 @@ def bm25_topk_from_store(
     query_id_col: str = "query_id",
     query_terms_col: str = "qterm",
     exclude_self: bool = False,
+    algo: str = "auto",
 ) -> DataFrame:
     """BM25 top-``k`` against a stored posting index
     (:func:`write_bm25_postings` / the streaming sink) — identical
@@ -466,6 +629,17 @@ def bm25_topk_from_store(
     (doc, term) grain of the pruned read (only query terms need df);
     idf/avg_len fold in from the stored stats (summed across streaming
     batch partitions, so an appended store stays consistent).
+
+    ``algo`` picks the scorer: ``"join"`` is the broadcast-join +
+    decimal-sum path (right when term-bucket pruning works — Zipf
+    vocabularies); ``"gemm"`` is the dense-regime NumPy path
+    (:func:`_bm25_score_gemm` — right when a small vocabulary defeats
+    pruning and the join's (query, doc) group count approaches
+    |docs| × |queries|). ``"auto"`` (default) estimates the scoring
+    join's row count from the already-computed df table (Σ over
+    query-term pairs of df) and switches to gemm above
+    :data:`BM25_GEMM_AUTO_ROWS`. Both scorers are exact and
+    bit-identical — pinned by ``test_bm25_gemm_scorer_matches_join``.
     """
     q_terms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -514,6 +688,24 @@ def bm25_topk_from_store(
         ).alias("idf"),
         "avg_len",
     )
+    if algo not in ("auto", "join", "gemm"):
+        raise ValueError(f"unknown bm25 algo: {algo!r}")
+    if algo == "auto":
+        est = (
+            q_terms.join(df_tbl, "term")
+            .agg(F.sum("df").alias("rows"))
+            .first()["rows"]
+        )  # bounded scalar: the scoring join's exact output row count
+        algo = "gemm" if (est or 0) >= BM25_GEMM_AUTO_ROWS else "join"
+    if algo == "gemm":
+        return _bm25_score_gemm(
+            doc_term,
+            idf_tbl.persist(StorageLevel.MEMORY_AND_DISK),
+            q_terms,
+            k=k,
+            id_col=id_col,
+            exclude_self=exclude_self,
+        )
     return _bm25_score(
         Bm25Index(doc_term=doc_term, idf_tbl=idf_tbl),
         q_terms,

@@ -777,6 +777,13 @@ def global_order_index(
     Same (corpus, seed) → same permutation under any partitioning or
     cluster size; different seeds → independent epoch orders. Output:
     input columns + ``ord``.
+
+    Precondition: ``key_col`` values are UNIQUE (the doc-id contract
+    shared with the n-gram/BM25 sinks). The order is
+    ``(md5(key, seed), key)`` — duplicate keys tie on BOTH columns, so
+    their relative ``ord`` would be partition-placement-dependent (and
+    the DuckDB twin equally underdetermined). Dedup ids upstream, or
+    add a disambiguating column before calling.
     """
     from pyspark import StorageLevel
 

@@ -136,12 +136,20 @@ def kmv_distinct_sql(
     """
 
 
+#: Refuse to build a pairwise KMV overlap matrix above this many groups
+#: (the pair frame is |groups|²·k rows). Sources/languages/snapshots are
+#: dozens; a caller passing a domain- or doc-grain column would silently
+#: queue a quadratic job — make the misuse loud instead of slow.
+KMV_OVERLAP_MAX_GROUPS = 1_000
+
+
 def kmv_overlap(
     df: DataFrame,
     group_col: str,
     value_col: str,
     k: int = 64,
     sketch: DataFrame | None = None,
+    max_groups: int = KMV_OVERLAP_MAX_GROUPS,
 ) -> DataFrame:
     """Pairwise set-operation estimates between every two groups, from
     their KMV sketches alone (Beyer et al., "On Synopses for Distinct-
@@ -170,9 +178,33 @@ def kmv_overlap(
     one corpus scan — versus one scan *per pair* for exact pairwise
     distincts. Estimates are bit-reproducible across engines: md5
     hashing, integer counts, one 9-dp-rounded IEEE division.
+
+    The pair frame is |groups|² — right for source/language/snapshot
+    cardinality, quadratic nonsense for domain- or doc-grain groups, so
+    the group count is checked (one sketch-sized count action) against
+    ``max_groups`` and the call raises rather than launching a job that
+    cannot finish. Raise the bound explicitly if you truly want a
+    larger matrix.
     """
-    sk = sketch if sketch is not None else kmv_sketch(df, [group_col], value_col, k)
+    if sketch is not None:
+        sk = sketch
+    else:
+        from pyspark import StorageLevel
+
+        # persist: the guard's count action below would otherwise pay
+        # the sketch's corpus-sized distinct a second time
+        sk = kmv_sketch(df, [group_col], value_col, k).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     ga = sk.select(F.col(group_col).alias("group_a")).distinct()
+    n_groups = ga.count()  # sketch-grain scalar — bounded
+    if n_groups > max_groups:
+        raise ValueError(
+            f"kmv_overlap: {n_groups} groups would build a "
+            f"{n_groups}×{n_groups} pair matrix (max_groups="
+            f"{max_groups}); pass a coarser group_col or raise "
+            "max_groups explicitly"
+        )
     pairs = ga.join(
         ga.select(F.col("group_a").alias("group_b")),
         F.col("group_a") < F.col("group_b"),

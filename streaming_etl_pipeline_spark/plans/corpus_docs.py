@@ -1185,6 +1185,39 @@ def q_kn_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NL.kn_lm_scores(docs).select("doc_id", "n_trigrams", "avg_p")
 
 
+#: The deployed-CCNet shape: order-5 with count-2 pruning at the top
+#: (KenLM ``--prune 0 0 0 0 2`` analog). Chosen so BOTH cascade branch
+#: classes exist at every sf: singleton 5-grams are the bulk of any
+#: real corpus (pruned → γ5·q4 fires), while boilerplate/duplicate docs
+#: keep plenty of c≥2 5-grams (kept → p5 fires).
+_KN5_ORDER = 5
+_KN5_PRUNE = 2
+
+
+@register(
+    "kn5_lm_quality",
+    "SELECT doc_id, n_ngrams, avg_p FROM ("
+    + NL.kn_lm_scores_n_sql(
+        "documents", order=_KN5_ORDER, min_count=_KN5_PRUNE
+    )
+    + ")",
+)
+def q_kn5_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document probability under a PRUNED 5-gram interpolated
+    Kneser-Ney model (operators/ngram_lm.py order-n surface) — the
+    model CCNet actually deploys, where unpruned tables are impossible
+    at crawl scale. Pruning makes the backoff cascade itself the thing
+    under test: every 5-gram seen once falls to ``γ5·P4`` in BOTH
+    engines, so the oracle pins the γ mass-redistribution arithmetic
+    (exact-BIGINT pruned sums, 9 dp expression-tree parity) as well as
+    the full four-level continuation-count estimation. ``avg_p``-only
+    gate, same transcendental discipline as ``kn_lm_quality``."""
+    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return NL.kn_lm_scores_n(
+        docs, order=_KN5_ORDER, min_count=_KN5_PRUNE
+    ).select("doc_id", "n_ngrams", "avg_p")
+
+
 # ---------------------------------------------------------------------------
 # Embedding mean-pooling (decimal-exact differential twin of mean_pool)
 # ---------------------------------------------------------------------------

@@ -63,54 +63,90 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          li AS ({_sql("language_id")}),
          fp AS ({_sql("doc_fingerprint")}),
          hf AS ({_sql("hashed_features_profile")}),
-         lm AS ({_sql("charlm_quality")}),
          rp AS ({_sql("repetition_stats")}),
          sm AS ({_sql("script_mix")}),
          he AS ({_sql("html_extract")}),
-         sp AS ({_sql("sentence_profile")}),
-         kn AS ({_sql("kn_lm_quality")})
+         sp AS ({_sql("sentence_profile")})
     SELECT ts.*,
            li.lang_actual, li.lang_predicted, li.lang_score, li.lang_match,
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
            fp.n_shingles,
            hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5,
-           lm.n_trigrams, lm.avg_tri_p,
            rp.dup_line_frac, rp.dup_line_char_frac,
            rp.top2gram_char_frac, rp.dup_5gram_frac, rp.rep_keep,
            sm.n_chars, sm.n_latin, sm.n_digit, sm.n_space, sm.n_cyrillic,
            sm.n_cjk, sm.n_other, sm.latin_frac, sm.digit_frac,
            sm.space_frac, sm.cyrillic_frac, sm.cjk_frac, sm.dominant_script,
            he.extracted_md5, he.extracted_chars,
-           sp.n_sentences, sp.total_sent_chars, sp.sentences_md5,
-           kn.n_trigrams AS kn_trigrams, kn.avg_p AS kn_avg_p
+           sp.n_sentences, sp.total_sent_chars, sp.sentences_md5
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
-            JOIN hf USING (doc_id) JOIN lm USING (doc_id)
+            JOIN hf USING (doc_id)
             JOIN rp USING (doc_id) JOIN sm USING (doc_id)
             JOIN he USING (doc_id) JOIN sp USING (doc_id)
-            JOIN kn USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: token/quality stats + language ID +
-    content fingerprint + char-trigram LM typicality + Gopher
-    repetition fractions + Unicode script-mix composition (r6) in one
-    row per doc — the full text-analysis surface driver-gated as a
-    single 500-row hash."""
+    content fingerprint + Gopher repetition fractions + Unicode
+    script-mix composition in one row per doc. The three language-model
+    scoring arms (char-trigram, KN trigram, pruned KN 5-gram) moved to
+    their own ``lm_suite`` carrier in round 9 — a full LM estimation is
+    a query plan in its own right, and stacking three of them under the
+    profile was what pushed this carrier to 20 structural shuffles."""
     return (
         _run("text_stats", spark, sf_dir)
         .join(_run("language_id", spark, sf_dir), "doc_id")
         .join(_run("doc_fingerprint", spark, sf_dir), "doc_id")
         .join(_run("hashed_features_profile", spark, sf_dir), "doc_id")
-        .join(_run("charlm_quality", spark, sf_dir), "doc_id")
         .join(_run("repetition_stats", spark, sf_dir), "doc_id")
         .join(_run("script_mix", spark, sf_dir), "doc_id")
         .join(_run("html_extract", spark, sf_dir), "doc_id")
         .join(_run("sentence_profile", spark, sf_dir), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_suite = charlm_quality ⋈ kn_lm_quality ⋈ kn5_lm_quality — the three
+# language-model scoring surfaces (char-trigram CCNet analog, word-level
+# interpolated KN trigram, PRUNED order-5 KN with the γ backoff cascade)
+# in one per-doc driver row (r9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_suite",
+    f"""
+    WITH lm AS ({_sql("charlm_quality")}),
+         kn AS ({_sql("kn_lm_quality")}),
+         k5 AS ({_sql("kn5_lm_quality")})
+    SELECT lm.doc_id, lm.n_trigrams, lm.avg_tri_p,
+           kn.n_trigrams AS kn_trigrams, kn.avg_p AS kn_avg_p,
+           k5.n_ngrams AS kn5_ngrams, k5.avg_p AS kn5_avg_p
+    FROM lm JOIN kn USING (doc_id) JOIN k5 USING (doc_id)
+    """,
+)
+def q_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The language-model quality-scoring surface in one row per doc:
+    char-trigram typicality (zero-vocabulary CCNet analog), word-level
+    interpolated Kneser-Ney trigram ``avg_p`` (the bit-portable gate of
+    the full KN estimation), and the round-9 pruned 5-gram KN ``avg_p``
+    (which additionally pins the KenLM-style pruned-mass backoff
+    cascade — every singleton 5-gram walks γ₅·P₄ in both engines)."""
+    return (
+        _run("charlm_quality", spark, sf_dir)
         .join(
             _run("kn_lm_quality", spark, sf_dir).select(
                 "doc_id",
                 F.col("n_trigrams").alias("kn_trigrams"),
                 F.col("avg_p").alias("kn_avg_p"),
+            ),
+            "doc_id",
+        )
+        .join(
+            _run("kn5_lm_quality", spark, sf_dir).select(
+                "doc_id",
+                F.col("n_ngrams").alias("kn5_ngrams"),
+                F.col("avg_p").alias("kn5_avg_p"),
             ),
             "doc_id",
         )
@@ -858,13 +894,20 @@ def q_order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s_suppkey AS VARCHAR) AS k1, s_name AS k2,
            CAST(n_dominant AS DOUBLE) AS m1
     FROM ({_sql("q20_dominant_suppliers")})
+    UNION ALL
+    SELECT 'q15_top_supplier' AS q_label,
+           CAST(s_suppkey AS VARCHAR) AS k1, s_name AS k2,
+           total_revenue AS m1
+    FROM ({_sql("q15_top_supplier")})
     """,
 )
 def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The five partsupp-adapted TPC-H subquery shapes (Q2 correlated MIN,
-    Q9 star profit rollup, Q11 fraction-of-total, Q16 null-aware NOT IN,
-    Q20 aggregate-over-aggregate HAVING) value-verified in one labelled
-    driver row — see plans/corpus_supplier.py for the per-query plans."""
+    """The six TPC-H subquery shapes (Q2 correlated MIN, Q9 star profit
+    rollup, Q11 fraction-of-total, Q16 null-aware NOT IN, Q20
+    aggregate-over-aggregate HAVING, and — folded in r9 to free a
+    driver slot for lm_suite — Q15's view-joined-to-its-own-max)
+    value-verified in one labelled driver row — see
+    plans/corpus_supplier.py for the per-query plans."""
     q2 = _run("q2_min_cost_supplier", spark, sf_dir).select(
         F.lit("q2_min_cost").alias("q_label"),
         F.col("p_partkey").cast("string").alias("k1"),
@@ -895,8 +938,14 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("k2"),
         F.col("n_dominant").cast("double").alias("m1"),
     )
+    q15 = _run("q15_top_supplier", spark, sf_dir).select(
+        F.lit("q15_top_supplier").alias("q_label"),
+        F.col("s_suppkey").cast("string").alias("k1"),
+        F.col("s_name").alias("k2"),
+        F.col("total_revenue").alias("m1"),
+    )
     out = q2
-    for p in (q9, q11, q16, q20):
+    for p in (q9, q11, q16, q20, q15):
         out = out.unionByName(p)
     return out
 
@@ -2149,9 +2198,15 @@ COVERED_BY: dict[str, str] = {
     # curation surface as one more doc-key LEFT join (community_id)
     "dedup_communities": "corpus_curation",
     "script_mix": "text_profile",
-    "charlm_quality": "text_profile",
-    # r8: Kneser-Ney word-trigram LM scores ride the per-doc profile
-    "kn_lm_quality": "text_profile",
+    # r9: the three LM scoring arms moved off text_profile into their
+    # own lm_suite carrier (a full LM estimation is its own query plan)
+    "charlm_quality": "lm_suite",
+    "kn_lm_quality": "lm_suite",
+    # r9: pruned order-5 KN — the γ-cascade path the trigram row can't
+    # exercise
+    "kn5_lm_quality": "lm_suite",
+    # r9: Q15 folded into the subquery suite to free its driver slot
+    "q15_top_supplier": "tpch_subquery_suite",
     # r8: codepoint-entropy junk signal rides the per-lang quality
     # rollup as (total chars, per-doc checksum)
     "char_entropy": "corpus_quality_by_lang",
@@ -2233,6 +2288,7 @@ DRIVER_SET: list[str] = [
     "user_sessions",
     "image_dhash_profile",
     "text_profile",
+    "lm_suite",
     "corpus_quality_by_lang",
     "top_ngrams",
     # merged core groups
@@ -2269,7 +2325,6 @@ DRIVER_SET: list[str] = [
     "q10_returned_items",
     "order_flags_profile",
     "q13_customer_distribution",
-    "q15_top_supplier",
     "q18_large_orders",
     "q21_waiting_suppliers",
     "q22_idle_customers",

@@ -273,6 +273,7 @@ def start_dedup_ingest_sink(
     text_col: str = "text",
     threshold: float = 0.6,
     trigger: dict | None = None,
+    cluster_store: str | None = None,
 ) -> StreamingQuery:
     """Streaming near-dedup ingest: every micro-batch of documents is
     probed against the persisted MinHash signature store
@@ -305,7 +306,13 @@ def start_dedup_ingest_sink(
     kept (a common ops reset), epoch ids restart at 0 — with bare ids
     each new batch would silently replace previously ingested
     partitions, while the fresh token makes the new run append beside
-    the old data instead."""
+    the old data instead.
+
+    ``cluster_store=`` (r9) additionally maintains the incremental
+    cluster-label store: the trigger's near-dup pairs (within-batch +
+    vs-store) append via :func:`cluster_pairs_batch`, so
+    :func:`cluster_labels_from_store` serves the current component
+    labels without re-running star contraction over history."""
     token = _ingest_run_token(docs.sparkSession, checkpoint)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -318,6 +325,7 @@ def start_dedup_ingest_sink(
             text_col=text_col,
             threshold=threshold,
             run_token=token,
+            cluster_store=cluster_store,
         )
 
     writer = (
@@ -367,6 +375,7 @@ def dedup_ingest_batch(
     text_col: str = "text",
     threshold: float = 0.6,
     run_token: str | None = None,
+    cluster_store: str | None = None,
 ) -> None:
     """One idempotent micro-batch of :func:`start_dedup_ingest_sink`
     (module-level so a crash-replay — same ``batch_id`` twice — can be
@@ -420,6 +429,7 @@ def dedup_ingest_batch(
     drops = self_pairs.select(
         F.greatest("id_a", "id_b").alias(id_col)
     )
+    all_pairs = self_pairs.select("id_a", "id_b")
     if store is not None:
         cross = near_dup_pairs_from_signatures(
             sigs, store, threshold=threshold
@@ -429,6 +439,14 @@ def dedup_ingest_batch(
         drops = drops.unionByName(
             cross.select(F.col("id_a").alias(id_col))
         ).unionByName(cross.select(F.col("id_b").alias(id_col)))
+        all_pairs = all_pairs.unionByName(cross.select("id_a", "id_b"))
+    if cluster_store is not None:
+        cluster_pairs_batch(
+            all_pairs.select("id_a", "id_b"),
+            batch_id,
+            cluster_store,
+            run_token=run_token,
+        )
     novel = batch_df.join(
         drops.distinct().localCheckpoint(eager=True), id_col, "left_anti"
     )
@@ -440,6 +458,181 @@ def dedup_ingest_batch(
             .partitionBy("ingest_batch_id")
             .parquet(dest)
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster-label store (r9): streaming maintenance of the
+# connected-component labels that dedup_clusters / cluster_keep_best
+# batch-recompute — without rerunning star contraction over history
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs_batch(
+    pairs: DataFrame,
+    batch_id: int,
+    store_path: str,
+    run_token: str | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> None:
+    """Append ONE trigger's near-dup pairs to the incremental
+    cluster-label store. Layout (both token-namespaced, idempotent
+    under replay like every ingest store):
+
+    - ``members/``  — ``(node, comp)``: every endpoint registers with
+      ``comp = node``; after a compaction, rows carry the RESOLVED
+      component min. Duplicate registrations are harmless by
+      construction — resolution takes ``min(comp)`` per node, and a
+      fresh ``(x, x)`` row can never beat a resolved comp (component
+      mins only decrease).
+    - ``merge_pairs/`` — the raw ``(ca, cb)`` pair endpoints.
+
+    Both writes are TRIGGER-sized. The expensive part — star
+    contraction — moves to :func:`cluster_labels_from_store`, where it
+    runs over the QUOTIENT graph: pairs since the last compaction,
+    mapped through the resolved members table. Components of a quotient
+    graph equal components of the original (with min-labels composing
+    to the global min), so the result is bit-identical to a full batch
+    ``connected_components_star`` over the entire pair history — pinned
+    in ``tests/test_streaming.py``."""
+    import os as _os
+
+    if pairs.isEmpty():
+        return
+    part_val = f"{run_token}-{batch_id}" if run_token else str(batch_id)
+    p = (
+        pairs.select(F.col(src).alias("ca"), F.col(dst).alias("cb"))
+        .filter(F.col("ca") != F.col("cb"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    members = (
+        p.select(F.col("ca").alias("node"))
+        .unionByName(p.select(F.col("cb").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+    )
+    for frame, sub in ((members, "members"), (p, "merge_pairs")):
+        (
+            frame.withColumn("ingest_batch_id", F.lit(part_val))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(_os.path.join(store_path, sub))
+        )
+
+
+def cluster_labels_from_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    """Resolve the current ``(node, comp)`` labels from a
+    :func:`cluster_pairs_batch` store: one ``min(comp)`` aggregation
+    over members, then star contraction over ONLY the unfolded pairs
+    (mapped to member comps — the quotient graph, which a compaction
+    keeps bounded by pairs-since-compaction, not history). Tombstoned
+    nodes (``delete_ids`` on the store root with id col ``node``) drop
+    from the labeling; their historical pairs still bridge the
+    components they merged — splitting a component on takedown is a
+    batch recompute, not an incremental operation (document-level
+    takedown semantics match the other stores: the row leaves, the
+    aggregate state stays)."""
+    import os as _os
+
+    from pyspark.errors import AnalysisException
+
+    from streaming_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    m = (
+        spark.read.parquet(_os.path.join(store_path, "members"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+    try:
+        mp = spark.read.parquet(_os.path.join(store_path, "merge_pairs"))
+    except AnalysisException as exc:
+        if (
+            "PATH_NOT_FOUND" not in str(exc)
+            and "Path does not exist" not in str(exc)
+        ):
+            raise
+        mp = None
+    if mp is not None:
+        e = (
+            mp.join(
+                m.select(
+                    F.col("node").alias("ca"), F.col("comp").alias("ca_c")
+                ),
+                "ca",
+            )
+            .join(
+                m.select(
+                    F.col("node").alias("cb"), F.col("comp").alias("cb_c")
+                ),
+                "cb",
+            )
+            .filter(F.col("ca_c") != F.col("cb_c"))
+            .select("ca_c", "cb_c")
+        )
+        cc = connected_components_star(e, src="ca_c", dst="cb_c")
+        m = (
+            m.join(
+                cc.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("_root")
+                ),
+                "comp",
+                "left",
+            )
+            .select(
+                "node", F.coalesce(F.col("_root"), F.col("comp")).alias("comp")
+            )
+        )
+    return _apply_tombstones(spark, store_path, m)
+
+
+def compact_cluster_store(spark: SparkSession, store_path: str) -> dict:
+    """Fold the cluster store: materialize the resolved labels (with
+    tombstones dropped physically) as a single compacted ``members``
+    partition, then clear ``merge_pairs`` and the tombstone sidecar.
+    After compaction, the next resolution's star contraction sees ONLY
+    pairs appended since — the property that keeps per-trigger cost ∝
+    trigger pairs on a long-running stream. Crash-safe by idempotence:
+    the members swap is the same checked-rename dance as
+    :func:`compact_ingest_store`, and leftover merge_pairs/tombstones
+    from a crash after the swap are no-ops on re-read (already-folded
+    pairs map both endpoints to the same comp and drop; already-dropped
+    nodes anti-join against nothing)."""
+    import hashlib
+    import os as _os
+
+    labels = cluster_labels_from_store(spark, store_path).persist()
+    n = labels.count()
+    members_path = _os.path.join(store_path, "members")
+    parts = sorted(
+        str(r.ingest_batch_id)
+        for r in spark.read.parquet(members_path)
+        .select("ingest_batch_id")
+        .distinct()
+        .collect()
+    )
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    (
+        labels.withColumn("ingest_batch_id", F.lit(f"compacted-{digest}"))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch_id")
+        .parquet(members_path.rstrip("/") + ".__compact__")
+    )
+    _atomic_swap_dir(spark, members_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for sub in ("merge_pairs", TOMBSTONE_DIR):
+        jp = jvm.org.apache.hadoop.fs.Path(_os.path.join(store_path, sub))
+        fs = jp.getFileSystem(conf)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    labels.unpersist()
+    return {"partitions_before": len(parts), "rows": int(n)}
 
 
 def start_ann_index_sink(
@@ -1191,13 +1384,18 @@ def start_ngram_count_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger: dict | None = None,
+    order: int = 3,
 ) -> StreamingQuery:
-    """Incremental trigram-count maintenance for the Kneser-Ney LM
+    """Incremental n-gram-count maintenance for the Kneser-Ney LM
     (``operators/ngram_lm.py``): every micro-batch aggregates its own
-    padded-trigram TYPE counts and appends them under the
+    padded n-gram TYPE counts and appends them under the
     ``<checkpoint-token>-<epoch>`` idempotence key — the same
     token-namespaced layout as the dedup/ANN/BM25 ingest stores, so
     ``compact_ingest_store`` and ``repair_store`` apply unchanged.
+    ``order=3`` keeps the original trigram layout ``(u, v, w, c3)``
+    byte-frozen; other orders store ``(w1..wN, c)`` and feed the
+    pruned order-n model via ``kn_lm_fit_from_store(order=N)``. A
+    store holds ONE order — mixing orders raises at refit.
 
     N-gram counts are ADDITIVE corpus state (like BM25's idf/avg_len,
     unlike the ANN sink's frozen quantizer): summing the stored
@@ -1218,6 +1416,7 @@ def start_ngram_count_sink(
             id_col=id_col,
             text_col=text_col,
             run_token=token,
+            order=order,
         )
 
     writer = (
@@ -1229,6 +1428,27 @@ def start_ngram_count_sink(
     return writer.start()
 
 
+def _ngram_type_counts(
+    docs: DataFrame, id_col: str, text_col: str, order: int
+) -> DataFrame:
+    """Batch-local n-gram TYPE counts in the store layout for ``order``
+    (trigram keeps the frozen ``(u, v, w, c3)`` schema)."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    if order == 3:
+        return (
+            NL.doc_trigrams(docs, id_col, text_col)
+            .groupBy("u", "v", "w")
+            .agg(F.sum("c").alias("c3"))
+        )
+    wcols = [f"w{i}" for i in range(1, order + 1)]
+    return (
+        NL.doc_ngrams(docs, order, id_col, text_col)
+        .groupBy(*wcols)
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def ngram_counts_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -1236,23 +1456,19 @@ def ngram_counts_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     run_token: str | None = None,
+    order: int = 3,
 ) -> None:
     """One idempotent micro-batch of :func:`start_ngram_count_sink`
-    (module-level for deterministic replay tests): batch-local trigram
+    (module-level for deterministic replay tests): batch-local n-gram
     type counts, dynamic-overwritten under the epoch's partition."""
     import os as _os
-
-    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
 
     if batch_df.isEmpty():
         return
     part_val = f"{run_token}-{batch_id}" if run_token else str(batch_id)
     batch_df = batch_df.localCheckpoint(eager=True)
-    counts = (
-        NL.doc_trigrams(batch_df, id_col, text_col)
-        .groupBy("u", "v", "w")
-        .agg(F.sum("c").alias("c3"))
-        .withColumn("ingest_batch_id", F.lit(part_val))
+    counts = _ngram_type_counts(batch_df, id_col, text_col, order).withColumn(
+        "ingest_batch_id", F.lit(part_val)
     )
     (
         counts.write.mode("overwrite")
@@ -1267,6 +1483,7 @@ def ngram_delete_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    order: int = 3,
 ) -> None:
     """Takedown for the n-gram count store: append the documents'
     trigram counts NEGATED under a content-addressed ``delete-``
@@ -1282,18 +1499,16 @@ def ngram_delete_docs(
     import hashlib
     import os as _os
 
-    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
-
     ids = sorted(
         str(r[0]) for r in docs.select(id_col).distinct().collect()
     )  # takedown lists are bounded (id-list-sized), not corpus-sized
     if not ids:
         return
     digest = hashlib.md5(",".join(ids).encode()).hexdigest()[:16]
+    cnt_col = "c3" if order == 3 else "c"
     neg = (
-        NL.doc_trigrams(docs, id_col, text_col)
-        .groupBy("u", "v", "w")
-        .agg((-F.sum("c")).alias("c3"))
+        _ngram_type_counts(docs, id_col, text_col, order)
+        .withColumn(cnt_col, -F.col(cnt_col))
         .withColumn("ingest_batch_id", F.lit(f"delete-{digest}"))
     )
     (
@@ -1305,34 +1520,59 @@ def ngram_delete_docs(
 
 
 def kn_lm_fit_from_store(
-    spark: SparkSession, store_path: str, discount: float | None = None
+    spark: SparkSession,
+    store_path: str,
+    discount: float | None = None,
+    order: int = 3,
+    min_count=1,
 ):
     """Rebuild the KN model from a :func:`start_ngram_count_sink`
     store: sum the per-epoch (and negative ``delete-``) partitions to
     exact type counts, then derive probabilities with the same code as
     the batch fit — bit-identical to refitting over the union corpus
-    because counts are additive. One store scan, everything after at
-    trigram-type grain."""
+    because counts are additive. One store scan (the aggregated type
+    frame is persisted before the negatives check, so the check and
+    the model derivation share it), everything after at type grain.
+    ``order=3`` returns the trigram :class:`~..operators.ngram_lm
+    .KNModel`; other orders return the pruned order-n
+    :class:`~..operators.ngram_lm.KNModelN` (``min_count=`` forwards
+    the KenLM-style prune thresholds)."""
     import os as _os
+
+    from pyspark import StorageLevel
 
     from streaming_etl_pipeline_spark.operators import ngram_lm as NL
 
-    t3 = (
-        spark.read.parquet(_os.path.join(store_path, "counts"))
-        .groupBy("u", "v", "w")
-        .agg(F.sum("c3").alias("c3"))
+    cnt_col = "c3" if order == 3 else "c"
+    keys = ["u", "v", "w"] if order == 3 else [
+        f"w{i}" for i in range(1, order + 1)
+    ]
+    raw = spark.read.parquet(_os.path.join(store_path, "counts"))
+    missing = [k for k in keys if k not in raw.columns]
+    if missing or cnt_col not in raw.columns:
+        raise ValueError(
+            f"store at {store_path} does not hold order-{order} counts "
+            f"(columns {raw.columns})"
+        )
+    tt = (
+        raw.groupBy(*keys)
+        .agg(F.sum(cnt_col).alias(cnt_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    neg = t3.filter(F.col("c3") < 0)
-    if neg.limit(1).count() > 0:
-        bad = neg.limit(3).collect()
+    # single pass: one bounded collect both detects and samples negatives
+    bad = tt.filter(F.col(cnt_col) < 0).limit(3).collect()
+    if bad:
         raise ValueError(
             "n-gram store has types with negative net counts (a delete "
             f"was applied for text never ingested), e.g. {bad}"
         )
-    t3 = t3.filter(F.col("c3") > 0)
-    if discount is None:
-        return NL.kn_model_from_counts(t3)
-    return NL.kn_model_from_counts(t3, discount=discount)
+    tt = tt.filter(F.col(cnt_col) > 0)
+    d = NL.KN_DISCOUNT if discount is None else discount
+    if order == 3:
+        return NL.kn_model_from_counts(tt, discount=d)
+    return NL.kn_model_from_counts_n(
+        tt, order, discount=d, min_count=min_count
+    )
 
 
 def start_gold_upsert_sink(

@@ -586,6 +586,22 @@ def test_kmv_overlap_exact_below_k_and_estimates(spark):
     sk.unpersist()
 
 
+def test_kmv_overlap_guards_high_cardinality_groups(spark):
+    """r9 guard: a group column whose cardinality would explode the
+    |groups|² pair frame raises loudly (with the count and the bound in
+    the message) instead of launching a quadratic job; an explicit
+    max_groups= override still runs."""
+    from streaming_etl_pipeline_spark.operators.sketches import kmv_overlap
+
+    df = spark.createDataFrame(
+        [(f"g{i}", i * 7 % 50) for i in range(40)], "grp string, v long"
+    )
+    with pytest.raises(ValueError, match="40 groups.*max_groups=10"):
+        kmv_overlap(df, "grp", "v", k=8, max_groups=10)
+    out = kmv_overlap(df, "grp", "v", k=8, max_groups=100)
+    assert out.count() == 40 * 39 // 2
+
+
 def test_char_entropy_orders_junk_correctly(spark):
     """Codepoint entropy as a junk signal: repetition padding scores
     near 0, natural text in the middle, high-alphabet noise highest;
@@ -1204,6 +1220,94 @@ def test_kn_lm_external_model_and_oov_backoff(spark):
     assert ob[1].avg_logp > ob[2].avg_logp > ob[3].avg_logp
     for r in ob.values():
         assert 0.0 < r.avg_p <= 1.0 and r.avg_logp < 0.0  # backoff floors, never NULL/-inf
+
+
+def test_kn_order3_generalized_matches_trigram_bit_exact(spark):
+    """The order-n generalization at order=3/min_count=1 IS the frozen
+    trigram module: identical probability tables (every 9 dp double)
+    and identical scores — the coherence pin that lets the order-n
+    surface share the trigram path's oracle history."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the cat sat on mat {i % 4} and ran") for i in range(15)]
+        + [Row(doc_id=90, text=""), Row(doc_id=91, text=None)]
+    )
+    tri_old = {tuple(r) for r in NL.kn_lm_fit(df).tri.collect()}
+    m3 = NL.kn_lm_fit_n(df, order=3)
+    tri_new = {(r.w1, r.w2, r.w3, r.p) for r in m3.tables[2].collect()}
+    assert tri_old == tri_new
+    s_old = {tuple(r) for r in NL.kn_lm_scores(df).collect()}
+    s_new = {tuple(r) for r in NL.kn_lm_scores_n(df, order=3).collect()}
+    assert s_old == s_new
+
+
+def test_kn5_pruned_gamma_mass_and_cascade(spark):
+    """Pruning semantics on a hand-checkable corpus: pruned 5-gram types
+    leave the kept table, their mass lands in γ (γ > the unpruned
+    interpolation weight exactly when something was pruned), and the
+    scored cascade stays a probability. Boilerplate repeated ≥min_count
+    times survives pruning and outscores a singleton doc — the CCNet
+    deployment property the pruned model exists for."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    corpus = [
+        Row(doc_id=i, text="subscribe to our newsletter for weekly updates")
+        for i in range(8)
+    ] + [Row(doc_id=50, text="quantum marmalade deregulates seventeen pianos")]
+    df = spark.createDataFrame(corpus)
+    m = NL.kn_lm_fit_n(df, order=5, min_count=2)
+    kept = m.tables[4].count()
+    full = NL.kn_lm_fit_n(df, order=5, min_count=1).tables[4].count()
+    assert kept < full  # doc 50's singleton 5-grams pruned
+    out = {
+        r.doc_id: r
+        for r in NL.kn_lm_scores_n(df, order=5, min_count=2).collect()
+    }
+    assert len(out) == 9
+    for r in out.values():
+        assert 0.0 < r.avg_p <= 1.0 and r.avg_logp < 0.0
+    assert out[50].avg_p < out[0].avg_p  # singleton doc walks γ5·q4
+    # γ re-normalization: for a context whose types were all kept, γ is
+    # the plain interpolation weight; a context with pruned mass is larger
+    gam = {tuple(r)[:-1]: r.g for r in m.gammas[3].collect()}
+    gam_unpruned = {
+        tuple(r)[:-1]: r.g
+        for r in NL.kn_lm_fit_n(df, order=5, min_count=1).gammas[3].collect()
+    }
+    assert set(gam) == set(gam_unpruned)
+    assert all(gam[k] >= gam_unpruned[k] for k in gam)
+    assert any(gam[k] > gam_unpruned[k] for k in gam)
+
+
+def test_kn5_external_model_oov_and_order_mismatch(spark):
+    """Order-n cross-corpus path: in-vocab > partly-OOV > all-OOV, all
+    finite; mismatched order= vs model.order raises; per-order dict
+    pruning validates its keys."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    a = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the cat sat on the mat {i % 3}") for i in range(12)]
+    )
+    m = NL.kn_lm_fit_n(a, order=4, min_count=2)
+    b = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat 1"),
+            Row(doc_id=2, text="the cat sat on the rug 1"),
+            Row(doc_id=3, text="zorp blix frangle wumpus quee vont"),
+        ]
+    )
+    ob = {
+        r.doc_id: r
+        for r in NL.kn_lm_scores_n(b, order=4, model=m).collect()
+    }
+    assert ob[1].avg_logp > ob[2].avg_logp > ob[3].avg_logp
+    for r in ob.values():
+        assert 0.0 < r.avg_p <= 1.0 and r.avg_logp < 0.0
+    with pytest.raises(ValueError, match="order"):
+        NL.kn_lm_scores_n(b, order=5, model=m)
+    with pytest.raises(ValueError, match="prune order"):
+        NL.kn_lm_fit_n(a, order=3, min_count={7: 2})
 
 
 def test_quantile_sketch_merge_associative_and_bounded(spark):
@@ -2065,6 +2169,63 @@ def test_bm25_store_matches_direct_and_prunes(spark, tmp_path, docs):
         ).collect()
     )
     assert d2 == s2
+
+
+def test_bm25_gemm_scorer_matches_join(spark, tmp_path):
+    """r9 dense-vocabulary scorer: the int64-micro GEMM path must equal
+    the broadcast-join + decimal-sum path BIT-for-bit — same 6 dp
+    components, integer accumulation, global (score desc, id asc) tie
+    order — on a dense small-vocab corpus (every doc overlaps most
+    queries, the regime the path exists for), WITH and WITHOUT
+    exclude_self, and under auto selection."""
+    import random
+
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]  # dense: 12-term vocabulary
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(20)))
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid in range(8)
+            for t in rng.sample(vocab, 5)
+        ],
+        "query_id long, qterm string",
+    )
+    store = str(tmp_path / "bm25_dense")
+    RT.write_bm25_postings(docs, store, buckets=8)
+    results = {}
+    for excl in (False, True):
+        results[excl] = {}
+        for algo in ("join", "gemm"):
+            results[excl][algo] = sorted(
+                tuple(r)
+                for r in RT.bm25_topk_from_store(
+                    spark, store, queries, k=4, buckets=8,
+                    exclude_self=excl, algo=algo,
+                ).collect()
+            )
+        assert results[excl]["gemm"] == results[excl]["join"]
+        assert len(results[excl]["join"]) > 0
+    # auto picks one of the two exact scorers (join at this tiny scale)
+    auto_r = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=4, buckets=8, algo="auto"
+        ).collect()
+    )
+    assert auto_r == results[False]["join"]
+    with pytest.raises(ValueError, match="algo"):
+        RT.bm25_topk_from_store(
+            spark, store, queries, k=4, buckets=8, algo="wand"
+        )
 
 
 def test_bm25_topk_ranking(spark):

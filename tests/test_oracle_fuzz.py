@@ -256,6 +256,7 @@ def test_fuzz_unicode_text(spark, tmp_path):
             "bm25_topk",
             "char_entropy",  # emoji/combining marks: per-codepoint split
             "kn_lm_quality",  # unicode word tokens through the KN chain
+            "kn5_lm_quality",  # + the pruned-cascade branches under unicode
         ],
     )
 
@@ -780,7 +781,7 @@ def test_fuzz_kn_lm_degenerate_texts(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["kn_lm_quality"])
+    _gate(spark, sf, ["kn_lm_quality", "kn5_lm_quality"])
 
 
 def test_fuzz_mixed_script_text(spark, tmp_path):

@@ -209,3 +209,67 @@ def test_skewed_join_aqe_splits_hot_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_graph_skew_salting_bit_identical(spark):
+    """r9 skew-hardening of the graph family: with a planted hub (one
+    node wired to every other), the ``skew=`` salted paths of
+    label_propagation and pagerank must reproduce the unsalted results
+    BIT-identically — the salt only changes row placement, never the
+    join's output multiset — and the salted plans must actually engage
+    (hub rows spread across >1 salt key)."""
+    from streaming_etl_pipeline_spark.operators.components import (
+        _salted_edges,
+        label_propagation,
+        pagerank,
+    )
+
+    n = 400
+    # hub 0 linked to everyone + a sparse ring + a few clique pockets
+    edges = (
+        [(0, i) for i in range(1, n)]
+        + [(i, (i + 1) % n) for i in range(1, n, 3)]
+        + [(100 + i, 100 + ((i + 1) % 5)) for i in range(5)]
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    lpa_plain = sorted(
+        tuple(r) for r in label_propagation(e, iters=3).collect()
+    )
+    lpa_salted = sorted(
+        tuple(r) for r in label_propagation(e, iters=3, skew=50).collect()
+    )
+    assert lpa_salted == lpa_plain
+
+    pr_plain = sorted(tuple(r) for r in pagerank(e, iters=3).collect())
+    pr_salted = sorted(
+        tuple(r) for r in pagerank(e, iters=3, skew=50).collect()
+    )
+    assert pr_salted == pr_plain
+
+    # dangling redistribution composes with the salted join
+    pr_d_plain = sorted(
+        tuple(r)
+        for r in pagerank(e, iters=2, redistribute_dangling=True).collect()
+    )
+    pr_d_salted = sorted(
+        tuple(r)
+        for r in pagerank(
+            e, iters=2, redistribute_dangling=True, skew=50
+        ).collect()
+    )
+    assert pr_d_salted == pr_d_plain
+
+    # the salt really spreads the hub: node 0's out-edges land on >1 key
+    hubs = spark.createDataFrame([(0,)], "src long")
+    salted = _salted_edges(
+        e.select("src", "dst"), "src", "dst", hubs, 32
+    )
+    n_salts = (
+        salted.filter(F.col("src") == 0).select("_salt").distinct().count()
+    )
+    assert n_salts > 16  # 399 edges across 32 salts: all-but-certain
+    assert (
+        salted.filter(F.col("src") != 0)
+        .select("_salt").distinct().count() == 1
+    )

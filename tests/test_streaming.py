@@ -1521,6 +1521,195 @@ def test_streaming_ngram_count_sink_two_triggers(spark, tmp_path):
         kn_lm_fit_from_store(spark, store)
 
 
+def test_incremental_cluster_store_matches_batch_cc(spark, tmp_path):
+    """r9 incremental cluster-label maintenance: after EVERY trigger,
+    cluster_labels_from_store equals a full-batch
+    connected_components_star over the entire pair history (quotient-
+    graph equivalence, min-labels compose); compaction folds members
+    and clears merge_pairs (so the next resolution's contraction input
+    is only the new pairs — per-trigger cost ∝ trigger); replays are
+    idempotent; takedowns drop the node but keep the bridges it built."""
+    import os as _os
+
+    from streaming_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        cluster_labels_from_store,
+        cluster_pairs_batch,
+        compact_cluster_store,
+        delete_ids,
+    )
+
+    store = str(tmp_path / "cluster_store")
+    t1 = [(1, 2), (2, 3), (10, 11)]
+    t2 = [(3, 4), (20, 21)]          # grows comp {1,2,3}; new comp
+    t3 = [(11, 20), (4, 10)]         # merges ALL previous comps into one
+
+    def batch_cc(history):
+        df = spark.createDataFrame(history, "id_a long, id_b long")
+        return sorted(
+            tuple(r) for r in connected_components_star(df).collect()
+        )
+
+    def from_store():
+        return sorted(
+            tuple(r)
+            for r in cluster_labels_from_store(spark, store).collect()
+        )
+
+    history = []
+    for epoch, pairs in enumerate((t1, t2, t3)):
+        cluster_pairs_batch(
+            spark.createDataFrame(pairs, "id_a long, id_b long"),
+            epoch, store, run_token="runC",
+        )
+        history += pairs
+        assert from_store() == batch_cc(history)
+        if epoch == 1:
+            # fold history; the next trigger's resolution contracts
+            # ONLY its own pairs over the folded member comps
+            stats = compact_cluster_store(spark, store)
+            assert stats["partitions_before"] == 2
+            assert from_store() == batch_cc(history)
+            assert not _os.path.isdir(_os.path.join(store, "merge_pairs"))
+    # after t3, unfolded merge_pairs hold exactly t3's pairs
+    mp = spark.read.parquet(_os.path.join(store, "merge_pairs"))
+    assert mp.count() == len(t3)
+    # crash-replay of the last epoch: partition rewritten, labels stable
+    cluster_pairs_batch(
+        spark.createDataFrame(t3, "id_a long, id_b long"),
+        2, store, run_token="runC",
+    )
+    assert from_store() == batch_cc(history)
+    # takedown: node 4 leaves the labeling; the component it bridged
+    # stays merged (documented semantics — splits are a batch recompute)
+    delete_ids(spark, store, [4], "node")
+    labels = dict(from_store())
+    assert 4 not in labels
+    assert labels[1] == labels[10] == labels[20] == 1
+    # compaction folds the tombstone physically and stays equivalent
+    compact_cluster_store(spark, store)
+    assert dict(from_store()) == labels
+
+
+def test_dedup_ingest_sink_maintains_cluster_store(spark, tmp_path):
+    """The dedup ingest sink's cluster_store= hook: the labels served
+    from the incrementally-maintained store equal a batch star
+    contraction over all near-dup pairs the two triggers produced."""
+    from streaming_etl_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+    from streaming_etl_pipeline_spark.operators.dedup import (
+        build_signatures,
+        near_dup_pairs_from_signatures,
+    )
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        cluster_labels_from_store,
+        dedup_ingest_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    b1 = [(i, base + f" tail{i % 2}") for i in range(6)]
+    b2 = [(i, base + f" tail{i % 2} extra") for i in range(6, 10)]
+    path = str(tmp_path / "docs_out")
+    sig_store = str(tmp_path / "sig_store")
+    cstore = str(tmp_path / "cluster_store")
+    for epoch, batch in enumerate((b1, b2)):
+        dedup_ingest_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            epoch, path, sig_store, run_token="runD",
+            cluster_store=cstore,
+        )
+    # reference: batch pairs = within-b1 ∪ within-b2 ∪ b2-vs-b1
+    s1 = build_signatures(
+        spark.createDataFrame(b1, "doc_id long, text string")
+    )
+    s2 = build_signatures(
+        spark.createDataFrame(b2, "doc_id long, text string")
+    )
+    ref_pairs = (
+        near_dup_pairs_from_signatures(s1)
+        .select("id_a", "id_b")
+        .unionByName(
+            near_dup_pairs_from_signatures(s2).select("id_a", "id_b")
+        )
+        .unionByName(
+            near_dup_pairs_from_signatures(s2, s1).select("id_a", "id_b")
+        )
+    )
+    expected = sorted(
+        tuple(r) for r in connected_components_star(ref_pairs).collect()
+    )
+    assert len(expected) > 0
+    got = sorted(
+        tuple(r)
+        for r in cluster_labels_from_store(spark, cstore).collect()
+    )
+    assert got == expected
+
+
+def test_streaming_ngram_count_sink_order5(spark, tmp_path):
+    """Order-5 variant of the count-store round-trip: the sink stores
+    ``(w1..w5, c)`` type counts; ``kn_lm_fit_from_store(order=5,
+    min_count=2)`` equals the pruned batch refit bit-for-bit (counts
+    are additive; pruning is a pure function of the summed counts);
+    takedowns net exactly; an order-3 read of an order-5 store raises
+    loudly instead of silently mis-aggregating."""
+    import pytest as _pytest
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        kn_lm_fit_from_store,
+        ngram_counts_batch,
+        ngram_delete_docs,
+    )
+
+    def model_sig(m):
+        return (
+            tuple(
+                sorted(tuple(r) for r in t.collect()) for t in m.tables
+            ),
+            tuple(
+                sorted(tuple(r) for r in g.collect()) for g in m.gammas
+            ),
+            m.n_bigram_types,
+            m.min_counts,
+        )
+
+    store = str(tmp_path / "ngram5_store")
+    b1 = [(i, f"the shared long phrase w{i % 2} tail unique{i}") for i in range(6)]
+    b2 = [(i, f"the shared long phrase w{i % 2} end{i}") for i in range(6, 12)]
+    for epoch, batch in enumerate((b1, b2)):
+        ngram_counts_batch(
+            spark.createDataFrame(batch, "doc_id long, text string"),
+            epoch, store, run_token="run5", order=5,
+        )
+    union = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    direct = model_sig(NL.kn_lm_fit_n(union, order=5, min_count=2))
+    assert model_sig(
+        kn_lm_fit_from_store(spark, store, order=5, min_count=2)
+    ) == direct
+    # replayed epoch rewrites its partition — no double counting
+    ngram_counts_batch(
+        spark.createDataFrame(b2, "doc_id long, text string"),
+        1, store, run_token="run5", order=5,
+    )
+    assert model_sig(
+        kn_lm_fit_from_store(spark, store, order=5, min_count=2)
+    ) == direct
+    # takedown nets to the refit-without-the-docs pruned model
+    victim = spark.createDataFrame(b1[:2], "doc_id long, text string")
+    ngram_delete_docs(store, victim, order=5)
+    remaining = spark.createDataFrame(b1[2:] + b2, "doc_id long, text string")
+    assert model_sig(
+        kn_lm_fit_from_store(spark, store, order=5, min_count=2)
+    ) == model_sig(NL.kn_lm_fit_n(remaining, order=5, min_count=2))
+    # schema guard: order mismatch is loud
+    with _pytest.raises(ValueError, match="order-3"):
+        kn_lm_fit_from_store(spark, store, order=3)
+
+
 def test_ngram_count_store_compaction_preserves_model(spark, tmp_path):
     """The n-gram count store is a token-namespaced ingest store like
     the BM25/ANN/dedup ones, so compact_ingest_store applies: folding
