@@ -109,6 +109,53 @@ def main() -> int:
             report[f"rank_mass_{mode}"] = round(float(total), 6)
             report[f"{mode}_sec_per_iter"] = round(wall / iters, 1)
 
+        # --- r9 hub-skew phase: planted 10^6-out-degree hub ------------
+        # A power-law crawl graph routinely has a host with millions of
+        # links; the per-iteration rank join keys on src, so the hub's
+        # whole edge list lands in ONE task. Plant a hub with
+        # ~n_edges/100 out-edges (capped at 2M), run skew=off vs
+        # skew=<threshold> (salted), and record both walls plus the
+        # label-propagation pair on the symmetrized graph.
+        hub_edges = _arg(
+            "--hub-edges", min(max(n_edges // 100, 100_000), 2_000_000)
+        )
+        hub_path = os.path.join(work, "hub_edges")
+        hub_id = n_nodes + 1
+        spark.range(hub_edges).select(
+            F.lit(hub_id).alias("src"),
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit(9))), F.lit(n_nodes))
+            .alias("dst"),
+        ).unionByName(edges.limit(n_edges // 10)).repartition(64
+        ).write.parquet(hub_path)
+        hub_graph = spark.read.parquet(hub_path)
+        report["hub_edges"] = hub_edges
+        from streaming_etl_pipeline_spark.operators.components import (
+            label_propagation,
+        )
+
+        threshold = hub_edges // 2
+        for label, kw in (
+            ("plain", {}),
+            ("salted", {"skew": threshold}),
+        ):
+            t0 = time.time()
+            s = (
+                pagerank(hub_graph, iters=iters, scale=scale, **kw)
+                .agg(F.sum("rank").alias("s"))
+                .first()["s"]
+            )
+            report["phases"][f"pagerank_hub_{label}"] = round(
+                time.time() - t0, 1
+            )
+            report[f"rank_mass_hub_{label}"] = round(float(s), 6)
+            t0 = time.time()
+            n_comms = (
+                label_propagation(hub_graph, iters=2, **kw)
+                .select("label").distinct().count()
+            )
+            report["phases"][f"lpa_hub_{label}"] = round(time.time() - t0, 1)
+            report[f"lpa_hub_{label}_comms"] = n_comms
+
         spark.stop()  # flush event log
         res = _eventlog_metrics(log_dir)
         report["resources"] = {**res, "jvm_peak_rss_gb": _java_peak_rss_gb()}

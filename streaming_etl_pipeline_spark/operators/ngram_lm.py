@@ -650,23 +650,31 @@ def kn_model_from_counts_n(
     for k in range(2, order + 1):
         m = th[k]
         ctxcols = _wcols(k - 1)
-        ctx = ck[k].groupBy(*ctxcols).agg(
-            F.sum("c").alias("tot"),
-            F.count(F.lit(1)).alias("ntypes"),
+        # context stats as WINDOW functions over the prefix partition:
+        # one exchange instead of groupBy + re-join (the values are the
+        # same exact BIGINTs — unbounded-frame integer sums). Partition
+        # width is bounded by the vocabulary (distinct continuations of
+        # one context), so no window-skew pathologies.
+        from pyspark.sql import Window as _W
+
+        wctx = _W.partitionBy(*ctxcols)
+        ctx_stats = ck[k].select(
+            "*",
+            F.sum("c").over(wctx).alias("tot"),
+            F.count(F.lit(1)).over(wctx).alias("ntypes"),
             F.sum(
                 F.when(F.col("c") >= F.lit(m), F.lit(1)).otherwise(F.lit(0))
-            ).alias("nkept"),
+            ).over(wctx).alias("nkept"),
             F.sum(
                 F.when(F.col("c") < F.lit(m), F.col("c")).otherwise(F.lit(0))
-            ).alias("prunedc"),
+            ).over(wctx).alias("prunedc"),
         )
         prev_r = prev.select(
             *[F.col(f"w{i}").alias(f"w{i + 1}") for i in range(1, k)],
             F.col("p").alias("_plo"),
         )
         pk = (
-            ck[k]
-            .join(ctx, ctxcols)
+            ctx_stats
             .join(prev_r, _wcols(k - 1, offset=1))
             .select(
                 *_wcols(k),
@@ -692,17 +700,26 @@ def kn_model_from_counts_n(
         kept = pk.filter(F.col("c") >= F.lit(m)).drop("c") if m > 1 else (
             pk.drop("c")
         )
-        gam = ctx.select(
-            *ctxcols,
-            F.round(
-                (
-                    F.lit(d) * F.col("nkept").cast("double")
-                    + F.col("prunedc").cast("double")
-                )
-                / F.col("tot").cast("double"),
-                9,
-            ).alias("g"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # γ is per-CONTEXT; every row of a context carries identical
+        # window stats, so one distinct recovers the context grain.
+        # Lazy: plans (and executes) only when a pruned/cross-corpus
+        # scoring path actually joins this level's γ.
+        gam = (
+            ctx_stats.select(*ctxcols, "tot", "nkept", "prunedc")
+            .distinct()
+            .select(
+                *ctxcols,
+                F.round(
+                    (
+                        F.lit(d) * F.col("nkept").cast("double")
+                        + F.col("prunedc").cast("double")
+                    )
+                    / F.col("tot").cast("double"),
+                    9,
+                ).alias("g"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         tables[k] = kept
         gammas[k] = gam
         prev = pk.drop("c")
@@ -782,26 +799,55 @@ def kn_lm_scores_n(
         joined = dng.join(model.tables[n - 1], _wcols(n))
         p = F.col("p")
     else:
+        # Self-trained scoring can TRUNCATE the cascade: every suffix
+        # k-gram of a scored n-gram is in the full c_k table by
+        # construction, so at the deepest UNPRUNED level d the p_d join
+        # always matches — branches below d are dead and their joins
+        # (and the floor) drop from the plan entirely. With the default
+        # top-order-only prune, that is 3 joins instead of 2n−1.
+        # Cross-corpus scoring (OOV possible at every level) keeps the
+        # full cascade down to the unigram floor.
+        if self_trained:
+            d = max(
+                (
+                    k
+                    for k in range(1, n)
+                    if k == 1 or model.min_counts[k - 2] <= 1
+                ),
+            )
+        else:
+            d = 0  # full cascade + floor
         joined = dng
-        for k in range(n, 1, -1):
+        for k in range(n, max(d - 1, 1), -1):
             off = n - k
             kept_r = model.tables[k - 1].select(
                 *[F.col(f"w{i}").alias(f"w{i + off}") for i in range(1, k + 1)],
                 F.col("p").alias(f"p{k}"),
             )
-            gam_r = model.gammas[k - 2].select(
-                *[F.col(f"w{i}").alias(f"w{i + off}") for i in range(1, k)],
-                F.col("g").alias(f"g{k}"),
+            joined = joined.join(kept_r, _wcols(k, offset=off), "left")
+            if k > max(d, 1):
+                gam_r = model.gammas[k - 2].select(
+                    *[F.col(f"w{i}").alias(f"w{i + off}") for i in range(1, k)],
+                    F.col("g").alias(f"g{k}"),
+                )
+                joined = joined.join(gam_r, _wcols(k - 1, offset=off), "left")
+        if d >= 1:
+            q = F.col(f"p{d}") if d > 1 else None
+            if d == 1:
+                uni_r = model.tables[0].select(
+                    F.col("w1").alias(f"w{n}"), F.col("p").alias("p1")
+                )
+                joined = joined.join(uni_r, [f"w{n}"], "left")
+                q = F.col("p1")
+            start = d + 1
+        else:
+            uni_r = model.tables[0].select(
+                F.col("w1").alias(f"w{n}"), F.col("p").alias("p1")
             )
-            joined = joined.join(kept_r, _wcols(k, offset=off), "left").join(
-                gam_r, _wcols(k - 1, offset=off), "left"
-            )
-        uni_r = model.tables[0].select(
-            F.col("w1").alias(f"w{n}"), F.col("p").alias("p1")
-        )
-        joined = joined.join(uni_r, [f"w{n}"], "left")
-        q = F.coalesce(F.col("p1"), floor_p)
-        for k in range(2, n + 1):
+            joined = joined.join(uni_r, [f"w{n}"], "left")
+            q = F.coalesce(F.col("p1"), floor_p)
+            start = 2
+        for k in range(start, n + 1):
             q = F.coalesce(
                 F.col(f"p{k}"),
                 F.round(
@@ -932,26 +978,33 @@ def kn_lm_scores_n_sql(
       FROM ctx{k}
     )"""
         )
-    # scored: left-join the kept tables + gammas, walk the cascade
+    # scored: left-join the kept tables + gammas, walk the cascade.
+    # Same truncation as the self-trained Spark path: at the deepest
+    # unpruned level d the join always matches, so deeper branches are
+    # dead code and their joins are omitted from the generated plan.
+    d_lvl = max(
+        k for k in range(1, n) if k == 1 or th.get(k, 1) <= 1
+    )
     joins = []
-    for k in range(n, 1, -1):
+    for k in range(n, max(d_lvl - 1, 1), -1):
         off = n - k
         on_kept = " AND ".join(
             f"dng.w{i + off} = t{k}.w{i}" for i in range(1, k + 1)
-        )
-        on_gam = " AND ".join(
-            f"dng.w{i + off} = gg{k}.w{i}" for i in range(1, k)
         )
         if th[k] > 1:
             kept_rel = f"(SELECT * FROM p{k} WHERE c >= {th[k]})"
         else:
             kept_rel = f"p{k}"
         joins.append(f"LEFT JOIN {kept_rel} t{k} ON {on_kept}")
-        joins.append(f"LEFT JOIN g{k} gg{k} ON {on_gam}")
-    joins.append(f"LEFT JOIN p1 t1 ON dng.w{n} = t1.w1")
-    floor_sql = f"round({b**n!r} / ntypes, 9)"
-    q = f"coalesce(t1.p, {floor_sql})"
-    for k in range(2, n + 1):
+        if k > d_lvl:
+            on_gam = " AND ".join(
+                f"dng.w{i + off} = gg{k}.w{i}" for i in range(1, k)
+            )
+            joins.append(f"LEFT JOIN g{k} gg{k} ON {on_gam}")
+    if d_lvl == 1:
+        joins.append(f"LEFT JOIN p1 t1 ON dng.w{n} = t1.w1")
+    q = f"t{d_lvl}.p"
+    for k in range(d_lvl + 1, n + 1):
         q = f"coalesce(t{k}.p, round(coalesce(gg{k}.g, 1.0) * {q}, 9))"
     parts.append(
         f"""

@@ -63,6 +63,7 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
          li AS ({_sql("language_id")}),
          fp AS ({_sql("doc_fingerprint")}),
          hf AS ({_sql("hashed_features_profile")}),
+         lm AS ({_sql("charlm_quality")}),
          rp AS ({_sql("repetition_stats")}),
          sm AS ({_sql("script_mix")}),
          he AS ({_sql("html_extract")}),
@@ -72,6 +73,7 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            fp.content_md5, fp.min_shingle_hash, fp.max_shingle_hash,
            fp.n_shingles,
            hf.n_dims, hf.l1_tokens, hf.l2_norm, hf.feature_md5,
+           lm.n_trigrams, lm.avg_tri_p,
            rp.dup_line_frac, rp.dup_line_char_frac,
            rp.top2gram_char_frac, rp.dup_5gram_frac, rp.rep_keep,
            sm.n_chars, sm.n_latin, sm.n_digit, sm.n_space, sm.n_cyrillic,
@@ -80,24 +82,27 @@ def _run(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
            he.extracted_md5, he.extracted_chars,
            sp.n_sentences, sp.total_sent_chars, sp.sentences_md5
     FROM ts JOIN li USING (doc_id) JOIN fp USING (doc_id)
-            JOIN hf USING (doc_id)
+            JOIN hf USING (doc_id) JOIN lm USING (doc_id)
             JOIN rp USING (doc_id) JOIN sm USING (doc_id)
             JOIN he USING (doc_id) JOIN sp USING (doc_id)
     """,
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: token/quality stats + language ID +
-    content fingerprint + Gopher repetition fractions + Unicode
-    script-mix composition in one row per doc. The three language-model
-    scoring arms (char-trigram, KN trigram, pruned KN 5-gram) moved to
-    their own ``lm_suite`` carrier in round 9 — a full LM estimation is
-    a query plan in its own right, and stacking three of them under the
-    profile was what pushed this carrier to 20 structural shuffles."""
+    content fingerprint + char-trigram LM typicality + Gopher
+    repetition fractions + Unicode script-mix composition in one row
+    per doc. The two word-level Kneser-Ney arms moved to the
+    ``lm_suite`` carrier in round 9 — a full KN estimation is a query
+    plan in its own right, and stacking both under the profile is what
+    pushed this carrier to 20 structural shuffles; the zero-vocabulary
+    char-trigram arm (5 shuffles) stays here, keeping both carriers
+    inside the audit guideline."""
     return (
         _run("text_stats", spark, sf_dir)
         .join(_run("language_id", spark, sf_dir), "doc_id")
         .join(_run("doc_fingerprint", spark, sf_dir), "doc_id")
         .join(_run("hashed_features_profile", spark, sf_dir), "doc_id")
+        .join(_run("charlm_quality", spark, sf_dir), "doc_id")
         .join(_run("repetition_stats", spark, sf_dir), "doc_id")
         .join(_run("script_mix", spark, sf_dir), "doc_id")
         .join(_run("html_extract", spark, sf_dir), "doc_id")
@@ -116,40 +121,33 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lm_suite",
     f"""
-    WITH lm AS ({_sql("charlm_quality")}),
-         kn AS ({_sql("kn_lm_quality")}),
+    WITH kn AS ({_sql("kn_lm_quality")}),
          k5 AS ({_sql("kn5_lm_quality")})
-    SELECT lm.doc_id, lm.n_trigrams, lm.avg_tri_p,
+    SELECT kn.doc_id,
            kn.n_trigrams AS kn_trigrams, kn.avg_p AS kn_avg_p,
            k5.n_ngrams AS kn5_ngrams, k5.avg_p AS kn5_avg_p
-    FROM lm JOIN kn USING (doc_id) JOIN k5 USING (doc_id)
+    FROM kn JOIN k5 USING (doc_id)
     """,
 )
 def q_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The language-model quality-scoring surface in one row per doc:
-    char-trigram typicality (zero-vocabulary CCNet analog), word-level
-    interpolated Kneser-Ney trigram ``avg_p`` (the bit-portable gate of
-    the full KN estimation), and the round-9 pruned 5-gram KN ``avg_p``
-    (which additionally pins the KenLM-style pruned-mass backoff
-    cascade — every singleton 5-gram walks γ₅·P₄ in both engines)."""
-    return (
-        _run("charlm_quality", spark, sf_dir)
-        .join(
-            _run("kn_lm_quality", spark, sf_dir).select(
-                "doc_id",
-                F.col("n_trigrams").alias("kn_trigrams"),
-                F.col("avg_p").alias("kn_avg_p"),
-            ),
+    """The word-level Kneser-Ney scoring surface in one row per doc:
+    the interpolated trigram ``avg_p`` (the bit-portable gate of the
+    full KN estimation) and the round-9 pruned 5-gram ``avg_p`` (which
+    additionally pins the KenLM-style pruned-mass backoff cascade —
+    every singleton 5-gram walks γ₅·P₄ in both engines). The
+    char-trigram arm stays on ``text_profile``; splitting the word
+    models out keeps both carriers inside the plan-audit guideline."""
+    return _run("kn_lm_quality", spark, sf_dir).select(
+        "doc_id",
+        F.col("n_trigrams").alias("kn_trigrams"),
+        F.col("avg_p").alias("kn_avg_p"),
+    ).join(
+        _run("kn5_lm_quality", spark, sf_dir).select(
             "doc_id",
-        )
-        .join(
-            _run("kn5_lm_quality", spark, sf_dir).select(
-                "doc_id",
-                F.col("n_ngrams").alias("kn5_ngrams"),
-                F.col("avg_p").alias("kn5_avg_p"),
-            ),
-            "doc_id",
-        )
+            F.col("n_ngrams").alias("kn5_ngrams"),
+            F.col("avg_p").alias("kn5_avg_p"),
+        ),
+        "doc_id",
     )
 
 
@@ -2198,9 +2196,9 @@ COVERED_BY: dict[str, str] = {
     # curation surface as one more doc-key LEFT join (community_id)
     "dedup_communities": "corpus_curation",
     "script_mix": "text_profile",
-    # r9: the three LM scoring arms moved off text_profile into their
-    # own lm_suite carrier (a full LM estimation is its own query plan)
-    "charlm_quality": "lm_suite",
+    "charlm_quality": "text_profile",
+    # r9: the two word-level KN arms moved off text_profile into their
+    # own lm_suite carrier (a full KN estimation is its own query plan)
     "kn_lm_quality": "lm_suite",
     # r9: pruned order-5 KN — the γ-cascade path the trigram row can't
     # exercise
