@@ -74,6 +74,15 @@ def build_session(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and bench
     share the driver's CPU budget.
     """
+    # NumPy ≥1.22 madvise(MADV_HUGEPAGE)s every large allocation; under
+    # THP "madvise" mode on a memory-fragmented host each hugepage fault
+    # can stall in synchronous compaction — measured on this box: an
+    # 80 MB array FILL at 8 MB/s (10 s!) vs 0.04 s with the madvise off,
+    # a 250× swing that silently poisons every Arrow/pandas-UDF worker
+    # (the BM25 GEMM scorer first exposed it). Off by default for the
+    # driver AND the forked Python workers, which inherit this env; an
+    # explicit setting wins.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -81,6 +90,10 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config(
+            "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE",
+            os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0"),
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
