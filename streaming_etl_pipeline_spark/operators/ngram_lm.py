@@ -1029,3 +1029,73 @@ def kn_lm_scores_n_sql(
     FROM scored
     """
     )
+
+
+def save_kn_model_n(model: KNModelN, path: str) -> None:
+    """Persist an order-n pruned model (format 2): one parquet table
+    per order (kept probabilities) + one per context level (γ backoff
+    weights) + a meta file via the Hadoop FileSystem API. 9 dp doubles
+    and exact ints throughout — the round-trip is bit-exact."""
+    import json
+    import os
+
+    for k, t in enumerate(model.tables, start=1):
+        t.write.mode("overwrite").parquet(os.path.join(path, f"t{k}"))
+    for k, g in enumerate(model.gammas, start=2):
+        g.write.mode("overwrite").parquet(os.path.join(path, f"g{k}"))
+    meta = {
+        "format": 2,
+        "order": model.order,
+        "n_bigram_types": model.n_bigram_types,
+        "min_counts": list(model.min_counts),
+    }
+    _hadoop_write_text(
+        model.tables[0].sparkSession,
+        os.path.join(path, "meta.json"),
+        json.dumps(meta),
+    )
+
+
+def load_kn_model_n(spark, path: str) -> KNModelN:
+    """Load a :func:`save_kn_model_n` artifact (tables come back
+    persisted — a loaded model exists to be scored repeatedly)."""
+    import json
+    import os
+
+    from pyspark import StorageLevel
+
+    meta = json.loads(_hadoop_read_text(spark, os.path.join(path, "meta.json")))
+    if meta.get("format") != 2:
+        raise ValueError(
+            f"unsupported kn model format: {meta.get('format')!r}"
+        )
+    order = int(meta["order"])
+    ld = lambda name: (  # noqa: E731
+        spark.read.parquet(os.path.join(path, name)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    return KNModelN(
+        order=order,
+        tables=tuple(ld(f"t{k}") for k in range(1, order + 1)),
+        gammas=tuple(ld(f"g{k}") for k in range(2, order + 1)),
+        n_bigram_types=int(meta["n_bigram_types"]),
+        min_counts=tuple(int(m) for m in meta["min_counts"]),
+    )
+
+
+def load_any_kn_model(spark, path: str):
+    """Dispatch on the artifact's format: a trigram :class:`KNModel`
+    (format 1, :func:`save_kn_model`) or an order-n :class:`KNModelN`
+    (format 2, :func:`save_kn_model_n`) — the score-side loader for
+    CLIs that accept either."""
+    import json
+    import os
+
+    meta = json.loads(_hadoop_read_text(spark, os.path.join(path, "meta.json")))
+    fmt = meta.get("format")
+    if fmt == 1:
+        return load_kn_model(spark, path)
+    if fmt == 2:
+        return load_kn_model_n(spark, path)
+    raise ValueError(f"unsupported kn model format: {fmt!r}")

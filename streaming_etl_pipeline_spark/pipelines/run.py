@@ -186,23 +186,36 @@ def make_parser() -> argparse.ArgumentParser:
     bn.add_argument("--output", required=True, help="count store dir out")
     bn.add_argument("--id-col", default="doc_id")
     bn.add_argument("--text-col", default="text")
+    bn.add_argument(
+        "--order", type=int, default=3,
+        help="n-gram order of the store (3 keeps the frozen trigram "
+        "layout; other orders store (w1..wN, c))",
+    )
 
     fl = sub.add_parser(
         "fit-lm",
-        help="fit the Kneser-Ney trigram model on a corpus and save "
-        "the probability tables (fit-once/score-many artifact; "
-        "score-lm --model consumes it)",
+        help="fit a Kneser-Ney model on a corpus and save the "
+        "probability tables (fit-once/score-many artifact; score-lm "
+        "--model consumes it). --order 3 with no pruning saves the "
+        "trigram artifact (format 1); any other order/min-count saves "
+        "the pruned order-n artifact (format 2)",
     )
     fl.add_argument("--input", required=True, help="parquet with doc_id,text")
     fl.add_argument("--output", required=True, help="model dir out")
     fl.add_argument("--text-col", default="text")
+    fl.add_argument("--order", type=int, default=3, help="n-gram order")
+    fl.add_argument(
+        "--min-count", type=int, default=1,
+        help="KenLM-style top-order count prune (1 = keep all)",
+    )
 
     sl = sub.add_parser(
         "score-lm",
-        help="per-document Kneser-Ney trigram log-prob: self-trained "
-        "on the input by default, or scored against the model "
-        "rebuilt from a streaming n-gram count store (--model-store) "
-        "with stupid-backoff for OOV n-grams",
+        help="per-document Kneser-Ney log-prob: self-trained on the "
+        "input by default, or scored against the model rebuilt from a "
+        "streaming n-gram count store (--model-store) or a saved "
+        "fit-lm artifact (--model, either format) with backoff for "
+        "OOV n-grams",
     )
     sl.add_argument("--input", required=True, help="parquet with doc_id,text")
     sl.add_argument("--output", required=True, help="score parquet out")
@@ -213,11 +226,21 @@ def make_parser() -> argparse.ArgumentParser:
     )
     sl.add_argument(
         "--model", default=None,
-        help="saved model dir (fit-lm output) — mutually exclusive "
-        "with --model-store",
+        help="saved model dir (fit-lm output, format 1 or 2) — "
+        "mutually exclusive with --model-store",
     )
     sl.add_argument("--id-col", default="doc_id")
     sl.add_argument("--text-col", default="text")
+    sl.add_argument(
+        "--order", type=int, default=3,
+        help="n-gram order for self-training or --model-store refits "
+        "(a --model artifact carries its own order)",
+    )
+    sl.add_argument(
+        "--min-count", type=int, default=1,
+        help="top-order count prune for self-training or --model-store "
+        "refits",
+    )
 
     ra = sub.add_parser(
         "retrain-ann",
@@ -519,16 +542,24 @@ def main(argv: list[str] | None = None) -> int:
         ngram_counts_batch(
             docs, 0, args.output,
             id_col=args.id_col, text_col=args.text_col,
-            run_token="batch",
+            run_token="batch", order=args.order,
         )
         metrics["ngram_store.docs"] = docs.count()
     if args.cmd == "fit-lm":
         from streaming_etl_pipeline_spark.operators import ngram_lm as NL
 
         docs = spark.read.parquet(args.input)
-        model = NL.kn_lm_fit(docs, text_col=args.text_col)
-        NL.save_kn_model(model, args.output)
-        metrics["fit_lm.tri_types"] = model.tri.count()
+        if args.order == 3 and args.min_count <= 1:
+            model = NL.kn_lm_fit(docs, text_col=args.text_col)
+            NL.save_kn_model(model, args.output)
+            metrics["fit_lm.tri_types"] = model.tri.count()
+        else:
+            model = NL.kn_lm_fit_n(
+                docs, order=args.order, text_col=args.text_col,
+                min_count=args.min_count,
+            )
+            NL.save_kn_model_n(model, args.output)
+            metrics["fit_lm.top_types"] = model.tables[-1].count()
         metrics["fit_lm.n_bigram_types"] = float(model.n_bigram_types)
     if args.cmd == "score-lm":
         from streaming_etl_pipeline_spark.operators import ngram_lm as NL
@@ -538,16 +569,33 @@ def main(argv: list[str] | None = None) -> int:
         if args.model and args.model_store:
             raise SystemExit("--model and --model-store are exclusive")
         if args.model:
-            model = NL.load_kn_model(spark, args.model)
+            model = NL.load_any_kn_model(spark, args.model)
         elif args.model_store:
             from streaming_etl_pipeline_spark.streaming.ingest import (
                 kn_lm_fit_from_store,
             )
 
-            model = kn_lm_fit_from_store(spark, args.model_store)
-        scored = NL.kn_lm_scores(
-            docs, id_col=args.id_col, text_col=args.text_col, model=model
+            model = kn_lm_fit_from_store(
+                spark, args.model_store,
+                order=args.order, min_count=args.min_count,
+            )
+        order_n = (
+            model.order
+            if isinstance(model, NL.KNModelN)
+            else (3 if model is not None else args.order)
         )
+        if order_n == 3 and not isinstance(model, NL.KNModelN) and (
+            args.min_count <= 1 or model is not None
+        ):
+            scored = NL.kn_lm_scores(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                model=model,
+            )
+        else:
+            scored = NL.kn_lm_scores_n(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                order=order_n, model=model, min_count=args.min_count,
+            )
         scored.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         metrics["score_lm.docs"] = out.count()

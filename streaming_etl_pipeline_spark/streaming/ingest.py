@@ -1568,8 +1568,18 @@ def kn_lm_fit_from_store(
         )
     tt = tt.filter(F.col(cnt_col) > 0)
     d = NL.KN_DISCOUNT if discount is None else discount
-    if order == 3:
+    prune = NL._norm_prune(order, min_count) if order != 3 else (
+        {3: int(min_count)} if not isinstance(min_count, dict) else min_count
+    )
+    if order == 3 and all(m <= 1 for m in prune.values()):
         return NL.kn_model_from_counts(tt, discount=d)
+    if order == 3:
+        # pruned trigram: served by the order-n module (count column
+        # renamed to its (w1..wn, c) convention)
+        tt = tt.select(
+            F.col("u").alias("w1"), F.col("v").alias("w2"),
+            F.col("w").alias("w3"), F.col("c3").alias("c"),
+        )
     return NL.kn_model_from_counts_n(
         tt, order, discount=d, min_count=min_count
     )

@@ -560,6 +560,68 @@ def test_cli_score_lm_self_and_store(spark, tmp_path, capsys):
     assert from_model == cli
 
 
+def test_cli_score_lm_order5_pruned(spark, tmp_path, capsys):
+    """r9 order-n CLI legs: fit-lm --order 5 --min-count 2 saves the
+    format-2 artifact; score-lm --model over the SAME corpus reproduces
+    the self-trained pruned scores bit-for-bit (the saved-model cascade
+    equals the in-memory one); an order-5 CLI-built store feeds
+    score-lm --model-store --order 5 with the bit-identical model."""
+    import json
+
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+    from streaming_etl_pipeline_spark.pipelines.run import main
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    out1 = str(tmp_path / "scores5_self")
+    rc = main(
+        ["score-lm", "--input", docs_path, "--output", out1,
+         "--order", "5", "--min-count", "2"]
+    )
+    assert rc == 0
+    cli = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    lib = sorted(
+        tuple(r)
+        for r in NL.kn_lm_scores_n(docs, order=5, min_count=2).collect()
+    )
+    assert cli == lib
+
+    mdir = str(tmp_path / "kn5_model")
+    rc = main(
+        ["fit-lm", "--input", docs_path, "--output", mdir,
+         "--order", "5", "--min-count", "2"]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["fit_lm.top_types"] > 0
+    out2 = str(tmp_path / "scores5_model")
+    rc = main(
+        ["score-lm", "--input", docs_path, "--output", out2,
+         "--model", mdir]
+    )
+    assert rc == 0
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out2).collect()
+    ) == cli
+
+    # order-5 store seed -> store-backed scoring, same pruned model
+    store = str(tmp_path / "ngram5_store")
+    rc = main(
+        ["build-ngram-store", "--input", docs_path, "--output", store,
+         "--order", "5"]
+    )
+    assert rc == 0
+    out3 = str(tmp_path / "scores5_store")
+    rc = main(
+        ["score-lm", "--input", docs_path, "--output", out3,
+         "--model-store", store, "--order", "5", "--min-count", "2"]
+    )
+    assert rc == 0
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(out3).collect()
+    ) == cli
+
+
 def test_curate_corpus_extract_html(spark, tmp_path):
     """extract_html=True: markup is stripped BEFORE quality/dedup, so an
     HTML-wrapped twin of a plain doc exact-dedups against it, and tag
