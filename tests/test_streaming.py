@@ -1710,6 +1710,40 @@ def test_streaming_ngram_count_sink_order5(spark, tmp_path):
         kn_lm_fit_from_store(spark, store, order=3)
 
 
+def test_kn_store_pruned_trigram_routes_through_order_n(spark, tmp_path):
+    """min_count > 1 on a TRIGRAM store must not be silently ignored:
+    the store fit routes through the order-n module (columns renamed to
+    its convention) and equals the pruned batch refit bit-for-bit."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+    from streaming_etl_pipeline_spark.streaming.ingest import (
+        kn_lm_fit_from_store,
+        ngram_counts_batch,
+    )
+
+    store = str(tmp_path / "tri_store")
+    b = [(i, f"the shared phrase w{i % 2} unique{i}") for i in range(8)]
+    ngram_counts_batch(
+        spark.createDataFrame(b, "doc_id long, text string"),
+        0, store, run_token="runP",
+    )
+    got = kn_lm_fit_from_store(spark, store, order=3, min_count=2)
+    assert isinstance(got, NL.KNModelN) and got.order == 3
+    ref = NL.kn_lm_fit_n(
+        spark.createDataFrame(b, "doc_id long, text string"),
+        order=3, min_count=2,
+    )
+    def sig(m):
+        return (
+            tuple(sorted(tuple(r) for r in t.collect()) for t in m.tables),
+            tuple(sorted(tuple(r) for r in g.collect()) for g in m.gammas),
+            m.n_bigram_types,
+        )
+    assert sig(got) == sig(ref)
+    # kept table really pruned: fewer rows than the unpruned trigram fit
+    full = kn_lm_fit_from_store(spark, store)
+    assert got.tables[2].count() < full.tri.count()
+
+
 def test_ngram_count_store_compaction_preserves_model(spark, tmp_path):
     """The n-gram count store is a token-namespaced ingest store like
     the BM25/ANN/dedup ones, so compact_ingest_store applies: folding
