@@ -69,6 +69,29 @@ PLAN_GATES = [
 ]
 
 
+def test_kn5_cascade_stays_truncated(spark):
+    """r9: the self-trained pruned order-5 scorer joins exactly THREE
+    model tables (kept₅, γ₅, kept₄) — the cascade truncation at the
+    deepest unpruned level. A regression re-planning the full
+    2n−1-join ladder (9 joins at order 5) would roughly double the
+    lm_suite carrier's width and the sf0.1 gate's LM wall. Join-count
+    bound covers estimation too: 4 chain joins (p₂..p₅ each join the
+    level below) + 3 scoring joins, with slack for AQE reads."""
+    spark.catalog.clearCache()
+    c = _plan_counts(spark, "kn5_lm_quality")
+    # the precise witness: the scoring projection coalesces p5 over
+    # γ5·p4 and the deeper cascade columns (γ4..γ2, p3, p2, p1) never
+    # enter the plan — they only exist if their joins planned
+    assert "coalesce(p5" in c["plan"]
+    for dead in ("g4#", "g3#", "g2#", "p3#", "p2#", "p1#"):
+        assert dead not in c["plan"], f"dead cascade level joined: {dead}"
+    # secondary textual bound (cached subtrees re-print, so this is
+    # looser than the structural audit's 7): full-ladder regressions
+    # land well above it
+    joins = c["bcast"] + c["smj"] + c["plan"].count("ShuffledHashJoin")
+    assert joins <= 13, f"kn5 cascade re-widened: {joins} joins\n{c['plan'][:3000]}"
+
+
 @pytest.mark.parametrize("name,max_sh,min_bc,max_smj", PLAN_GATES)
 def test_plan_shape(spark, name, max_sh, min_bc, max_smj):
     c = _plan_counts(spark, name)
