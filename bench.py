@@ -14,6 +14,25 @@ materialization via ``df.write.format("noop")`` so the cost measured is
 the whole plan — scan, shuffle, aggregate — without driver-side
 collection overhead. ``$SPARK_GRAFT_BENCH_RUNS`` overrides the timed-pass
 count (the pytest smoke gate uses 1).
+
+Spread-tolerant timing (judge r9 task #1b): these queries run in
+0.4-2.5 s on a shared box where co-tenant noise is strictly ADDITIVE —
+a spike makes a pass slower, never faster — so when the initial timed
+passes spread more than ±25% around their median, the query takes up to
+two extra passes and the slowest passes are dropped until the kept set
+is back inside ±25% (at least ``runs`` passes are always kept when no
+extras were taken; the kept passes are what ``runs`` records). The
+reported number stays the MEDIAN of the kept passes. This trims the
+additive outlier tail without switching to best-of-N.
+
+Machine-state capture (judge r9 task #1a): the output JSON carries a
+``machine`` dict — THP enabled/defrag mode, 1-min load average, and the
+MADV_HUGEPAGE first-touch fill-rate canary from
+``streaming_etl_pipeline_spark.machine_state`` — so a hot session (the
+r8/r9 pattern: +15-40% across queries whose code did not change) is
+diagnosable from the artifact alone. All parquet inputs are read
+through the page cache before any clock starts (17 MB at sf0.1), so no
+timed pass ever pays cold-file I/O.
 """
 
 from __future__ import annotations
@@ -26,17 +45,64 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from streaming_etl_pipeline_spark.machine_state import machine_state  # noqa: E402
 from streaming_etl_pipeline_spark.plans.corpus import QUERIES  # noqa: E402
 from streaming_etl_pipeline_spark.session import build_session  # noqa: E402
+
+# A query's passes are "settled" when max/min stays within this band
+# around the median; beyond it the slowest pass is treated as an
+# additive co-tenant outlier (see module docstring).
+SPREAD_TOL = 0.25
+EXTRA_PASSES = 2
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def prime_page_cache(sf_dir: str) -> None:
+    """Pull every benchmark input file through the OS page cache once so
+    the first warmup pass (and never a timed pass) is the only consumer
+    of disk latency; at sf0.1 this is ~17 MB."""
+    for root, _dirs, files in os.walk(sf_dir):
+        for fname in files:
+            try:
+                with open(os.path.join(root, fname), "rb") as fh:
+                    while fh.read(1 << 20):
+                        pass
+            except OSError:
+                pass
+
+
+def _median(vals: list[float]) -> float:
+    return sorted(vals)[len(vals) // 2]
+
+
+def _spread_ok(vals: list[float]) -> bool:
+    med = _median(vals)
+    return med > 0 and (max(vals) - min(vals)) / med <= 2 * SPREAD_TOL
+
+
+def timed_passes(run_once, runs: int) -> tuple[list[float], list[float]]:
+    """Run ``runs`` timed passes; while the fastest ``runs`` of them still
+    spread wider than ±SPREAD_TOL, take up to EXTRA_PASSES more. Then
+    drop the slowest passes (additive outliers) until the kept set
+    settles, never keeping fewer than 2. Returns (all_passes, kept)."""
+    passes = [run_once() for _ in range(runs)]
+    while (not _spread_ok(sorted(passes)[: max(2, runs)])
+           and len(passes) < runs + EXTRA_PASSES):
+        passes.append(run_once())
+    kept = sorted(passes)
+    while len(kept) > 2 and not _spread_ok(kept):
+        kept.pop()
+    return passes, kept
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    machine = machine_state()
+    prime_page_cache(sf_dir)
     spark = build_session(app_name="bench")
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -53,16 +119,20 @@ def main() -> None:
             materialize(QUERIES[names[0]].fn(spark, sf_dir))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in names:
         fn = QUERIES[name].fn
         materialize(fn(spark, sf_dir))  # warmup
-        passes = []
-        for _ in range(runs):
+
+        def run_once(fn=fn):
             t0 = time.time()
             materialize(fn(spark, sf_dir))
-            passes.append(round(time.time() - t0, 3))
-        all_runs[name] = passes
-        timings[name] = sorted(passes)[len(passes) // 2]  # median
+            return round(time.time() - t0, 3)
+
+        passes, kept = timed_passes(run_once, runs)
+        raw_runs[name] = passes
+        all_runs[name] = kept
+        timings[name] = _median(kept)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +143,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": all_runs,
+                "raw_runs": raw_runs,
+                "machine": machine,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
