@@ -668,9 +668,21 @@ def pagerank(
                 + 0.5
             )
         ranks = step.select("node", new_rank.cast("long").alias("rank_u"))
-    return ranks.select(
+    result = ranks.select(
         "node", (F.col("rank_u") / F.lit(float(scale))).alias("rank")
     )
+    if salted:
+        # ADVICE r9: the salted edge copy and the hubs frame are
+        # per-CALL caches of a crawl-sized list — left persisted,
+        # repeated salted runs over one PreparedGraph leak a cached
+        # edge copy each. Materialize the node-sized result (eager
+        # localCheckpoint truncates its lineage off the salted frames),
+        # then release both; the PreparedGraph's own caches stay — their
+        # reuse across calls is the intentional contract.
+        result = result.localCheckpoint(eager=True)
+        ed.unpersist()
+        hubs.unpersist()
+    return result
 
 
 def pagerank_sql(

@@ -149,7 +149,7 @@ def kmv_overlap(
     value_col: str,
     k: int = 64,
     sketch: DataFrame | None = None,
-    max_groups: int = KMV_OVERLAP_MAX_GROUPS,
+    max_groups: int | None = KMV_OVERLAP_MAX_GROUPS,
 ) -> DataFrame:
     """Pairwise set-operation estimates between every two groups, from
     their KMV sketches alone (Beyer et al., "On Synopses for Distinct-
@@ -184,7 +184,12 @@ def kmv_overlap(
     the group count is checked (one sketch-sized count action) against
     ``max_groups`` and the call raises rather than launching a job that
     cannot finish. Raise the bound explicitly if you truly want a
-    larger matrix.
+    larger matrix, or pass ``max_groups=None`` to skip the guard (and
+    its blocking count action) entirely — the intended shape for the
+    explicit ``sketch=`` path, where the caller has already sized the
+    group set and the extra job buys nothing (ADVICE r9; the default
+    guard was new in r9 — pre-r9 callers above 1,000 groups must now
+    opt in, which is the point: the quadratic job should be loud).
     """
     if sketch is not None:
         sk = sketch
@@ -197,14 +202,16 @@ def kmv_overlap(
             StorageLevel.MEMORY_AND_DISK
         )
     ga = sk.select(F.col(group_col).alias("group_a")).distinct()
-    n_groups = ga.count()  # sketch-grain scalar — bounded
-    if n_groups > max_groups:
-        raise ValueError(
-            f"kmv_overlap: {n_groups} groups would build a "
-            f"{n_groups}×{n_groups} pair matrix (max_groups="
-            f"{max_groups}); pass a coarser group_col or raise "
-            "max_groups explicitly"
-        )
+    if max_groups is not None:
+        n_groups = ga.count()  # sketch-grain scalar — bounded
+        if n_groups > max_groups:
+            raise ValueError(
+                f"kmv_overlap: {n_groups} groups would build a "
+                f"{n_groups}×{n_groups} pair matrix (max_groups="
+                f"{max_groups}); pass a coarser group_col, raise "
+                "max_groups explicitly, or pass max_groups=None for an "
+                "intentionally unbounded matrix"
+            )
     pairs = ga.join(
         ga.select(F.col("group_a").alias("group_b")),
         F.col("group_a") < F.col("group_b"),

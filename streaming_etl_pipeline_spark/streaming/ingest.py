@@ -1554,6 +1554,26 @@ def kn_lm_fit_from_store(
             f"store at {store_path} does not hold order-{order} counts "
             f"(columns {raw.columns})"
         )
+    # Reject a HIGHER-order store too (ADVICE r9): order=4 against an
+    # order-5 store has w1..w4 present, so the key check alone would let
+    # groupBy(w1..w4).sum(c) silently fold 5-gram type counts into a
+    # wrong prefix-count model. Any n-gram key column beyond this order
+    # (w{order+1}, or any w\d at all for the u/v/w trigram layout) means
+    # the store was written at a different order — mixing orders raises.
+    import re as _re
+
+    ngram_cols = {c for c in raw.columns if _re.fullmatch(r"w\d+", c)}
+    extra = (
+        ngram_cols if order == 3
+        else {c for c in ngram_cols if int(c[1:]) > order}
+    )
+    if extra:
+        raise ValueError(
+            f"store at {store_path} holds higher-order counts (columns "
+            f"{sorted(extra)} beyond order {order}); summing them away "
+            f"would NOT give order-{order} type counts — refit the "
+            "store at the requested order instead"
+        )
     tt = (
         raw.groupBy(*keys)
         .agg(F.sum(cnt_col).alias(cnt_col))

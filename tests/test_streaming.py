@@ -1708,6 +1708,11 @@ def test_streaming_ngram_count_sink_order5(spark, tmp_path):
     # schema guard: order mismatch is loud
     with _pytest.raises(ValueError, match="order-3"):
         kn_lm_fit_from_store(spark, store, order=3)
+    # ADVICE r9: a LOWER order whose key columns all exist (order=4 vs
+    # this order-5 store: w1..w4 present) must raise too — summing c
+    # over w5 folds 5-gram type counts into a wrong prefix-count model.
+    with _pytest.raises(ValueError, match="higher-order counts"):
+        kn_lm_fit_from_store(spark, store, order=4)
 
 
 def test_kn_store_pruned_trigram_routes_through_order_n(spark, tmp_path):
