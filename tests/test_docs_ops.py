@@ -1318,6 +1318,78 @@ def test_kn5_external_model_oov_and_order_mismatch(spark):
         NL.kn_lm_fit_n(a, order=3, min_count={7: 2})
 
 
+def test_kn_lm_suite_scores_bit_identical_to_standalone_arms(spark):
+    """r10 (judge r9 task #2): the fused suite — one text explode, the
+    trigram model's lower levels shared with the order-5 chain (the
+    continuation-count identity), scoring through the fit's q table —
+    must equal running kn_lm_scores and kn_lm_scores_n separately,
+    bit-for-bit, for unpruned / top-pruned / dict-pruned (live γ₄)
+    models, including empty/NULL/one-word documents."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    rows = [
+        Row(doc_id=i, text=f"the cat sat on the mat {i % 3} and ran {i % 2}")
+        for i in range(24)
+    ] + [
+        Row(doc_id=100, text=""),
+        Row(doc_id=101, text=None),
+        Row(doc_id=102, text="one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = {r.doc_id: r for r in NL.kn_lm_scores(df).collect()}
+    for mc in (1, 2, {4: 2, 5: 2}):
+        suite = {
+            r.doc_id: r
+            for r in NL.kn_lm_suite_scores(df, order=5, min_count=mc).collect()
+        }
+        k5 = {
+            r.doc_id: r
+            for r in NL.kn_lm_scores_n(df, order=5, min_count=mc).collect()
+        }
+        assert set(suite) == set(kn) == set(k5)
+        for did, s in suite.items():
+            assert s.n_ngrams == kn[did].n_trigrams == k5[did].n_ngrams
+            assert s.kn_avg_p == kn[did].avg_p
+            assert s.kn_avg_logp == kn[did].avg_logp
+            assert s.kn5_avg_p == k5[did].avg_p, (mc, did)
+            assert s.kn5_avg_logp == k5[did].avg_logp, (mc, did)
+    # levels 1-2 must be unpruned for the sharing to be legal
+    with pytest.raises(ValueError, match="unpruned"):
+        NL.kn_lm_suite_scores(df, order=5, min_count={2: 2, 5: 2})
+    with pytest.raises(ValueError, match="order <= 3"):
+        NL.kn_lm_suite_scores(df, order=3)
+
+
+def test_kn_qtab_scoring_equals_cascade_walk(spark):
+    """The fit's inline q column (scoring value computed inside the
+    level joins) equals walking the kept/γ cascade explicitly — the
+    9 dp γ-first-then-product rounding must match exactly."""
+    from streaming_etl_pipeline_spark.operators import ngram_lm as NL
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"alpha beta gamma delta {i % 4} end {i % 2}")
+            for i in range(20)
+        ]
+    )
+    m = NL.kn_lm_fit_n(df, order=4, min_count={3: 2, 4: 2})
+    assert m.qtab is not None
+    dng = NL.doc_ngrams(df, 4, "doc_id", "text")
+    joined, p = NL._cascade_joins(dng, m, 4, d=2, floor_p=None)
+    via_cascade = sorted(
+        (r.doc_id,) + tuple(r[f"w{i}"] for i in range(1, 5)) + (r.asDict()["_pc"],)
+        for r in joined.select("doc_id", *[f"w{i}" for i in range(1, 5)],
+                               p.alias("_pc")).collect()
+    )
+    via_q = sorted(
+        (r.doc_id,) + tuple(r[f"w{i}"] for i in range(1, 5)) + (r.q,)
+        for r in dng.join(m.qtab, [f"w{i}" for i in range(1, 5)])
+        .select("doc_id", *[f"w{i}" for i in range(1, 5)], "q")
+        .collect()
+    )
+    assert via_cascade == via_q
+
+
 def test_kn_model_unpersist_releases_every_pinned_block(spark):
     """ADVICE r9: repeated fits in a long-lived session leak
     MEMORY_AND_DISK blocks — model.unpersist() must release the

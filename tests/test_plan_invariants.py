@@ -70,26 +70,30 @@ PLAN_GATES = [
 
 
 def test_kn5_cascade_stays_truncated(spark):
-    """r9: the self-trained pruned order-5 scorer joins exactly THREE
-    model tables (kept₅, γ₅, kept₄) — the cascade truncation at the
-    deepest unpruned level. A regression re-planning the full
-    2n−1-join ladder (9 joins at order 5) would roughly double the
-    lm_suite carrier's width and the sf0.1 gate's LM wall. Join-count
-    bound covers estimation too: 4 chain joins (p₂..p₅ each join the
-    level below) + 3 scoring joins, with slack for AQE reads."""
+    """r9, reshaped r10: the self-trained pruned order-5 scorer now
+    joins exactly ONE table — the fit's score table ``qtab``, whose q
+    column evaluates the γ·q backoff cascade INSIDE the fit's existing
+    level joins (with the r10 dict pruning ``{4: 2, 5: 2}`` a live γ₄
+    is oracle-gated through it, judge r9 task #8). A regression
+    re-planning the kept/γ join ladder at scoring time (up to 2n−1
+    joins at order 5) would roughly double the lm_suite carrier's width
+    and the sf0.1 gate's LM wall. Join-count bound covers estimation
+    too: 4 chain joins (p₂..p₅ each join the level below) + 1 scoring
+    join, with slack for AQE reads."""
     spark.catalog.clearCache()
     c = _plan_counts(spark, "kn5_lm_quality")
-    # the precise witness: the scoring projection coalesces p5 over
-    # γ5·p4 and the deeper cascade columns (γ4..γ2, p3, p2, p1) never
-    # enter the plan — they only exist if their joins planned
-    assert "coalesce(p5" in c["plan"]
-    for dead in ("g4#", "g3#", "g2#", "p3#", "p2#", "p1#"):
-        assert dead not in c["plan"], f"dead cascade level joined: {dead}"
+    # the precise witness: the scoring side projects the fit's q column
+    # and NO kept/γ scoring columns (p5..p1, g5..g2 aliases only exist
+    # if the ladder's joins planned)
+    assert "q#" in c["plan"]
+    for dead in ("g5#", "g4#", "g3#", "g2#", "p5#", "p4#", "p3#",
+                 "p2#", "p1#"):
+        assert dead not in c["plan"], f"cascade ladder joined: {dead}"
     # secondary textual bound (cached subtrees re-print, so this is
-    # looser than the structural audit's 7): full-ladder regressions
-    # land well above it
+    # looser than the structural audit): ladder regressions land well
+    # above it
     joins = c["bcast"] + c["smj"] + c["plan"].count("ShuffledHashJoin")
-    assert joins <= 13, f"kn5 cascade re-widened: {joins} joins\n{c['plan'][:3000]}"
+    assert joins <= 10, f"kn5 scoring re-widened: {joins} joins\n{c['plan'][:3000]}"
 
 
 @pytest.mark.parametrize("name,max_sh,min_bc,max_smj", PLAN_GATES)
