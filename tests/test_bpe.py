@@ -92,6 +92,71 @@ def test_bpe_encode_overlap_and_roundtrip(spark):
     assert "".join(out) == "aaabanana"
 
 
+def test_train_bpe_local_bit_identical_to_distributed(spark):
+    """r10 (judge r9 task #3): the driver-side heap trainer over the
+    collected word-type histogram equals the distributed per-merge
+    trainer bit-for-bit under the same (count DESC, pair ASC) tie
+    order — on the golden corpus AND a messier one with ties, unicode
+    and early-stop."""
+    df = spark.createDataFrame([Row(text=t) for t in TEXTS])
+    assert bpe.train_bpe_local(df, "text", num_merges=12) == bpe.train_bpe(
+        df, "text", num_merges=12
+    )
+    messy = [
+        "ab ab ba ba",            # count ties broken by pair string
+        "héllo héllo héllo über", # multibyte UTF-8 (byte order = cp order)
+        "zzz zz z",
+        "one",
+    ]
+    df2 = spark.createDataFrame([Row(text=t) for t in messy])
+    for k in (1, 3, 8, 50):
+        assert bpe.train_bpe_local(df2, "text", num_merges=k) == (
+            bpe.train_bpe(df2, "text", num_merges=k)
+        ), k
+
+
+def test_train_bpe_local_max_types_cutoff_reports_coverage(spark):
+    """Above max_types the trainer applies a min-count cutoff chosen
+    from the count-of-counts histogram and warns with the retained
+    token-mass coverage; training then runs over the kept types only."""
+    import warnings
+
+    import pytest as _pytest
+
+    rows = [Row(text="common common common common rare" + str(i))
+            for i in range(30)]
+    df = spark.createDataFrame(rows)
+    with _pytest.warns(RuntimeWarning, match="token mass"):
+        merges = bpe.train_bpe_local(df, "text", num_merges=5, max_types=5)
+    # the kept table is dominated by 'common'; its merges must come out
+    assert ("c", "o") in merges or ("o", "m") in merges
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        bpe.train_bpe_local(df, "text", num_merges=2, max_types=10_000)
+
+
+def test_bpe_encode_ranked_bit_identical_to_replay(spark):
+    """r10: the ranked exact encoder (lowest-rank merge first, cost
+    independent of table size) equals per-merge replay bit-for-bit —
+    including the case where greedy longest-match would DIVERGE
+    (merges [(b,c), (a,b)] on 'abc': replay → [a, bc]; longest-match
+    would give [ab, c])."""
+    rows = [Row(text=t) for t in TEXTS + ["abc abcабв", "", None, "aaa banana"]]
+    df = spark.createDataFrame(rows, "text string")
+    merges = bpe.train_bpe(df, "text", num_merges=10)
+    for table in (merges, [("b", "c"), ("a", "b")],
+                  [("a", "a"), ("a", "n"), ("an", "an")]):
+        got = [r.bpe for r in bpe.bpe_encode_ranked(df, "text", table)
+               .select("bpe").collect()]
+        want = [r.bpe for r in bpe.bpe_encode(df, "text", table)
+                .select("bpe").collect()]
+        assert got == want
+    # the divergence witness, explicitly
+    d = spark.createDataFrame([Row(text="abc")])
+    out = bpe.bpe_encode_ranked(d, "text", [("b", "c"), ("a", "b")])
+    assert out.collect()[0].bpe == ["a", "bc"]
+
+
 def test_encode_with_trained_merges_compresses(spark):
     df = spark.createDataFrame([Row(text=t) for t in TEXTS])
     merges = bpe.train_bpe(df, "text", num_merges=12)
