@@ -163,6 +163,71 @@ def main() -> int:
         report["phases"]["store_query"] = round(wall, 1)
         report["store_query_results"] = hits
 
+        # r10 MAXSCORE (judge r9 task #5): same store, same queries,
+        # candidate-pruned scoring — report wall, result parity, and
+        # the candidate-row reduction vs the unpruned (q,d) matrix
+        t0 = time.time()
+        hits_ms = bm25_topk_from_store(
+            spark, store, qs, k=10, algo="maxscore"
+        ).count()
+        wall = time.time() - t0
+        report["phases"]["store_query_maxscore"] = round(wall, 1)
+        report["maxscore_results_match"] = bool(hits_ms == hits)
+        from streaming_etl_pipeline_spark.operators.retrieval import (
+            _term_bucket,
+            bm25_maxscore_candidates,
+        )
+
+        q_terms = qs.select(
+            "query_id", F.col("qterm").alias("term")
+        ).distinct()
+        vocab = q_terms.select("term").distinct().withColumn(
+            "term_bucket", _term_bucket(F.col("term"), 64)
+        )
+        blist = [r.term_bucket for r in vocab.select("term_bucket")
+                 .distinct().collect()]
+        doc_term = (
+            spark.read.parquet(os.path.join(store, "postings"))
+            .filter(F.col("term_bucket").isin(blist))
+            .join(F.broadcast(vocab.select("term")), "term")
+            .select("doc_id", "term", "doc_len", "tf")
+        )
+        stats = spark.read.parquet(os.path.join(store, "stats")).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (F.sum("sum_len").cast("double")
+             / F.sum("n_docs").cast("double")).alias("avg_len"),
+        )
+        idf_tbl = (
+            doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "term",
+                F.round(F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                ), 6).alias("idf"),
+                "avg_len",
+            )
+        )
+        max_tf = (
+            spark.read.parquet(os.path.join(store, "term_stats"))
+            .filter(F.col("term_bucket").isin(blist))
+            .join(F.broadcast(vocab.select("term")), "term")
+            .groupBy("term").agg(F.max("max_tf").alias("max_tf"))
+        )
+        n_cand = bm25_maxscore_candidates(
+            doc_term, idf_tbl, q_terms, 10, max_tf
+        ).count()
+        n_unpruned = (
+            doc_term.join(F.broadcast(q_terms), "term")
+            .select("query_id", "doc_id").distinct().count()
+        )
+        report["maxscore_candidate_pairs"] = n_cand
+        report["unpruned_candidate_pairs"] = n_unpruned
+        report["maxscore_candidate_reduction"] = round(
+            1.0 - n_cand / max(n_unpruned, 1), 4
+        )
+
         spark.stop()  # flush event log
         report["resources"] = {
             **_eventlog_metrics(log_dir),

@@ -2296,6 +2296,15 @@ def test_bm25_store_matches_direct_and_prunes(spark, tmp_path, docs):
     )
     stored = sorted(tuple(r) for r in stored_df.collect())
     assert direct == stored and len(stored) > 0
+    # r10 MAXSCORE path: candidate pruning must not change a single bit
+    # ("the" is a high-df/low-idf term — the prune-able shape)
+    maxscore = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=3, buckets=16, algo="maxscore"
+        ).collect()
+    )
+    assert maxscore == direct
     # partition pruning: the posting FileScan must filter on term_bucket
     plan = stored_df._jdf.queryExecution().executedPlan().toString()
     assert "term_bucket" in plan
@@ -2317,6 +2326,91 @@ def test_bm25_store_matches_direct_and_prunes(spark, tmp_path, docs):
         ).collect()
     )
     assert d2 == s2
+
+
+def test_bm25_maxscore_prunes_common_term_postings(spark, tmp_path):
+    """r10 (judge r9 task #5): on a Zipf corpus where every doc carries
+    a common term and queries mix it with rare terms, the MAXSCORE
+    candidate set is a strict subset of the unpruned (query, doc)
+    matrix, results stay bit-identical to the join scorer, and a store
+    WITHOUT term_stats (pre-r10 build) falls back to the live bound."""
+    import shutil
+
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    rows = [
+        (i, "common " * 3 + f"rare{i % 40} token{i % 7}") for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "bm25_zipf")
+    RT.write_bm25_postings(corpus, store, buckets=8)
+    queries = spark.createDataFrame(
+        [(1, "common"), (1, "rare3"), (2, "common"), (2, "rare17")],
+        "query_id long, qterm string",
+    )
+    want = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=3, buckets=8, algo="join"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=3, buckets=8, algo="maxscore"
+        ).collect()
+    )
+    assert got == want and len(got) == 6
+    # the candidate set itself: rare-term docs only (the common term is
+    # non-essential for both queries — its 400-doc posting list drops)
+    import os as _os
+
+    q_terms = queries.select(
+        F.col("query_id"), F.col("qterm").alias("term")
+    ).distinct()
+    doc_term = (
+        spark.read.parquet(_os.path.join(store, "postings"))
+        .join(q_terms.select("term").distinct(), "term")
+        .select("doc_id", "term", "doc_len", "tf")
+    )
+    stats = spark.read.parquet(_os.path.join(store, "stats")).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.sum("sum_len").cast("double") / F.sum("n_docs")).alias("avg_len"),
+    )
+    idf_tbl = (
+        doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                ), 6,
+            ).alias("idf"),
+            "avg_len",
+        )
+    )
+    max_tf = doc_term.groupBy("term").agg(F.max("tf").alias("max_tf"))
+    cand = RT.bm25_maxscore_candidates(
+        doc_term, idf_tbl, q_terms, 3, max_tf
+    )
+    n_cand = cand.count()
+    n_unpruned = (
+        doc_term.join(q_terms, "term").select("query_id", "doc_id")
+        .distinct().count()
+    )
+    assert n_cand < n_unpruned, (n_cand, n_unpruned)
+    assert n_cand <= 2 * 10 + 6  # rare-term postings only, per query
+    # pre-r10 store: no term_stats dir → live-bound fallback, same bits
+    shutil.rmtree(_os.path.join(store, "term_stats"))
+    got2 = sorted(
+        tuple(r)
+        for r in RT.bm25_topk_from_store(
+            spark, store, queries, k=3, buckets=8, algo="maxscore"
+        ).collect()
+    )
+    assert got2 == want
 
 
 def test_bm25_gemm_scorer_matches_join(spark, tmp_path):
