@@ -654,16 +654,20 @@ def bm25_maxscore_candidates(
     max_tf_tbl: DataFrame,
     id_col: str = "doc_id",
     exclude_self: bool = False,
+    df_tbl: "DataFrame | None" = None,
 ) -> DataFrame:
     """MAXSCORE candidate generation (Turtle & Flood 1995's strategy,
     batched): per (query, term) an upper bound of the BM25 component —
     ``idf·(k1+1)·max_tf/(max_tf + k1·(1−b))`` (the dl→0 / tf→max_tf
     envelope of the exact component) plus 6 dp rounding slack — then
 
-    1. a threshold θ_q: the k-th best SINGLE-term component over the
-       highest-UB term's postings (each single-term component lower-
-       bounds that doc's full score, so θ_q lower-bounds the true k-th
-       best; fewer than k rows → θ=0 → no pruning, trivially safe);
+    1. a threshold θ_q: the k-th best per-doc PARTIAL score over the
+       bootstrap terms — the minimal UB-descending term prefix covering
+       ≥ 2k postings (a single top term can have df < k on exactly the
+       Zipf queries this path exists for). Each partial sum of exact
+       components lower-bounds that doc's full score, so θ_q
+       lower-bounds the true k-th best; fewer than k bootstrap docs →
+       no θ row → no pruning, trivially safe;
     2. the non-essential suffix: terms sorted by UB ascending whose
        running UB prefix-sum stays strictly below θ_q — a doc matching
        ONLY those terms scores below θ_q and cannot enter the top-k;
@@ -678,12 +682,16 @@ def bm25_maxscore_candidates(
 
     Returns the candidate frame ``(query_id, <id_col>)`` — exposed so
     the soak can measure candidate-row reduction directly."""
+    if df_tbl is None:
+        df_tbl = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ub_tbl = (
         q_terms.join(F.broadcast(idf_tbl.select("term", "idf")), "term")
         .join(F.broadcast(max_tf_tbl), "term")
+        .join(F.broadcast(df_tbl), "term")
         .select(
             "query_id",
             "term",
+            "df",
             (
                 F.col("idf")
                 * (F.col("max_tf") * (BM25_K1 + 1.0))
@@ -692,13 +700,18 @@ def bm25_maxscore_candidates(
             ).alias("ub"),
         )
     )
-    # θ bootstrap: exact single-term components over the top-UB term
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.col("ub").desc(), F.col("term").asc()
+    # θ bootstrap: exact per-doc partial scores over the minimal
+    # UB-descending term prefix that covers >= 2k postings
+    w_desc = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("ub").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    top1 = (
-        ub_tbl.withColumn("_rn", F.row_number().over(w_top))
-        .filter(F.col("_rn") == 1)
+    boot_terms = (
+        ub_tbl.withColumn(
+            "_df_before", F.coalesce(F.sum("df").over(w_desc), F.lit(0))
+        )
+        .filter(F.col("_df_before") < 2 * k)
         .select("query_id", "term")
     )
     comp = F.round(
@@ -711,14 +724,16 @@ def bm25_maxscore_candidates(
         ),
         6,
     )
-    boot = doc_term.join(F.broadcast(top1), "term").join(
+    boot = doc_term.join(F.broadcast(boot_terms), "term").join(
         F.broadcast(idf_tbl), "term"
     )
     if exclude_self:
         boot = boot.filter(F.col("query_id") != F.col(id_col))
     w_k = Window.partitionBy("query_id").orderBy(F.col("_c").desc())
     theta = (
-        boot.select("query_id", comp.alias("_c"))
+        boot.select("query_id", F.col(id_col), comp.alias("_c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("_c"))  # partial score lower-bounds full
         .withColumn("_rn", F.row_number().over(w_k))
         .filter(F.col("_rn") == k)
         .select("query_id", F.col("_c").alias("theta"))
@@ -878,6 +893,7 @@ def bm25_topk_from_store(
             max_tf_tbl,
             id_col=id_col,
             exclude_self=exclude_self,
+            df_tbl=df_tbl,
         )
     return _bm25_score(
         Bm25Index(doc_term=doc_term, idf_tbl=idf_tbl),
