@@ -99,6 +99,7 @@ def main() -> int:
         f"{wall_score:.1f}s ({agg2['docs'] / wall_score:,.0f} docs/s), "
         f"avg_logp in [{agg2['min_lp']:.3f}, {agg2['max_lp']:.3f}]"
     )
+    model.unpersist()  # trigram phase done — release before the 5-gram fits
 
     # --- phase 3 (r9): pruned order-5 — size vs quality ----------------
     # The deployment question pruning answers: how much model do you
@@ -124,7 +125,12 @@ def main() -> int:
         return time.time() - t, a
 
     wall_s5, a5 = _score5(m5_full)
+    # release each model's blocks once its numbers are materialized
+    # (ADVICE r9: three fits in one session otherwise stack
+    # MEMORY_AND_DISK entries until the executor store evicts)
+    m5_full.unpersist()
     wall_s5p, a5p = _score5(m5_pruned)
+    m5_pruned.unpersist()
     top_drop = 1 - pruned_sizes[-1] / max(full_sizes[-1], 1)
     print(
         f"[kn5  ] fit order-5 unpruned {wall_fit5:.1f}s "
