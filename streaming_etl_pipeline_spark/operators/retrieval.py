@@ -177,19 +177,30 @@ def bm25_topk(
     )
 
 
-def _bm25_score(
+def bm25_scored_pairs(
     index: Bm25Index,
     q_terms: DataFrame,
-    k: int,
-    id_col: str,
-    exclude_self: bool,
+    id_col: str = "doc_id",
     candidates: "DataFrame | None" = None,
+    repartition_by_query: bool = False,
 ) -> DataFrame:
-    """Score + rank against a built index: two broadcast joins, one
-    (query, doc)-keyed DECIMAL sum, one per-query top-k window.
+    """The exact per-(query, doc) BM25 score frame: two broadcast
+    joins, one DECIMAL sum. A (query, doc) score depends only on the
+    CORPUS and that query's own terms — never on what other queries are
+    in the batch — so one scored frame over a query UNION serves every
+    batch member identically to its standalone run (the same invariance
+    the shared-index build relies on; pinned by
+    ``test_bm25_shared_scored_pairs_match_standalone``).
+
     ``candidates`` (MAXSCORE path) restricts the aggregation to the
     given (query_id, id_col) pairs — exactness guaranteed by the
-    candidate generator's bound argument, results bit-identical."""
+    candidate generator's bound argument. ``repartition_by_query``
+    pre-partitions the joined rows on ``query_id`` alone: the
+    aggregation's (query, doc) clustering AND any downstream per-query
+    rank window are both satisfied by the subset key, so a carrier
+    ranking several arms off one scored frame pays ONE exchange total
+    (trade-off: the exchange moves pre-combine rows, so leave it off
+    for one-shot scoring where the agg's map-side combine matters)."""
     doc_term, idf_tbl = index.doc_term, index.idf_tbl
     # per-(query, doc, term) score component — operation order mirrored
     # character-for-character in the SQL twin
@@ -206,19 +217,31 @@ def _bm25_score(
     scored = doc_term.join(F.broadcast(q_terms), "term").join(
         F.broadcast(idf_tbl), "term"
     )
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col(id_col))
     if candidates is not None:
         scored = scored.join(candidates, ["query_id", id_col], "semi")
-    scored = (
-        scored.select("query_id", F.col(id_col), comp.alias("c"))
-        .groupBy("query_id", id_col)
-        .agg(
-            F.sum(F.col("c").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("score")
-        )
+    scored = scored.select("query_id", F.col(id_col), comp.alias("c"))
+    if repartition_by_query:
+        scored = scored.repartition("query_id")
+    return scored.groupBy("query_id", id_col).agg(
+        F.sum(F.col("c").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("score")
     )
+
+
+def bm25_rank(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Per-query top-k window over a :func:`bm25_scored_pairs` frame.
+    ``exclude_self`` drops the (q, q) row — equivalent to filtering the
+    component rows pre-aggregation (exclusion is per-DOC: either way
+    the whole row disappears, every other row's decimal sum is
+    untouched)."""
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -228,6 +251,24 @@ def _bm25_score(
         .select(
             "query_id", "rank", F.col(id_col).alias("neighbor_id"), "score"
         )
+    )
+
+
+def _bm25_score(
+    index: Bm25Index,
+    q_terms: DataFrame,
+    k: int,
+    id_col: str,
+    exclude_self: bool,
+    candidates: "DataFrame | None" = None,
+) -> DataFrame:
+    """Score + rank against a built index — the one-shot composition of
+    :func:`bm25_scored_pairs` + :func:`bm25_rank`."""
+    return bm25_rank(
+        bm25_scored_pairs(index, q_terms, id_col, candidates=candidates),
+        k,
+        id_col=id_col,
+        exclude_self=exclude_self,
     )
 
 

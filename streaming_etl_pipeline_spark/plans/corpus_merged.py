@@ -545,19 +545,31 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     toks_bm = tokenize(TX2.norm_text("text"))
     q_exp = F.explode(F.array_distinct(F.slice(toks_bm, 1, 8))).alias("qterm")
-    q_method = docs_bm.filter(F.col("doc_id") % 50 == 3).select(
-        F.col("doc_id").alias("query_id"), q_exp
-    )
-    q_hybrid = docs_bm.filter(F.col("doc_id") < 20).select(
-        F.col("doc_id").alias("query_id"), q_exp
-    )
+    # r10: BOTH runs share ONE scored (query, doc) frame over the UNION
+    # of their query sets — a (q, d) score depends only on the corpus
+    # and q's own terms, never on the rest of the batch, and
+    # exclude_self commutes with the per-doc aggregation (the whole
+    # (q, q) row drops either way). The union query frame is built
+    # directly from the persisted docs scan (array_distinct already
+    # dedupes per query — no distinct exchange; query 3 appears once),
+    # each arm is a PREDICATE filter on its rank output (rank is
+    # per-query, so subsetting after the window equals ranking the
+    # subset), and the scored frame is repartitioned by query_id so the
+    # aggregation and BOTH arms' rank windows share that one exchange.
+    q_all = docs_bm.filter(
+        (F.col("doc_id") % 50 == 3) | (F.col("doc_id") < 20)
+    ).select(F.col("doc_id").alias("query_id"), q_exp)
     shared_idx = RT.bm25_build_index(
-        docs_bm,
-        q_method.select(F.col("qterm").alias("term")).unionByName(
-            q_hybrid.select(F.col("qterm").alias("term"))
-        ),
+        docs_bm, q_all.select(F.col("qterm").alias("term"))
     )
-    bm = RT.bm25_topk(docs_bm, q_method, k=5, index=shared_idx).select(
+    scored_all = RT.bm25_scored_pairs(
+        shared_idx,
+        q_all.select("query_id", F.col("qterm").alias("term")),
+        repartition_by_query=True,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bm = RT.bm25_rank(scored_all, k=5).filter(
+        F.col("query_id") % 50 == 3
+    ).select(
         F.lit("bm25").alias("method"),
         "query_id", "rank", "neighbor_id", "score",
     )
@@ -568,8 +580,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = RT.rrf_fuse(
         [
             arm_by_name["lsh"], arm_by_name["ivf"], arm_by_name["filtered"],
-            RT.bm25_topk(
-                docs_bm, q_hybrid, k=5, exclude_self=True, index=shared_idx
+            RT.bm25_rank(scored_all, k=5, exclude_self=True).filter(
+                F.col("query_id") < 20
             ),
         ],
         k=5,

@@ -2243,6 +2243,61 @@ def test_bm25_shared_index_matches_standalone(spark):
     idx.doc_term.unpersist()
 
 
+def test_bm25_shared_scored_pairs_match_standalone(spark):
+    """r10 carrier fusion: ONE scored (query, doc) frame over the union
+    of two query sets, ranked per arm with exclude_self moved after the
+    aggregation and arms taken by predicate filters, equals each
+    standalone bm25_topk run — a (q, d) score depends only on the
+    corpus and q's own terms, and the (q, q) row drops whole either
+    side of the aggregation. Also covers repartition_by_query (a plan
+    hint — values untouched)."""
+    from streaming_etl_pipeline_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i % 5} w{i % 7} shared common w{i} tail{i % 3}")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    qa = spark.createDataFrame(
+        [(1, "w1"), (1, "common"), (3, "w3"), (3, "tail1")],
+        "query_id long, qterm string",
+    )
+    qb = spark.createDataFrame(
+        [(7, "w2"), (7, "shared"), (8, "w13"), (1, "w1"), (1, "common")],
+        "query_id long, qterm string",
+    )  # query 1 in BOTH sets with the same terms (the carrier overlap)
+    q_all = qa.unionByName(qb).distinct().select(
+        "query_id", F.col("qterm").alias("term")
+    )
+    idx = RT.bm25_build_index(docs, q_all.select("term"))
+    scored_all = RT.bm25_scored_pairs(
+        idx, q_all, repartition_by_query=True
+    )
+    got_a = sorted(
+        tuple(r)
+        for r in RT.bm25_rank(scored_all, k=3)
+        .filter(F.col("query_id").isin([1, 3]))
+        .collect()
+    )
+    got_b = sorted(
+        tuple(r)
+        for r in RT.bm25_rank(scored_all, k=3, exclude_self=True)
+        .filter(F.col("query_id").isin([7, 8, 1]))
+        .collect()
+    )
+    want_a = sorted(
+        tuple(r) for r in RT.bm25_topk(docs, qa, k=3).collect()
+    )
+    want_b = sorted(
+        tuple(r)
+        for r in RT.bm25_topk(docs, qb, k=3, exclude_self=True).collect()
+    )
+    assert got_a == want_a and got_b == want_b
+    idx.doc_term.unpersist()
+
+
 def test_ivf_occupancy_drift_detects_shifted_mix(spark):
     """Quantizer-drift monitor: an identical assignment mix reads
     stable (psi ≈ 0); traffic concentrated into one cell reads drifted
