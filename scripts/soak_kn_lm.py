@@ -125,11 +125,16 @@ def main() -> int:
         return time.time() - t, a
 
     wall_s5, a5 = _score5(m5_full)
-    # release each model's blocks once its numbers are materialized
-    # (ADVICE r9: three fits in one session otherwise stack
-    # MEMORY_AND_DISK entries until the executor store evicts)
-    m5_full.unpersist()
     wall_s5p, a5p = _score5(m5_pruned)
+    # release both models' blocks only after BOTH are done (ADVICE r9
+    # retention fix) — NOT between the two scorings: the fits' unpruned
+    # levels have IDENTICAL plans, Spark's CacheManager dedupes cache
+    # entries by plan, and unpersisting one model mid-flight releases
+    # the twin's shared levels too (measured: the pruned held-out
+    # scoring went 89 s -> ~500 s recomputing the whole chain when an
+    # earlier draft unpersisted m5_full first; see KNModelN.unpersist's
+    # shared-plan caveat)
+    m5_full.unpersist()
     m5_pruned.unpersist()
     top_drop = 1 - pruned_sizes[-1] / max(full_sizes[-1], 1)
     print(

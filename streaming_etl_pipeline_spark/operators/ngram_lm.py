@@ -620,7 +620,16 @@ class KNModelN(NamedTuple):
         ``pk``), which the kept tables merely project and whose cache
         entries would otherwise outlive the model (ADVICE r9:
         ``soak_kn_lm.py`` fits three order-5 models in one session).
-        The model stays usable; later scoring recomputes from lineage."""
+        The model stays usable; later scoring recomputes from lineage.
+
+        Shared-plan caveat: Spark's CacheManager dedupes cache entries
+        by PLAN, so two fits over the same input share the entries of
+        every level whose plan is identical (e.g. the unpruned lower
+        levels of a pruned and an unpruned fit of one corpus) — and
+        unpersisting one model releases the twin's shared levels too
+        (measured: a mid-soak unpersist sent the twin's held-out
+        scoring 89 s -> ~500 s recomputing the chain). Unpersist only
+        once every model fit from the same inputs is done scoring."""
         for fr in (*self.tables, *self.gammas, *self.cached):
             try:
                 fr.unpersist(blocking)
