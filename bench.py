@@ -135,6 +135,19 @@ def main() -> None:
         timings[name] = _median(kept)
 
     total = round(sum(timings.values()), 3)
+    # Emission order matters (judge r10 task #1a): the driver captures only
+    # a stdout TAIL, and BENCH_r10.json lost its headline fields because the
+    # single line grew past that capture with r10's machine/raw_runs
+    # additions. Per-pass detail goes on an EARLIER line (and to a sidecar
+    # file next to this script); the compact gating summary is the FINAL
+    # stdout line so a tail capture always parses it.
+    detail = {"runs": all_runs, "raw_runs": raw_runs}
+    try:
+        with open(os.path.join(REPO, "bench_detail.json"), "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass
+    print(json.dumps({"detail": detail}))
     print(
         json.dumps(
             {
@@ -142,8 +155,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": all_runs,
-                "raw_runs": raw_runs,
                 "machine": machine,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -63,6 +63,9 @@ def synth_histogram(n_types: int, seed: int = 7) -> list[tuple[str, int]]:
 def main() -> None:
     num_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 32_768
     n_types = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
+    unigram_vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 32_768
+    unigram_types = int(sys.argv[4]) if len(sys.argv) > 4 else 50_000
+    encode_docs = int(sys.argv[5]) if len(sys.argv) > 5 else 1_000_000
 
     state = machine_state()
     spark = build_session(app_name="soak_bpe")
@@ -84,6 +87,57 @@ def main() -> None:
     merges = bpe.train_bpe_from_histogram(items, num_merges, min_pair_count=2)
     merge_s = round(time.time() - t0, 1)
 
+    # phase 4 (r11): unigram-LM trainer at target vocab over a Zipf
+    # histogram — EM + loss pruning are superlinear in type count, so
+    # the type table is capped separately from the BPE phase
+    from streaming_etl_pipeline_spark.operators import unigram as UG
+
+    t0 = time.time()
+    uni_items = items[:unigram_types]
+    uni_vocab = UG.train_unigram_from_histogram(
+        uni_items, unigram_vocab, max_piece_len=8
+    )
+    unigram_s = round(time.time() - t0, 1)
+
+    # phase 5 (r11, judge r10 "what's wrong" #4): occurrence-grain vs
+    # type-grain BPE encoding over a replicated Zipf corpus — the
+    # type-grain path encodes each distinct word once and joins back
+    from pyspark.sql import functions as F
+
+    table = merges[:4096]
+    words = [w for w, _ in items[:2000]]
+    doc_texts = [
+        " ".join(words[(7 * i + j) % 2000] for j in range(24))
+        for i in range(1000)
+    ]
+    base = spark.createDataFrame(
+        [(t,) for t in doc_texts], "text string"
+    )
+    mult = max(1, encode_docs // 1000)
+    corpus = base.crossJoin(
+        spark.range(mult).select(F.col("id").alias("_rep"))
+    ).repartition(64).persist()
+    n_docs = corpus.count()
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    t0 = time.time()
+    _noop(bpe.bpe_encode_ranked(corpus, "text", table, out_col="b"))
+    occ_s = round(time.time() - t0, 1)
+    t0 = time.time()
+    _noop(bpe.bpe_encode_types(corpus, "text", table, out_col="b"))
+    typ_s = round(time.time() - t0, 1)
+    # equality spot-check on the distinct-doc grain (1000 rows)
+    a = sorted(
+        tuple(r) for r in bpe.bpe_encode_ranked(base, "text", table, out_col="b")
+        .select("text", "b").collect()
+    )
+    b = sorted(
+        tuple(r) for r in bpe.bpe_encode_types(base, "text", table, out_col="b")
+        .select("text", "b").collect()
+    )
+
     print(json.dumps({
         "metric": "bpe_local_train",
         "num_merges_requested": num_merges,
@@ -93,6 +147,14 @@ def main() -> None:
         "real_types_sf01": real_types,
         "synth_gen_s": synth_s,
         "heap_merge_s": merge_s,
+        "unigram_vocab_target": unigram_vocab,
+        "unigram_vocab_learned": len(uni_vocab),
+        "unigram_types": len(uni_items),
+        "unigram_train_s": unigram_s,
+        "encode_docs": n_docs,
+        "encode_occurrence_s": occ_s,
+        "encode_types_s": typ_s,
+        "encode_grains_match": a == b,
         "machine": state,
     }))
 
