@@ -987,6 +987,7 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          g AS ({_sql("gopher_quality")}),
          c AS ({_sql("dedup_clusters")}),
          s AS ({_sql("substring_dupes")}),
+         xs AS ({_sql("exact_substring_dupes")}),
          cn AS ({_sql("canonical_dedup")}),
          pd AS ({_sql("paragraph_dedup")}),
          ck AS ({_sql("cluster_keep_best")}),
@@ -998,6 +999,8 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            lp.label AS community_id,
            s.n_chunks AS sub_chunks, s.shared_chunks AS sub_shared,
            s.dup_frac AS sub_dup_frac,
+           xs.dup_chars AS exact_dup_chars,
+           xs.dup_frac AS exact_dup_frac,
            cn.canon_md5, cn.canon_group_size, cn.canon_keeper_id,
            cn.nfc_folds,
            pd.n_paras, pd.n_kept AS para_kept, pd.para_dup_frac,
@@ -1009,6 +1012,7 @@ def q_tpch_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b LEFT JOIN g ON b.doc_id = g.doc_id
            LEFT JOIN c ON b.doc_id = c.doc_id
            LEFT JOIN s ON b.doc_id = s.doc_id
+           LEFT JOIN xs ON b.doc_id = xs.doc_id
            LEFT JOIN cn ON b.doc_id = cn.doc_id
            LEFT JOIN pd ON b.doc_id = pd.doc_id
            LEFT JOIN ck ON b.doc_id = ck.doc_id
@@ -1075,6 +1079,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared_chunks").alias("sub_shared"),
         F.col("dup_frac").alias("sub_dup_frac"),
     )
+    # r11: the EXACT duplicated-substring arm (gram-string grouping +
+    # interval union — see dedup.exact_dup_spans) over the same shared
+    # twin-augmented frame
+    xs = DD.exact_substring_dup_stats(dd, min_len=32).select(
+        "doc_id",
+        F.col("dup_chars").alias("exact_dup_chars"),
+        F.col("dup_frac").alias("exact_dup_frac"),
+    )
     cn = _run("canonical_dedup", spark, sf_dir)
     pd = DD.paragraph_dedup(dd, chunks=chunks).select(
         "doc_id",
@@ -1099,6 +1111,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(g, "doc_id", "left")
         .join(c, "doc_id", "left")
         .join(s, "doc_id", "left")
+        .join(xs, "doc_id", "left")
         .join(cn, "doc_id", "left")
         .join(pd, "doc_id", "left")
         .join(ck, "doc_id", "left")
@@ -1109,6 +1122,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words", "mean_word_len", "stop_hits", "keep",
             "canonical_id", "cluster_size", "community_id",
             "sub_chunks", "sub_shared", "sub_dup_frac",
+            "exact_dup_chars", "exact_dup_frac",
             "canon_md5", "canon_group_size", "canon_keeper_id",
             "nfc_folds",
             "n_paras", "para_kept", "para_dup_frac", "para_kept_md5",
@@ -2215,6 +2229,7 @@ COVERED_BY: dict[str, str] = {
     "boilerplate_chunks": "corpus_curation",
     "gopher_quality": "corpus_curation",
     "substring_dupes": "corpus_curation",
+    "exact_substring_dupes": "corpus_curation",
     "canonical_dedup": "corpus_curation",
     "paragraph_dedup": "corpus_curation",
     "cluster_keep_best": "corpus_curation",
