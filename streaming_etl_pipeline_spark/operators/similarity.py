@@ -1458,7 +1458,9 @@ def retrain_quantizer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool = True,
-) -> "tuple[DataFrame, list[list[list[float]]]]":
+    opq: bool = False,
+    opq_iters: int = 8,
+):
     """Retrain the full IVF-PQ quantizer state — coarse centroids
     (:func:`clustering.kmeans_fit`) AND PQ codebooks (:func:`pq_fit`)
     — from a slice of CURRENT traffic. This is the *react* half of the
@@ -1475,7 +1477,14 @@ def retrain_quantizer(
     sample-sized. Returns ``(centroids, codebooks)`` in exactly the
     shapes ``start_ann_index_sink`` / :func:`ivf_pq_topk` accept; the
     centroid frame is materialized (localCheckpoint) so downstream
-    plans embed trained state, not the training lineage."""
+    plans embed trained state, not the training lineage.
+
+    ``opq=True`` (r11): returns ``(centroids, codebooks, rotation)``
+    with the codebooks trained by :func:`opq_fit` in the learned
+    rotated space — the full OPQ drift-retrain: pass ``rotation=`` to
+    :func:`ivf_pq_topk` / :func:`pq_encode` and reencode the stored
+    index with the same pair. Centroids stay raw-space either way
+    (orthogonal invariance keeps coarse routing valid)."""
     from streaming_etl_pipeline_spark.operators.clustering import kmeans_fit
 
     if sample_fraction is not None:
@@ -1485,6 +1494,12 @@ def retrain_quantizer(
         vectors, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
         use_arrow=use_arrow,
     ).localCheckpoint(eager=True)
+    if opq:
+        rotation, books = opq_fit(
+            vectors, codebooks_shape=codebooks_shape, iters=iters,
+            opq_iters=opq_iters, id_col=id_col, vec_col=vec_col,
+        )
+        return centroids, books, rotation
     books = pq_fit(
         vectors, codebooks_shape=codebooks_shape, iters=iters,
         id_col=id_col, vec_col=vec_col, use_arrow=use_arrow,

@@ -2896,6 +2896,13 @@ def test_opq_rotation_beats_plain_pq_at_same_bits(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert set(out.columns) == {"query_id", "rank", "neighbor_id", "cosine_sim"}
+    # drift-retrain integration: opq=True returns the full triple with
+    # codebooks identical to a direct opq_fit on the same sample
+    cents2, books_r, rot_r = SIM.retrain_quantizer(
+        vecs, n_cells=4, codebooks_shape=(4, 8), iters=4, opq=True
+    )
+    assert rot_r == rot8 and books_r == books8
+    assert cents2.count() == 4
 
 
 # ---------------------------------------------------------------------------

@@ -356,7 +356,13 @@ def test_fuzz_dsir_text_perturbations(spark, tmp_path):
         return tbl.set_column(i, "text", text), {}
 
     sf = _clone_sf(tmp_path, "documents", mutate)
-    _gate(spark, sf, ["dsir_selection", "source_overlap_matrix", "gopher_quality"])
+    # exact_substring_dupes (r11): empty/NULL/unicode-decorated docs
+    # through the L-gram explode, gram-string grouping and island merge
+    # — multibyte chars must count identically in substr/length on both
+    # engines, NULL text must yield a doc_len-0 row, and the decorated
+    # twins create real cross-doc exact spans
+    _gate(spark, sf, ["dsir_selection", "source_overlap_matrix",
+                      "gopher_quality", "exact_substring_dupes"])
 
 
 def test_fuzz_unicode_canonicalization(spark, tmp_path):
