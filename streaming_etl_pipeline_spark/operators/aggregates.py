@@ -110,9 +110,36 @@ def windowed_stats(
                 f"unique_{distinct_count_col}_count"
             )
         )
+    pre = df.withColumn("window_start", time_bucket(ts_col, bucket_seconds))
+    if exact_percentiles and not skew and percentiles:
+        # Exact-percentile partials are pure value buffers — map-side
+        # "partial aggregation" reduces nothing, yet pays per-(partition,
+        # group) buffer construction, serialization across the exchange,
+        # and a merge pass (measured 7.2 CPU-s of the sensor_5min plan at
+        # sf0.1). Establish the aggregation's partitioning ONCE with a
+        # keyed repartition instead (guide §2.4: operations keyed the same
+        # way share one exchange): the groupBy's distribution requirement
+        # is then already satisfied (also with a distinct_count_col — the
+        # first rewrite phase groups by a SUPERSET of these keys, and a
+        # hash partitioning on a subset satisfies it), so raw rows shuffle
+        # once and each group's buffer is built exactly once. Shuffled
+        # bytes are unchanged (the buffers ARE the values). Hot-key safety
+        # is unchanged too: the exact percentile must materialize a
+        # group's values in one buffer in ANY plan — ``skew=True`` remains
+        # the bounded-memory escape and keeps the mergeable-sketch shape.
+        #
+        # The partition count is pinned to the session's parallelism:
+        # AQE's size-based coalescing (64 MB advisory) would collapse this
+        # small-bytes/high-CPU exchange to ONE task and serialize the
+        # whole buffer build (measured: the 1.4 MB sf0.1 shuffle coalesced
+        # to 1 partition, 2.8 s single-core). REPARTITION_BY_NUM is exempt
+        # from coalescing; the count tracks cores (not a constant), and at
+        # real scale partitions exceed the advisory size so nothing is
+        # lost by pinning.
+        n = pre.sparkSession.sparkContext.defaultParallelism
+        pre = pre.repartition(n, "window_start", *keys)
     out = (
-        df.withColumn("window_start", time_bucket(ts_col, bucket_seconds))
-        .groupBy("window_start", *keys)
+        pre.groupBy("window_start", *keys)
         .agg(*aggs)
         .withColumn(
             "window_end",

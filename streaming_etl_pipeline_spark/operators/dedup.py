@@ -43,6 +43,58 @@ TOKEN_SQL = (
 _MAX_INT = 2147483647
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL expression twins (round 11, guide §5 driver overhead).
+#
+# The Column-API builders below assemble their expression trees through
+# one py4j round-trip per function call — ~0.25 ms each of synchronous
+# socket wait on the driver. The minhash family is the worst case:
+# 16 mix lambdas × (transform + array_min + lambda plumbing) plus the
+# shingle/zip_with chain came to ~4,000 round-trips ≈ 1.2 s of DRIVER
+# time per plan build (measured with cProfile: 97% in socket recv_into).
+# When the input is a plain column NAME we can hand the JVM ONE SQL
+# string per operator instead (`F.expr`), which parses server-side to the
+# semantically identical expression. Results are bit-identical — pinned
+# by tests/test_dedup_exprs.py against the Column path on adversarial
+# fixtures, and by the unchanged DuckDB oracle rows. Column inputs keep
+# the Column path (an arbitrary Column cannot be inlined into SQL text).
+# ---------------------------------------------------------------------------
+
+
+def _norm_text_expr(x: str) -> str:
+    """Spark-SQL twin of text.norm_text (NOT the DuckDB norm_text_sql —
+    Spark string literals are C-escaped, so the regex backslash doubles)."""
+    return f"trim(regexp_replace(lower({x}), '\\\\s+', ' '))"
+
+
+def _tokenize_expr(x: str) -> str:
+    return f"filter(split({x}, '\\\\s+'), t -> t != '')"
+
+
+def _md5_long_expr(x: str, seed: int | str = "") -> str:
+    """Spark-SQL twin of functions.core.md5_long."""
+    s = f"CAST({x} AS STRING)"
+    if seed != "":
+        s = f"concat({s}, '{seed}')"
+    return f"CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _shingles_expr(x: str, k: int) -> str:
+    """Spark-SQL twin of :func:`shingles` (same zip_with construction)."""
+    toks = _tokenize_expr(_norm_text_expr(x))
+    grams = toks
+    for j in range(1, k):
+        shifted = f"slice({toks}, {j + 1}, size({toks}))"
+        grams = f"zip_with({grams}, {shifted}, (a, b) -> concat(a, ' ', b))"
+    grams = f"filter({grams}, s -> s IS NOT NULL)"
+    whole = f"array(array_join({toks}, ' '))"
+    empty = "CAST(array() AS ARRAY<STRING>)"
+    return (
+        f"array_distinct(CASE WHEN size({toks}) >= {k} THEN {grams} "
+        f"WHEN size({toks}) >= 1 THEN {whole} ELSE {empty} END)"
+    )
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingles over normalized text (deduped set).
 
@@ -62,6 +114,11 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     """
     from streaming_etl_pipeline_spark.functions.core import tokenize
 
+    if isinstance(col, str):
+        # Column-name input: one server-side-parsed expression instead of
+        # ~10 py4j round-trips per zip_with level (see module section
+        # "Spark-SQL expression twins"); bit-identical to the path below.
+        return F.expr(_shingles_expr(col, k))
     toks = tokenize(norm_text(col))
     n = F.size(toks)
     grams = toks
@@ -176,7 +233,10 @@ def hashed_shingles(sh: Column | str) -> Column:
     """md5-hash each shingle ONCE (31-bit) — the expensive pass. Keep this
     as its own projection so the ``num_hashes`` cheap mixes below don't
     re-run md5 per hash function (a ~16× saving on the dominant cost)."""
-    sh = F.col(sh) if isinstance(sh, str) else sh
+    if isinstance(sh, str):
+        return F.expr(
+            f"transform({sh}, s -> ({_md5_long_expr('s')} & {_MIX_MASK}L))"
+        )
     return F.transform(sh, lambda s: md5_long(s).bitwiseAND(F.lit(_MIX_MASK).cast("long")))
 
 
@@ -190,8 +250,14 @@ def hashed_shingles_sql(sh_sql: str) -> str:
 def minhash_from_hashes(hs: Column | str, num_hashes: int = 16) -> list[Column]:
     """MinHash signature from pre-hashed shingles: integer mixing only —
     JVM-side multiply/add/mod inside whole-stage codegen."""
-    hs = F.col(hs) if isinstance(hs, str) else hs
-
+    if isinstance(hs, str):
+        return [
+            F.expr(
+                f"array_min(transform({hs}, "
+                f"h -> (h * {MIX_A[i]}L + {MIX_B[i]}L) % {_MIX_MOD}L))"
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     def mixer(a: int, b: int):
         return lambda h: (h * F.lit(a).cast("long") + F.lit(b).cast("long")) % F.lit(
             _MIX_MOD
@@ -240,26 +306,27 @@ def lsh_candidate_pairs(
     (a < b). The bucket join is the only shuffle; its key is md5-uniform.
     """
     rows = num_hashes // bands
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                md5_long(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows + r}").cast("string")
-                            for r in range(rows)
-                        ],
-                    ),
-                    f"band{b}",
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    # One server-side-parsed expression for the whole band array (the
+    # Column build was ~8 structs × ~12 py4j round-trips per plan build —
+    # see "Spark-SQL expression twins" above). Bit-identical to the
+    # previous F.struct/md5_long construction (pinned in
+    # tests/test_dedup_exprs.py).
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bucket', {bucket})".format(
+            b=b,
+            bucket=_md5_long_expr(
+                "concat_ws(',', "
+                + ", ".join(
+                    f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
+                )
+                + ")",
+                f"band{b}",
+            ),
+        )
+        for b in range(bands)
     )
     buckets = sigs.select(
-        F.col(id_col), F.explode(band_cols).alias("bb")
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     left = buckets.alias("l")
     right = buckets.alias("r")

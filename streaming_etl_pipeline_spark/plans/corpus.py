@@ -106,10 +106,12 @@ _STATS_ORACLE_AGGS = f"""
 def q_sensor_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_sensor_5min shape (silver_to_gold.py:44-92): 5-minute tumbling
     stats per entity with exact percentiles and a health metric."""
-    # spread(): exact-percentile partials buffer raw values (no map-side
-    # reduction), so the single-row-group scan would serialize the
-    # heaviest stage on one core (measured 1.5 s -> 0.9 s warm at sf0.1).
-    events = spread(read_table(spark, sf_dir, "events"))
+    # No spread() here (r11): windowed_stats now key-repartitions before
+    # the exact-percentile aggregation, so the one exchange both spreads
+    # the single-row-group scan across cores AND satisfies the groupBy's
+    # distribution — a round-robin pre-spread would just add a second
+    # full-data exchange (and its sort-before-repartition pass) in front.
+    events = read_table(spark, sf_dir, "events")
     out = aggregates.windowed_stats(
         events,
         ts_col="ts",
@@ -137,7 +139,7 @@ def q_sensor_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_location_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_location_hourly shape (silver_to_gold.py:95-134): hourly stats
     per type + exact distinct entity count."""
-    events = spread(read_table(spark, sf_dir, "events"))
+    events = read_table(spark, sf_dir, "events")  # see sensor_5min note
     out = aggregates.windowed_stats(
         events,
         ts_col="ts",
@@ -301,7 +303,12 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money sums accumulate in DECIMAL (exact → order-independent → identical
     in any engine); the 2-dp inputs make products exact at 4/6-dp scales.
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    # spread(by=l_orderkey): the single-row-group local scan would run the
+    # whole decimal partial aggregation on one core (measured: the scan
+    # stage carries ~1.2 s of the 1.25 s plan); a deterministic hash
+    # spread parallelizes it without round-robin's per-row sort. No-op at
+    # real scale where the scan splits by maxPartitionBytes.
+    li = spread(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
     price_d = F.col("l_extendedprice").cast("decimal(12,2)")
     disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
     tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
@@ -1069,7 +1076,12 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     one decimal per order."""
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    li = read_table(spark, sf_dir, "lineitem")
+    # spread(by=l_orderkey) parallelizes the undersplit local scan AND
+    # pre-satisfies the groupBy's distribution (hash on the exact group
+    # key), so the aggregation runs fully keyed after ONE exchange with
+    # no partial/merge pair. No-op at real scale, where the split scan +
+    # map-side partial aggregation (4:1 reduction) is the right plan.
+    li = spread(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sq"))

@@ -48,7 +48,12 @@ _DOCS_WITH_DUPS_SQL = f"""
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the shingle/md5 passes downstream are CPU-bound and the
     # small single-file scan would otherwise run them on 1-2 cores.
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # by="doc_id" (r11): deterministic hash spread — skips round-robin's
+    # per-row sort pass and is retry-safe by key, not by sort.
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        by="doc_id",
+    )
     twins = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(
@@ -99,7 +104,9 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting + quality scoring (C4/Gopher-style
     rule filters) — pure projections, no shuffle at any scale."""
-    return TX.text_stats(spread(read_table(spark, sf_dir, "documents")))
+    return TX.text_stats(
+        spread(read_table(spark, sf_dir, "documents"), by="doc_id")
+    )
 
 
 @register(
@@ -538,7 +545,7 @@ _COS = (
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for the first 20 vectors: broadcast
     query side × one corpus scan — the ANN correctness baseline."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(read_table(spark, sf_dir, "embeddings"), by="vec_id")
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
