@@ -171,7 +171,7 @@ def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gold_daily_summary shape (silver_to_gold.py:137-161): calendar-day
     rollup with conditional anomaly count (threshold stands in for the
     reference's is_anomaly flag)."""
-    events = spread(read_table(spark, sf_dir, "events")).withColumn(
+    events = spread(read_table(spark, sf_dir, "events"), by="event_id").withColumn(
         "is_anomaly", F.col("value") > 180.0
     )
     out = aggregates.daily_summary(
@@ -303,12 +303,14 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money sums accumulate in DECIMAL (exact → order-independent → identical
     in any engine); the 2-dp inputs make products exact at 4/6-dp scales.
     """
-    # spread(by=l_orderkey): the single-row-group local scan would run the
-    # whole decimal partial aggregation on one core (measured: the scan
-    # stage carries ~1.2 s of the 1.25 s plan); a deterministic hash
-    # spread parallelizes it without round-robin's per-row sort. No-op at
-    # real scale where the scan splits by maxPartitionBytes.
-    li = spread(read_table(spark, sf_dir, "lineitem"), by="l_orderkey")
+    # spread(by=l_extendedprice): the single-row-group local scan would
+    # run the whole decimal partial aggregation on one core (measured:
+    # the scan stage carries ~1.2 s of the 1.25 s plan); a deterministic
+    # hash spread parallelizes it without round-robin's per-row sort.
+    # The key is a near-unique column the query ALREADY reads, so column
+    # pruning at the scan is untouched (test_plan_invariants pins it).
+    # No-op at real scale where the scan splits by maxPartitionBytes.
+    li = spread(read_table(spark, sf_dir, "lineitem"), by="l_extendedprice")
     price_d = F.col("l_extendedprice").cast("decimal(12,2)")
     disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
     tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
@@ -1618,7 +1620,7 @@ def q_sliding_10min_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate — same shuffle shape as tumbling, 2× the pre-shuffle
     rows (width/slide replication). The oracle replicates via a 2-row
     cross join on the slide index."""
-    events = spread(read_table(spark, sf_dir, "events"))
+    events = spread(read_table(spark, sf_dir, "events"), by="event_id")
     w = F.window("ts", "10 minutes", "5 minutes")
     return (
         events.groupBy(w.alias("w"), "event_type")

@@ -48,8 +48,31 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
+#: Last-applied shuffle-partition count per session (keyed appId+object) —
+#: tune() is called per corpus-query build (the _tuned wrapper), and its
+#: ~14 conf.set py4j round-trips cost ~9 ms/call (measured): pure
+#: overhead after the first application to a session. A new session gets
+#: a new JVM object id; pass force=True if a caller deliberately mutated
+#: RUNTIME_CONF keys mid-session and wants them re-applied.
+_TUNED: dict[tuple, int] = {}
+
+
+def tune(
+    spark: SparkSession,
+    shuffle_partitions: int | None = None,
+    force: bool = False,
+) -> SparkSession:
     """Apply runtime configs to an existing session (driver-owned or ours)."""
+    n = shuffle_partitions or default_parallelism()
+    key = (
+        spark.sparkContext.applicationId,  # survives Python id() reuse
+        id(spark),
+    )
+    if not force and _TUNED.get(key) == n:
+        return spark
+    if len(_TUNED) > 64:
+        _TUNED.clear()
+    _TUNED[key] = n
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -58,7 +81,6 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
             # none of RUNTIME_CONF is correctness-critical except timeZone,
             # which is always runtime-settable.
             pass
-    n = shuffle_partitions or default_parallelism()
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return spark
 
