@@ -125,6 +125,16 @@ def main() -> None:
         materialize(fn(spark, sf_dir))  # warmup
 
         def run_once(fn=fn):
+            # Measurement-honesty (r11): two dedup queries persist() a
+            # shared shingle subtree INSIDE their plan (3 consumers, one
+            # computation — legitimate within a pass), but CacheManager
+            # dedupes plan-identical persists across passes, so without
+            # this clear a timed pass would reuse the WARMUP pass's
+            # materialized cache instead of recomputing from parquet
+            # (measured: ~0.15-0.2 s/pass flattering on both). Clearing
+            # sits outside the timed window; every timed pass computes
+            # the full plan from the parquet inputs.
+            spark.catalog.clearCache()
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             return round(time.time() - t0, 3)

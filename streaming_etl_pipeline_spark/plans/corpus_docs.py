@@ -409,10 +409,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5 shingle pass — the most expensive stage in the plan; persist
     # computes it once (2.6x on the sf0.1 bench). MEMORY_AND_DISK: spills
     # instead of recomputing when the signature table outgrows memory.
+    # r11: cache ONLY the distinct hashes — min(mix(h)) over an array is
+    # identical over its distinct values (duplicates never change a min),
+    # so the signatures read hsd too and the duplicate-bearing hs column
+    # is dropped from the cached row (smaller materialize + 3 reads;
+    # NULL/empty arrays map to NULL/empty identically through
+    # array_distinct, so the result is bit-identical).
     hsd = hsh.select(
-        "doc_id", "hs", F.array_distinct("hs").alias("hsd")
+        "doc_id", F.array_distinct("hs").alias("hsd")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = hsd.select("doc_id", *DD.minhash_from_hashes("hs", 16))
+    sigs = hsd.select("doc_id", *DD.minhash_from_hashes("hsd", 16))
     cand = DD.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)
     a = hsd.select(F.col("doc_id").alias("id_a"), F.col("hsd").alias("h_a"))
     b = hsd.select(F.col("doc_id").alias("id_b"), F.col("hsd").alias("h_b"))
