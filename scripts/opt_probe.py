@@ -24,7 +24,9 @@ sys.path.insert(0, REPO)
 from streaming_etl_pipeline_spark.plans import corpus  # noqa: E402
 from streaming_etl_pipeline_spark.session import build_session  # noqa: E402
 
-PLAN_DIR = os.path.join(REPO, "plans", "r11")
+PLAN_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12")
+)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -63,6 +65,9 @@ def cmd_time(names):
         _materialize(fn(spark, SF_DIR))  # warmup
         passes = []
         for i in range(runs):
+            # Mirror bench.py's honest-measurement regime: no timed pass may
+            # reuse a previous pass's materialized cache (outside the window).
+            spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{name}:pass{i}")
             t0 = time.time()
             _materialize(fn(spark, SF_DIR))

@@ -37,6 +37,62 @@ def _cols(cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cols]
 
 
+#: Size estimates at/above this are Catalyst's "unknown" sentinel
+#: (spark.sql.defaultSizeInBytes = Long.MaxValue propagated through the
+#: visitor), not data.
+_UNKNOWN_SIZE = 1 << 58
+
+#: Ceiling for the exact-percentile repartition count — a backstop against
+#: a pathological size estimate, far above any sane shuffle width.
+_MAX_EXACT_PCT_PARTITIONS = 1 << 20
+
+
+def _size_suffix_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('64MB', '128m', '67108864')."""
+    s = v.strip().lower().removesuffix("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                         ("t", 1 << 40)):
+        if s.endswith(suffix):
+            return int(float(s[:-1]) * mult)
+    return int(s)
+
+
+def _exact_percentile_partitions(df: DataFrame) -> int:
+    """Partition count for the exact-percentile keyed repartition.
+
+    ``REPARTITION_BY_NUM`` is exempt from AQE coalescing (deliberately —
+    see the call-site comment), so the count must be right at EVERY
+    scale, not just local mode: the shuffle's payload is every raw value
+    and each group's buffer materializes on one reducer, so a count
+    pinned to defaultParallelism means per-partition bytes grow linearly
+    with data per core (guide §5 spill risk at 100 TB). Scale the count
+    with the input instead: ``max(defaultParallelism,
+    ceil(estimated_bytes / advisoryPartitionSizeInBytes))`` — locally
+    (input ≪ advisory) this stays defaultParallelism and the sf0.1 plan
+    is unchanged; at scale it tracks data volume exactly like AQE's own
+    advisory sizing would. The estimate is Catalyst's logical-plan
+    sizeInBytes on the ANALYZED plan (driver-side metadata arithmetic —
+    file sizes through the size-only visitor; no optimizer run, no data
+    scan); an unknown/absurd estimate falls back to defaultParallelism.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        # py4j may hand back a Python int directly or a java BigInt proxy;
+        # str() of either is the decimal digits.
+        est = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+        advisory = _size_suffix_bytes(
+            spark.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+            )
+        )
+    except Exception:  # Connect / API drift / unparsable conf
+        return n
+    if est <= 0 or est >= _UNKNOWN_SIZE or advisory <= 0:
+        return n
+    return max(n, min(-(-est // advisory), _MAX_EXACT_PCT_PARTITIONS))
+
+
 def windowed_stats(
     df: DataFrame,
     ts_col: str,
@@ -128,15 +184,17 @@ def windowed_stats(
         # group's values in one buffer in ANY plan — ``skew=True`` remains
         # the bounded-memory escape and keeps the mergeable-sketch shape.
         #
-        # The partition count is pinned to the session's parallelism:
-        # AQE's size-based coalescing (64 MB advisory) would collapse this
+        # The partition count floor is the session's parallelism: AQE's
+        # size-based coalescing (64 MB advisory) would collapse this
         # small-bytes/high-CPU exchange to ONE task and serialize the
         # whole buffer build (measured: the 1.4 MB sf0.1 shuffle coalesced
         # to 1 partition, 2.8 s single-core). REPARTITION_BY_NUM is exempt
-        # from coalescing; the count tracks cores (not a constant), and at
-        # real scale partitions exceed the advisory size so nothing is
-        # lost by pinning.
-        n = pre.sparkSession.sparkContext.defaultParallelism
+        # from coalescing, so the count itself must scale with the input
+        # (r12, guide §5): see _exact_percentile_partitions — locally it
+        # equals defaultParallelism (plan unchanged), at 100 TB it grows
+        # with estimated bytes so per-partition value buffers stay near
+        # the advisory size instead of data/cores.
+        n = _exact_percentile_partitions(pre)
         pre = pre.repartition(n, "window_start", *keys)
     out = (
         pre.groupBy("window_start", *keys)

@@ -495,7 +495,19 @@ def ngram_jaccard_pairs(
     re-intersection on the pair side.
 
     Scale shape: the only shuffles are the explode-join on shingle hash
-    and the pair groupBy. Stop-shingles that occur in a large fraction of
+    and the pair groupBy. An exact length-ratio prefilter (guide §3 —
+    reduce the join's output before the next exchange) drops candidate
+    rows right at the index join: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
+    max(|A|,|B|), so any pair with J ≥ τ must satisfy |A| ≥ τ·|B| AND
+    |B| ≥ τ·|A|. Pairs failing the ratio can never survive the final
+    threshold filter, so the reported pairs are identical — the filter
+    only skips per-pair counting work (the groupBy exchange shrinks).
+    The τ is slackened by 1e-6 because the final comparison is on a
+    6-dp-rounded double (a pair at J = τ − 4.9e-7 rounds UP into the
+    result set and must not be prefiltered) and exact τ·size products
+    don't exist in binary floating point (0.8·5 > 4 in doubles would
+    wrongly drop a boundary pair at sizes 4/5).
+    Stop-shingles that occur in a large fraction of
     the corpus would quadratically blow up the index join at 100 TB;
     ``df_cutoff`` (fraction of docs, e.g. 0.05) applies the standard
     mitigation: shingles with document frequency above the cutoff are
@@ -518,6 +530,13 @@ def ngram_jaccard_pairs(
     # (id, hashes, size) — far smaller than the exploded index.
     sized = sized.persist(StorageLevel.MEMORY_AND_DISK)
     index = sized.select("_id", "_sz", F.explode("_hs").alias("_h"))
+    # Exact length-ratio candidate prefilter (see docstring): J ≥ τ
+    # forces τ·max(|A|,|B|) ≤ min(|A|,|B|); the 1e-6 slack covers the
+    # 6-dp rounding of the final jaccard and double-product rounding.
+    t = F.lit(max(float(threshold) - 1e-6, 0.0))
+    ratio_ok = (F.col("sz_a") >= t * F.col("sz_b")) & (
+        F.col("sz_b") >= t * F.col("sz_a")
+    )
 
     if df_cutoff is not None:
         n_docs = sized.count()  # one cheap action over the persisted base
@@ -529,9 +548,16 @@ def ngram_jaccard_pairs(
         )
         cand_index = index.join(rare, on="_h")
         cand = (
-            cand_index.select(F.col("_id").alias("id_a"), "_h")
-            .join(cand_index.select(F.col("_id").alias("id_b"), "_h"), on="_h")
-            .filter(F.col("id_a") < F.col("id_b"))
+            cand_index.select(
+                F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"), "_h"
+            )
+            .join(
+                cand_index.select(
+                    F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"), "_h"
+                ),
+                on="_h",
+            )
+            .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
             .select("id_a", "id_b")
             .distinct()
         )
@@ -554,7 +580,7 @@ def ngram_jaccard_pairs(
     )
     pairs = (
         left.join(right, on="_h")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("_shared"),

@@ -116,7 +116,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stopword-profile language scorer per document."""
-    return TX.language_id(spread(read_table(spark, sf_dir, "documents")))
+    return TX.language_id(spread(
+        read_table(spark, sf_dir, "documents"), by="doc_id"
+    ))
 
 
 def _language_id_sql() -> str:
@@ -174,7 +176,9 @@ def _language_id_sql() -> str:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content md5 + winnowing-style min/max rolling k-gram hashes."""
-    return TX.fingerprint(spread(read_table(spark, sf_dir, "documents")))
+    return TX.fingerprint(spread(
+        read_table(spark, sf_dir, "documents"), by="doc_id"
+    ))
 
 
 @register(
@@ -581,7 +585,9 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-plane LSH cell plus the 4 flip-1-bit neighbor cells (5 of 16
     cells) — near-misses on a single plane's sign are recovered while
     the candidate volume stays ~5/16 of the corpus."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -617,7 +623,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one component) are the ground-truth near-dups the corpus lacks."""
     from pyspark import StorageLevel
 
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     # base feeds several branches — persist so the scan+spread chain
     # plans once instead of once per reference (r6 carrier trim)
     base = emb.select(
@@ -673,7 +681,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector lives in its nearest of 16 deterministic centroids' cells;
     each query probes its 2 nearest cells. Complements the
     fixed-hyperplane LSH path."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -707,7 +717,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pq_fit``), reconstructed on the fly and scored against the exact
     query vector. The compressed-corpus arm of the ANN suite: encode is
     a 0-shuffle map, search stays broadcast-queries × one corpus scan."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -735,7 +747,9 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature store runs before normalization. Decimal accumulation keeps
     the float sums order-independent; positions are 0-based on both
     sides."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     exploded = emb.select(F.posexplode("embedding").alias("dim", "x"))
     return exploded.groupBy("dim").agg(
         F.min("x").alias("min_val"),
@@ -907,7 +921,9 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale + exact quantized-vector hash + reconstruction error. The q_md5
     pins every int8 value; the error column pins the dequantization
     arithmetic (operators/similarity.py quantize_embeddings)."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     return SIM.quantize_embeddings(emb).select(
         "vec_id", "scale", "q_md5", "mean_abs_err"
     )
@@ -1070,7 +1086,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic duplicates the synthetic corpus lacks."""
     from pyspark import StorageLevel
 
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     # base feeds several branches — persist so the scan+spread chain
     # plans once instead of once per reference (r6 carrier trim)
     base = emb.select(
@@ -1212,7 +1230,9 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM-perplexity-filter analog with zero external deps. Decimal
     probability accumulation keeps the score order-independent so the
     DuckDB twin hash-matches exactly."""
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
+    )
     return TX.charlm_scores(docs)
 
 
@@ -1223,7 +1243,9 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding scores low, binary spill scores high. DECIMAL-accumulated
     6dp-rounded-ln terms make the score order-independent, so the twin
     hash-matches exactly."""
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
+    )
     return TX.char_entropy(docs)
 
 
@@ -1252,7 +1274,9 @@ def q_kn_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk across millions of trigram types became a certainty — the
     sweep caught exactly one flipped 6 dp rounding. avg_p carries the
     full verification without any transcendental."""
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
+    )
     return NL.kn_lm_scores(docs).select("doc_id", "n_trigrams", "avg_p")
 
 
@@ -1286,7 +1310,9 @@ def q_kn5_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-BIGINT pruned sums, 9 dp expression-tree parity) as well as
     the full four-level continuation-count estimation. ``avg_p``-only
     gate, same transcendental discipline as ``kn_lm_quality``."""
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
+    )
     return NL.kn_lm_scores_n(
         docs, order=_KN5_ORDER, min_count=_KN5_PRUNE
     ).select("doc_id", "n_ngrams", "avg_p")
@@ -1322,7 +1348,9 @@ def q_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mean_pool_exact``): the chunk→document / class-centroid pooling
     pass with decimal-exact per-dim means and a portable L2 renorm, so
     the oracle verifies every pooled component bit-for-bit."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     return SIM.mean_pool_exact(emb, "label")
 
 
@@ -1348,7 +1376,9 @@ def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``filtered_cosine_topk``): top-5 cosine neighbors constrained to the
     query's label — pre-filter semantics, the constraint inside the
     broadcast join condition."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -1397,7 +1427,9 @@ def q_ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top 5. The oracle mirrors both stages including the truncation
     renormalization, so the candidate CUT and the final order are both
     value-verified."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -1839,7 +1871,7 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread only the raw side (two CPU-heavy gram passes); the target
     # slice is one source's docs — a spread there is a wasted shuffle
     return dsir_select(
-        spread(docs.filter(F.col("source") != "src0")),
+        spread(docs.filter(F.col("source") != "src0"), by="doc_id"),
         docs.filter(F.col("source") == "src0"),
         buckets=4096,
         top_m=100,
@@ -1881,7 +1913,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hard_negative_mining``): every 25th vector is an anchor; its 5
     most-cosine-similar DIFFERENT-label vectors are the mined negatives,
     all similarity values hash-pinned."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -1915,7 +1949,9 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_order_index,
     )
 
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"), by="doc_id"
+    )
     return global_order_index(docs, "doc_id", seed="epoch0").select(
         "doc_id", "ord"
     )
@@ -2041,7 +2077,7 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Closed-form single-aggregation training — the fastText
     stage of LLaMA/RefinedWeb/DCLM as a deterministic DataFrame plan."""
     docs = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
     )
     labeled = TX.gopher_filter(docs.filter(F.col("doc_id") % 3 == 0)).select(
         "doc_id", F.col("keep").alias("label")
@@ -2054,7 +2090,7 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing: char-trigram LM
     typicality ranked per language, ntile(3) over a strict total order."""
     docs = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang"), by="doc_id"
     )
     return TX.perplexity_buckets(docs)
 
@@ -2088,7 +2124,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_etl_pipeline_spark.functions.core import tokenize
 
     docs = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
     )
     toks = tokenize(TX.norm_text("text"))
     queries = docs.filter(F.col("doc_id") % 50 == 3).select(
@@ -2114,7 +2150,7 @@ def _hybrid_bm25_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_etl_pipeline_spark.functions.core import tokenize
 
     docs = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
     )
     toks = tokenize(TX.norm_text("text"))
     queries = docs.filter(F.col("doc_id") < 20).select(
@@ -2267,7 +2303,9 @@ def q_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet corpus has no URL field); `first_url` pins the normalized
     string itself, n_kept pins the cap's ranked window, n_blocked the
     blocklist path."""
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"), by="doc_id"
+    )
     parts = docs.select(
         "doc_id",
         "n_chars",
@@ -2329,7 +2367,9 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dst contribution sums shuffle."""
     from streaming_etl_pipeline_spark.functions.core import md5_long
 
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"), by="doc_id"
+    )
     edges = docs.select(
         (F.col("doc_id") % 40).alias("src"),
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
@@ -2357,7 +2397,9 @@ def q_link_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape for ~4 more carrier exchanges."""
     from streaming_etl_pipeline_spark.functions.core import md5_long
 
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"), by="doc_id"
+    )
     edges = docs.select(
         (F.col("doc_id") % 40).alias("src"),
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
@@ -2401,7 +2443,9 @@ def q_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-index arm — candidates cell-restricted AND scored
     against PQ reconstructions, the (id, cell, codes) layout a
     billion-vector deployment stores instead of raw embeddings."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -2450,7 +2494,9 @@ def q_ann_topk_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — failing candidates never decode), then ranked on
     reconstructed cosine. The filtered-vector-search shape a 100 TB
     deployment runs against its (id, cell, codes, attrs) index."""
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -2492,7 +2538,9 @@ def q_ivf_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the filtered assignment)."""
     from pyspark import StorageLevel
 
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
@@ -2533,7 +2581,9 @@ def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one codegen stage."""
     from streaming_etl_pipeline_spark.functions.core import l2_norm
 
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -2629,7 +2679,9 @@ def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         prototype_prune,
     )
 
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    emb = spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
     dbl = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

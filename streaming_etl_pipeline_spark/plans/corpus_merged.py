@@ -152,7 +152,7 @@ def q_lm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_etl_pipeline_spark.sources.io import spread
 
     docs = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
     )
     return NL.kn_lm_suite_scores(
         docs, order=_KN5_ORDER, min_count=_KN5_PRUNE
@@ -475,7 +475,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_etl_pipeline_spark.sources import read_table, spread
 
     dbl = (
-        spread(read_table(spark, sf_dir, "embeddings"))
+        spread(
+        read_table(spark, sf_dir, "embeddings"), by="vec_id"
+    )
         .select(
             "vec_id",
             "label",
@@ -541,7 +543,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: consumed by the index build (postings + corpus stats)
     # and both query-side explodes — one scan instead of four
     docs_bm = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     toks_bm = tokenize(TX2.norm_text("text"))
     q_exp = F.explode(F.array_distinct(F.slice(toks_bm, 1, 8))).alias("qterm")
@@ -1397,7 +1399,7 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pr_edges = _spread(
-        _rt(spark, sf_dir, "documents").select("doc_id")
+        _rt(spark, sf_dir, "documents").select("doc_id"), by="doc_id"
     ).select(
         (F.col("doc_id") % 40).alias("src"),
         (md5_long(F.col("doc_id"), "pr") % 60).alias("dst"),
@@ -2084,7 +2086,7 @@ def q_corpus_quality_by_lang_merged(
     docs = spread(
         read_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source"
-        )
+        ), by="doc_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_toks = F.size(tokenize(TX.norm_text("text")))
     base = (

@@ -159,7 +159,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus doc carries an injected probe phrase shared with the synthetic
     eval doc, so the contamination path has true positives; rate ≥ 10%
     flags the document."""
-    docs = spread(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"), by="doc_id"
+    )
     corpus = docs.filter(F.col("doc_id") % 13 != 0).select(
         "doc_id",
         F.concat(
@@ -285,7 +287,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streaming_etl_pipeline_spark.operators.text import bpe_tokens
 
     docs = spread(
-        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text"), by="doc_id"
     ).select(
         "doc_id", "source", F.size(bpe_tokens("text")).alias("n_tokens")
     )
@@ -397,7 +399,7 @@ def q_packed_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         read_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
-        )
+        ), by="doc_id"
     )
     toks = docs.select(
         "doc_id", "source", F.size(bpe_tokens("text")).alias("n_tokens")

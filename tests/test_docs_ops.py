@@ -3582,3 +3582,21 @@ def test_exact_substring_dedup_matches_bruteforce(spark):
     assert "the quick brown fox jumps" not in cleaned[2]
     # untouched docs pass through verbatim
     assert cleaned[5] == docs[5] and cleaned[6] == docs[6]
+
+
+def test_ngram_jaccard_length_ratio_prefilter_boundary(spark):
+    # r12: the exact length-ratio prefilter (J >= tau forces
+    # min_size >= tau * max_size) must not drop a boundary pair where
+    # J == tau == the size ratio exactly: A ⊂ B with |A|=4, |B|=5,
+    # tau=0.8. Naive double arithmetic has 0.8·5 > 4 (0.8 is not exact
+    # in binary), which would wrongly prefilter the pair the final
+    # jaccard >= 0.8 filter keeps; the 1e-6 slack covers it.
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e"), (3, "a z")],
+        "doc_id long, text string",
+    )
+    out = DD.ngram_jaccard_pairs(docs, k=1, threshold=0.8).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    # (1,2) survives at exactly 0.8; the (·,3) pairs share a shingle but
+    # fail both the ratio prefilter and the final threshold.
+    assert pairs == {(1, 2): 0.8}
