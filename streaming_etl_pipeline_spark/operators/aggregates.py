@@ -37,24 +37,9 @@ def _cols(cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cols]
 
 
-#: Size estimates at/above this are Catalyst's "unknown" sentinel
-#: (spark.sql.defaultSizeInBytes = Long.MaxValue propagated through the
-#: visitor), not data.
-_UNKNOWN_SIZE = 1 << 58
-
 #: Ceiling for the exact-percentile repartition count — a backstop against
 #: a pathological size estimate, far above any sane shuffle width.
 _MAX_EXACT_PCT_PARTITIONS = 1 << 20
-
-
-def _size_suffix_bytes(v: str) -> int:
-    """Parse a Spark byte-size conf value ('64MB', '128m', '67108864')."""
-    s = v.strip().lower().removesuffix("b")
-    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                         ("t", 1 << 40)):
-        if s.endswith(suffix):
-            return int(float(s[:-1]) * mult)
-    return int(s)
 
 
 def _exact_percentile_partitions(df: DataFrame) -> int:
@@ -75,13 +60,18 @@ def _exact_percentile_partitions(df: DataFrame) -> int:
     file sizes through the size-only visitor; no optimizer run, no data
     scan); an unknown/absurd estimate falls back to defaultParallelism.
     """
+    from streaming_etl_pipeline_spark.sources.io import (
+        _UNKNOWN_SIZE,
+        parse_size_bytes,
+    )
+
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     try:
         # py4j may hand back a Python int directly or a java BigInt proxy;
         # str() of either is the decimal digits.
         est = int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
-        advisory = _size_suffix_bytes(
+        advisory = parse_size_bytes(
             spark.conf.get(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
             )

@@ -247,6 +247,27 @@ def hashed_shingles_sql(sh_sql: str) -> str:
     )
 
 
+def distinct_hashed_shingles(col: str, k: int = 3) -> Column:
+    """``array_distinct(hashed_shingles(shingles(col, k)))`` as ONE
+    server-parsed expression (r12; guide §5/§7.3 — driver overhead).
+
+    The dedup bench sites built this as a 2-3 step select chain whose
+    giant shingle subtree the analyzer re-walks once per subsequent
+    Dataset transformation; composing the same SQL text into a single
+    projection removes those walks from every later transformation.
+    The SQL is exactly what the two-step str path (``hashed_shingles``
+    over ``_shingles_expr``) composes, wrapped in ``array_distinct`` —
+    bit-identical results (pinned in tests/test_dedup_exprs.py and by
+    the unchanged oracle rows); the optimizer's CollapseProject reduced
+    the old chain to this very projection, so executed plans match.
+    """
+    sh = _shingles_expr(col, k)
+    return F.expr(
+        f"array_distinct(transform({sh}, "
+        f"s -> ({_md5_long_expr('s')} & {_MIX_MASK}L)))"
+    )
+
+
 def minhash_from_hashes(hs: Column | str, num_hashes: int = 16) -> list[Column]:
     """MinHash signature from pre-hashed shingles: integer mixing only —
     JVM-side multiply/add/mod inside whole-stage codegen."""
@@ -325,9 +346,11 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     )
-    buckets = sigs.select(
-        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    # inline() = explode + struct-field expansion in one generator, so the
+    # band/bucket columns exist without a second projection over the
+    # generated struct (one less Dataset transformation per build, and the
+    # Generate node emits the two fields directly instead of the struct).
+    buckets = sigs.select(F.col(id_col), F.expr(f"inline(array({structs}))"))
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -520,10 +543,12 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(hashed_shingles(shingles(text_col, k))).alias("_hs"),
+    hs_expr = (
+        distinct_hashed_shingles(text_col, k)
+        if isinstance(text_col, str)
+        else F.array_distinct(hashed_shingles(shingles(text_col, k)))
     )
+    base = df.select(F.col(id_col).alias("_id"), hs_expr.alias("_hs"))
     sized = base.select("_id", "_hs", F.size("_hs").alias("_sz"))
     # Both sides of the self-join would re-run the md5 shingle pass (the
     # dominant cost); persist computes it once. The cached row is

@@ -405,10 +405,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join → exact-Jaccard verify ≥ 0.6. The bucket join is the only
     shuffle; candidates are same-bucket pairs, never the full cross join."""
     docs = _docs_with_dups(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", DD.shingles("text").alias("sh")
-    )
-    hsh = sh.select("doc_id", DD.hashed_shingles("sh").alias("hs"))
     # Three consumers (signatures + both verify sides) would each re-run
     # the md5 shingle pass — the most expensive stage in the plan; persist
     # computes it once (2.6x on the sf0.1 bench). MEMORY_AND_DISK: spills
@@ -419,8 +415,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is dropped from the cached row (smaller materialize + 3 reads;
     # NULL/empty arrays map to NULL/empty identically through
     # array_distinct, so the result is bit-identical).
-    hsd = hsh.select(
-        "doc_id", F.array_distinct("hs").alias("hsd")
+    # r12: the former shingles → hashed_shingles → array_distinct select
+    # chain is ONE composed projection (same SQL text CollapseProject
+    # produced; bit-identical) so the analyzer stops re-walking the giant
+    # shingle subtree once per downstream transformation (guide §5).
+    hsd = docs.select(
+        "doc_id", DD.distinct_hashed_shingles("text").alias("hsd")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hsd.select("doc_id", *DD.minhash_from_hashes("hsd", 16))
     cand = DD.lsh_candidate_pairs(sigs, num_hashes=16, bands=8)

@@ -133,3 +133,26 @@ def test_lsh_pairs_unchanged_on_fixture(spark, docs):
     )
     assert got == want
     assert got  # the fixture must actually produce candidates
+
+
+def test_distinct_hashed_shingles_equals_step_chain(spark, docs):
+    # r12 build trim: the one-expression composition must equal the
+    # former select chain (shingles → hashed_shingles → array_distinct)
+    # on both construction paths, over the adversarial fixture.
+    for k in (1, 3):
+        composed = docs.select(
+            "doc_id", DD.distinct_hashed_shingles("text", k).alias("hsd")
+        )
+        chain = docs.select(
+            "doc_id", DD.shingles("text", k).alias("sh")
+        ).select("doc_id", DD.hashed_shingles("sh").alias("hs")).select(
+            "doc_id", F.array_distinct("hs").alias("hsd")
+        )
+        col_path = docs.select(
+            "doc_id",
+            F.array_distinct(
+                DD.hashed_shingles(DD.shingles(F.col("text"), k))
+            ).alias("hsd"),
+        )
+        _assert_same(composed, chain)
+        _assert_same(composed, col_path)
