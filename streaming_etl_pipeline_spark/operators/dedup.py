@@ -436,6 +436,7 @@ def near_dup_pairs_from_signatures(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        .filter(size_ratio_ok(F.col("h_a"), F.col("h_b"), threshold))
         .select("id_a", "id_b", jaccard(F.col("h_a"), F.col("h_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -497,6 +498,21 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
     union = F.size(sh_a) + F.size(sh_b) - F.size(F.array_intersect(sh_a, sh_b))
     return F.round(inter / union, 6)
+
+
+def size_ratio_ok(sh_a: Column, sh_b: Column, threshold: float) -> Column:
+    """Exact pre-verify cut (guide §3 — reduce join output before the
+    next operator pays for it): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    pair can only reach ``jaccard ≥ threshold`` when |A| ≥ t·|B| AND
+    |B| ≥ t·|A|. Filtering on the O(1) array sizes skips the O(|A|+|B|)
+    ``array_intersect`` for disparate-size candidate pairs without
+    changing the result set. The 1e-6 slack covers the final 6-dp
+    rounding (a pair at J = t − 4.9e-7 rounds up into the result) and
+    binary-float products (0.8·5 > 4 in doubles). NULL arrays yield a
+    NULL predicate → dropped, exactly as their NULL jaccard would be."""
+    t = F.lit(max(float(threshold) - 1e-6, 0.0))
+    sa, sb = F.size(sh_a), F.size(sh_b)
+    return (sa >= t * sb) & (sb >= t * sa)
 
 
 def ngram_jaccard_pairs(

@@ -429,6 +429,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
+        # r12: exact O(1) size-ratio cut before the O(n) array_intersect —
+        # provably drops only pairs the jaccard >= 0.6 filter drops.
+        .filter(DD.size_ratio_ok(F.col("h_a"), F.col("h_b"), 0.6))
         .select(
             "id_a", "id_b", DD.jaccard(F.col("h_a"), F.col("h_b")).alias("jaccard")
         )
